@@ -1,0 +1,129 @@
+"""Whisper-encoder fp32 logit parity vs the HF torch implementation, using a
+tiny randomly-initialised model (the reference's test strategy: tiny-random
+models + golden comparisons, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ultravox_tpu.models import WhisperEncoderConfig
+from ultravox_tpu.models import weights as weights_lib
+from ultravox_tpu.models import whisper_encoder
+
+
+@pytest.fixture(scope="module")
+def tiny_whisper():
+    import transformers
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.WhisperConfig(
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        encoder_ffn_dim=128,
+        max_source_positions=375,
+        decoder_layers=1,
+        decoder_attention_heads=4,
+        decoder_ffn_dim=64,
+    )
+    model = transformers.WhisperModel(hf_cfg).encoder.eval()
+    cfg = WhisperEncoderConfig.from_hf_dict(hf_cfg.to_dict())
+    params = weights_lib.convert_whisper_encoder(
+        weights_lib.from_torch_state_dict(model.state_dict()), cfg
+    )
+    return model, cfg, params
+
+
+def test_full_length_parity(tiny_whisper):
+    model, cfg, params = tiny_whisper
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 80, cfg.max_context_length)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = model(torch.from_numpy(mel)).last_hidden_state.numpy()
+    ours = np.asarray(whisper_encoder.encoder_forward(params, cfg, jnp.asarray(mel)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_short_input_parity(tiny_whisper):
+    """The reference's key modification: <30s inputs with sliced pos-embeds
+    (ultravox_model.py:897)."""
+    model, cfg, params = tiny_whisper
+    rng = np.random.default_rng(1)
+    T = 100
+    mel = rng.standard_normal((1, 80, T)).astype(np.float32)
+
+    # HF stock encoder requires full length; emulate the reference's slicing
+    # by running conv stack + truncated pos embeds manually on the HF side.
+    with torch.no_grad():
+        x = torch.nn.functional.gelu(model.conv1(torch.from_numpy(mel)))
+        x = torch.nn.functional.gelu(model.conv2(x)).permute(0, 2, 1)
+        x = x + model.embed_positions.weight[: x.shape[1]]
+        for layer in model.layers:
+            x = layer(x, None, layer_head_mask=None)[0]
+        ref = model.layer_norm(x).numpy()
+
+    ours = np.asarray(whisper_encoder.encoder_forward(params, cfg, jnp.asarray(mel)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_length_masking_parity(tiny_whisper):
+    """Per-sample length masking must match the reference's extended
+    attention mask construction (ultravox_model.py:915-926): replicate it on
+    the HF side as an additive bias and compare valid positions."""
+    model, cfg, params = tiny_whisper
+    rng = np.random.default_rng(2)
+    T_valid, T_pad = 96, 160
+    mel = rng.standard_normal((2, 80, T_pad)).astype(np.float32)
+    lens = np.array([T_valid, T_pad], dtype=np.int32)
+
+    with torch.no_grad():
+        x = torch.nn.functional.gelu(model.conv1(torch.from_numpy(mel)))
+        x = torch.nn.functional.gelu(model.conv2(x)).permute(0, 2, 1)
+        x = x + model.embed_positions.weight[: x.shape[1]]
+        T = x.shape[1]
+        feat_lens = (torch.from_numpy(lens) - 1) // 2 + 1
+        valid = torch.arange(T)[None, :] < feat_lens[:, None]
+        bias = torch.where(valid, 0.0, torch.finfo(torch.float32).min)
+        bias = bias[:, None, None, :].expand(2, 1, T, T)
+        for layer in model.layers:
+            x = layer(x, bias, layer_head_mask=None)[0]
+        ref = model.layer_norm(x).numpy()
+
+    ours = np.asarray(
+        whisper_encoder.encoder_forward(
+            params, cfg, jnp.asarray(mel), jnp.asarray(lens)
+        )
+    )
+    n_valid = whisper_encoder.feat_extract_output_length(T_valid)
+    np.testing.assert_allclose(ours[0, :n_valid], ref[0, :n_valid], atol=2e-5)
+    np.testing.assert_allclose(ours[1], ref[1], atol=2e-5)
+
+
+def test_latency_mask_is_block_causal(tiny_whisper):
+    """Streaming latency mask: later blocks must not influence earlier blocks
+    (reference: init_latency_mask, ultravox_model.py:834-863)."""
+    model, cfg, params = tiny_whisper
+    rng = np.random.default_rng(3)
+    T = 128  # -> 64 encoder positions
+    block = 16
+    mel_a = rng.standard_normal((1, 80, T)).astype(np.float32)
+    mel_b = mel_a.copy()
+    mel_b[:, :, T // 2 :] += 1.0  # perturb the second half
+
+    out_a = whisper_encoder.encoder_forward(
+        params, cfg, jnp.asarray(mel_a), latency_block_size=block
+    )
+    out_b = whisper_encoder.encoder_forward(
+        params, cfg, jnp.asarray(mel_b), latency_block_size=block
+    )
+    # conv2 has stride 2 + kernel 3, so frame t_mel influences encoder
+    # positions from about (t_mel - 1) // 2 onwards; first block is clean.
+    np.testing.assert_allclose(
+        np.asarray(out_a)[:, :block], np.asarray(out_b)[:, :block], atol=1e-5
+    )
+    assert np.abs(np.asarray(out_a)[:, -block:] - np.asarray(out_b)[:, -block:]).max() > 1e-3

@@ -1,0 +1,296 @@
+"""The composite Ultravox model: encoder → projector → embed-splice → LLM.
+
+TPU-native re-design of the reference ``UltravoxModel``
+(ultravox_model.py:33-637). Key departures, required by XLA's static-shape
+compilation model:
+
+- the audio-embedding merge is a fixed-shape scatter (``splice_audio_embeds``)
+  instead of the reference's Python loop of in-place slice writes
+  (ultravox_model.py:390-394);
+- the KL-distillation loss uses masked fixed-shape reductions instead of
+  boolean-mask logit gathers (ultravox_model.py:183-257);
+- the teacher forward reuses the same weight tree (student and teacher share
+  the LLM), expressed as a second call inside one jitted step with gradients
+  stopped, so the weights exist once in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ultravox_tpu.models import decoder as decoder_lib
+from ultravox_tpu.models import projector as projector_lib
+from ultravox_tpu.models import whisper_encoder as encoder_lib
+from ultravox_tpu.models.config import LossConfig, LossFunction, UltravoxConfig
+
+Params = Dict[str, Any]
+
+
+def init_params(cfg: UltravoxConfig, rng: jax.Array, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params: Params = {
+        "language_model": decoder_lib.init_params(cfg.text_config, k3, dtype),
+    }
+    if not cfg.llm_only_training:
+        params["audio_tower"] = encoder_lib.init_params(cfg.audio_config, k1, dtype)
+        params["projector"] = projector_lib.init_params(cfg, k2, dtype)
+    return params
+
+
+def splice_audio_embeds(
+    inputs_embeds: jax.Array,  # (B, T, D)
+    audio_embeds: jax.Array,  # (N, T_a, D) — N audio chunks across the batch
+    audio_token_start_idx: jax.Array,  # (N,) int32
+    audio_token_len: jax.Array,  # (N,) int32
+    audio_chunk_batch_idx: jax.Array,  # (N,) int32 — batch row of each chunk
+) -> jax.Array:
+    """Overwrite placeholder positions with audio embeddings.
+
+    Fixed-shape scatter: every (chunk, t) pair computes a flat destination
+    index; invalid pairs (t >= token_len) are redirected out of bounds and
+    dropped. Replaces ultravox_model.py:390-394.
+    """
+    B, T, D = inputs_embeds.shape
+    N, Ta, _ = audio_embeds.shape
+    t = jnp.arange(Ta, dtype=jnp.int32)
+    dest = (
+        audio_chunk_batch_idx[:, None] * T + audio_token_start_idx[:, None] + t[None]
+    )
+    valid = t[None, :] < audio_token_len[:, None]
+    dest = jnp.where(valid, dest, B * T)  # out-of-bounds => dropped
+    flat = inputs_embeds.reshape(B * T, D)
+    flat = flat.at[dest.reshape(-1)].set(
+        audio_embeds.reshape(N * Ta, D).astype(flat.dtype),
+        mode="drop",
+        unique_indices=True,
+    )
+    return flat.reshape(B, T, D)
+
+
+def prepare_audio_embeds(
+    params: Params,
+    cfg: UltravoxConfig,
+    inputs_embeds: jax.Array,
+    audio_values: jax.Array,  # (N, n_mels, T_mel)
+    audio_lens: jax.Array,  # (N,) valid mel frames per chunk
+    audio_token_start_idx: jax.Array,
+    audio_token_len: jax.Array,
+    audio_chunk_batch_idx: jax.Array,
+    *,
+    remat: bool = False,
+) -> jax.Array:
+    """Audio tower + projector + splice (reference: ultravox_model.py:354-396)."""
+    enc = encoder_lib.encoder_forward(
+        params["audio_tower"],
+        cfg.audio_config,
+        audio_values.astype(inputs_embeds.dtype),
+        mel_lens=audio_lens,
+        latency_block_size=cfg.audio_latency_block_size,
+        remat=remat,
+    )
+    audio_embeds = projector_lib.projector_forward(params["projector"], cfg, enc)
+    return splice_audio_embeds(
+        inputs_embeds,
+        audio_embeds,
+        audio_token_start_idx,
+        audio_token_len,
+        audio_chunk_batch_idx,
+    )
+
+
+def ultravox_embed(
+    params: Params,
+    cfg: UltravoxConfig,
+    input_ids: jax.Array,
+    batch: Dict[str, jax.Array],
+    *,
+    remat: bool = False,
+) -> jax.Array:
+    """Token embeddings with audio spliced in (if the batch carries audio)."""
+    inputs_embeds = jnp.take(
+        params["language_model"]["embed_tokens"], input_ids, axis=0
+    )
+    if "audio_values" in batch and batch["audio_values"] is not None:
+        inputs_embeds = prepare_audio_embeds(
+            params,
+            cfg,
+            inputs_embeds,
+            batch["audio_values"],
+            batch["audio_lens"],
+            batch["audio_token_start_idx"],
+            batch["audio_token_len"],
+            batch["audio_chunk_batch_idx"],
+            remat=remat,
+        )
+    return inputs_embeds
+
+
+def ultravox_forward(
+    params: Params,
+    cfg: UltravoxConfig,
+    batch: Dict[str, jax.Array],
+    *,
+    remat: bool = False,
+) -> jax.Array:
+    """Full-sequence forward. Returns fp32 logits (B, T, V).
+
+    ``batch`` keys: input_ids (B, T), attention_mask (B, T) — right-padded —
+    and optionally audio_values/audio_lens/audio_token_len/
+    audio_token_start_idx/audio_chunk_batch_idx (reference forward:
+    ultravox_model.py:277-352).
+    """
+    input_ids = batch["input_ids"]
+    mask = batch["attention_mask"]
+    inputs_embeds = ultravox_embed(params, cfg, input_ids, batch, remat=remat)
+    B, T = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    seq_lens = mask.sum(axis=-1).astype(jnp.int32)
+    logits, _ = decoder_lib.decoder_forward(
+        params["language_model"],
+        cfg.text_config,
+        inputs_embeds=inputs_embeds,
+        positions=positions,
+        kv_valid_len=seq_lens,
+        remat=remat,
+    )
+    return logits
+
+
+# --------------------------------------------------------------------------
+# Losses
+# --------------------------------------------------------------------------
+
+
+def causal_lm_loss(
+    logits: jax.Array,  # (B, T, V) fp32
+    labels: jax.Array,  # (B, T) int32 with -100 = ignored
+) -> jax.Array:
+    """Mean next-token cross-entropy over non-ignored positions (matches the
+    HF CausalLM loss the reference relies on, ultravox_model.py:328)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def prediction_masks(labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(pred_mask, eot_mask): positions predicting a labelled token, and the
+    last such position per row (reference: ultravox_model.py:158-200), as
+    fixed-shape boolean arrays."""
+    label_mask = labels != -100
+    pred_mask = jnp.zeros_like(label_mask).at[:, :-1].set(label_mask[:, 1:])
+    T = labels.shape[1]
+    idx = jnp.arange(T, dtype=jnp.int32)[None]
+    last = jnp.max(jnp.where(pred_mask, idx, -1), axis=1)  # (B,)
+    eot_mask = (idx == last[:, None]) & (last[:, None] >= 0)
+    return pred_mask, eot_mask
+
+
+def _masked_kl(
+    student_logits: jax.Array,  # (B, T, V)
+    teacher_logits: jax.Array,  # (B, T2, V)
+    s_mask: jax.Array,  # (B, T) bool
+    t_mask: jax.Array,  # (B, T2) bool
+    temperature: float,
+) -> jax.Array:
+    """KL(teacher ‖ student) with torch-kl_div 'batchmean' semantics: the sum
+    of per-position KLs divided by the number of masked positions.
+
+    Student and teacher sequences differ in length/alignment (audio tokens vs
+    text tokens); the reference gathers masked rows of each and relies on the
+    two selections having equal counts (ultravox_model.py:229-239). Here both
+    selections are realigned to a common compacted index instead.
+    """
+    B, T, V = student_logits.shape
+    T2 = teacher_logits.shape[1]
+
+    def compact(logits, mask, length):
+        # stable compaction: k-th masked position -> slot k
+        order = jnp.cumsum(mask, axis=1) - 1  # (B, T) slot per position
+        slots = jnp.where(mask, order, length)  # invalid -> dropped
+        out = jnp.zeros((B, length, V), jnp.float32)
+        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], slots.shape)
+        return out.at[bidx, slots].add(logits.astype(jnp.float32), mode="drop")
+
+    max_rows = min(T, T2)
+    s = compact(student_logits, s_mask, max_rows)
+    t = compact(teacher_logits, t_mask, max_rows)
+    n_s = s_mask.sum(axis=1)  # (B,)
+    slot = jnp.arange(max_rows)[None]
+    row_valid = slot < n_s[:, None]  # (B, max_rows)
+
+    s_logp = jax.nn.log_softmax(s / temperature, axis=-1)
+    t_logp = jax.nn.log_softmax(t / temperature, axis=-1)
+    t_p = jnp.exp(t_logp)
+    kl = jnp.sum(t_p * (t_logp - s_logp), axis=-1)  # (B, max_rows)
+    kl = jnp.where(row_valid, kl, 0.0)
+    return kl.sum() / jnp.maximum(row_valid.sum(), 1)
+
+
+def kl_distillation_loss(
+    student_logits: jax.Array,
+    labels: jax.Array,
+    teacher_logits: jax.Array,
+    alt_labels: jax.Array,
+    loss_config: LossConfig,
+) -> jax.Array:
+    """Audio-student vs text-teacher KL loss (ultravox_model.py:202-257):
+    batchmean KL at ``kl_temperature`` over prediction positions, plus
+    ``eot_loss_weight`` × the same KL restricted to the EOT position."""
+    pred_mask, eot_mask = prediction_masks(labels)
+    alt_pred_mask, alt_eot_mask = prediction_masks(alt_labels)
+    loss = _masked_kl(
+        student_logits, teacher_logits, pred_mask, alt_pred_mask,
+        loss_config.kl_temperature,
+    )
+    if loss_config.eot_loss_weight > 0:
+        loss = loss + loss_config.eot_loss_weight * _masked_kl(
+            student_logits, teacher_logits, eot_mask, alt_eot_mask,
+            loss_config.kl_temperature,
+        )
+    return loss
+
+
+def ultravox_loss(
+    params: Params,
+    cfg: UltravoxConfig,
+    batch: Dict[str, jax.Array],
+    loss_config: LossConfig,
+    *,
+    remat: bool = False,
+) -> jax.Array:
+    """Training loss: CE, or KL distillation against the text-only teacher
+    (same LLM weights, alt_* token stream) — reference forward+loss path
+    ultravox_model.py:277-352."""
+    logits = ultravox_forward(params, cfg, batch, remat=remat)
+    if loss_config.loss_function == LossFunction.CROSS_ENTROPY:
+        return causal_lm_loss(logits, batch["labels"])
+
+    # Teacher: text-only forward with the same (frozen-by-stop-gradient) LLM.
+    teacher_params = jax.lax.stop_gradient(params["language_model"])
+    alt_ids = batch["alt_input_ids"]
+    alt_mask = batch["alt_attention_mask"]
+    B, T2 = alt_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(T2, dtype=jnp.int32)[None], (B, T2))
+    teacher_logits, _ = decoder_lib.decoder_forward(
+        teacher_params,
+        cfg.text_config,
+        input_ids=alt_ids,
+        positions=positions,
+        kv_valid_len=alt_mask.sum(axis=-1).astype(jnp.int32),
+        remat=remat,
+    )
+    return kl_distillation_loss(
+        logits,
+        batch["labels"],
+        teacher_logits,
+        batch["alt_labels"],
+        loss_config,
+    )

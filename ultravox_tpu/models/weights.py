@@ -1,0 +1,302 @@
+"""HF checkpoint ↔ JAX parameter-tree conversion.
+
+The parity anchor of the framework: fixie-ai Ultravox checkpoints (and the
+underlying Whisper / Llama / Mistral / Gemma / Qwen checkpoints) load into the
+stacked-layer pytrees used by ``ultravox_tpu.models.*`` with fp32
+bit-comparable outputs.
+
+Works from a flat ``{name: np.ndarray}`` state dict, which can come from
+- safetensors files in a checkpoint directory (``load_safetensors_dir``), or
+- an in-memory torch ``state_dict()`` (tests), via ``from_torch_state_dict``.
+
+Linear weights are transposed from torch's (out, in) to (in, out); per-layer
+tensors are stacked on a leading layer axis for ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ultravox_tpu.models.config import DecoderConfig, UltravoxConfig, WhisperEncoderConfig
+
+FlatDict = Dict[str, np.ndarray]
+Params = Dict[str, Any]
+
+
+def load_safetensors_dir(model_dir: str) -> FlatDict:
+    """Load all ``*.safetensors`` in a checkpoint dir into one flat dict."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        files = sorted(set(index["weight_map"].values()))
+    else:
+        files = sorted(
+            f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+        )
+    out: FlatDict = {}
+    for fname in files:
+        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+            for key in f.keys():
+                out[key] = f.get_tensor(key)
+    return out
+
+
+def from_torch_state_dict(state_dict) -> FlatDict:
+    return {k: v.float().numpy() for k, v in state_dict.items()}
+
+
+def _strip_prefix(sd: FlatDict, prefix: str) -> FlatDict:
+    return {
+        k[len(prefix) :]: v for k, v in sd.items() if k.startswith(prefix)
+    }
+
+
+class _Reader:
+    """Flat-dict reader that tracks which keys were consumed."""
+
+    def __init__(self, sd: FlatDict, dtype):
+        self.sd = sd
+        self.dtype = dtype
+        self.used: set = set()
+
+    def __call__(self, name: str, transpose: bool = False):
+        self.used.add(name)
+        arr = self.sd[name]
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr, dtype=self.dtype)
+
+    def has(self, name: str) -> bool:
+        return name in self.sd
+
+    def stack(self, pattern: str, num_layers: int, transpose: bool = False):
+        arrs = []
+        for i in range(num_layers):
+            name = pattern.format(i=i)
+            self.used.add(name)
+            a = self.sd[name]
+            arrs.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(arrs), dtype=self.dtype)
+
+
+def convert_whisper_encoder(
+    sd: FlatDict, cfg: WhisperEncoderConfig, dtype=jnp.float32
+) -> Params:
+    """HF WhisperEncoder state dict (keys like ``conv1.weight``,
+    ``layers.0.self_attn.q_proj.weight``) -> encoder param tree."""
+    r = _Reader(sd, dtype)
+    L = cfg.num_layers
+
+    def ln(stem):
+        return {
+            "scale": r.stack(stem + ".weight", L),
+            "bias": r.stack(stem + ".bias", L),
+        }
+
+    def lin(stem, bias=True):
+        p = {"kernel": r.stack(stem + ".weight", L, transpose=True)}
+        if bias:
+            p["bias"] = r.stack(stem + ".bias", L)
+        return p
+
+    return {
+        # torch Conv1d weight (out, in, k) -> lax 'HIO' (k, in, out)
+        "conv1": {
+            "kernel": r("conv1.weight").transpose(2, 1, 0),
+            "bias": r("conv1.bias"),
+        },
+        "conv2": {
+            "kernel": r("conv2.weight").transpose(2, 1, 0),
+            "bias": r("conv2.bias"),
+        },
+        "embed_positions": r("embed_positions.weight"),
+        "layers": {
+            "attn_ln": ln("layers.{i}.self_attn_layer_norm"),
+            "q_proj": lin("layers.{i}.self_attn.q_proj"),
+            "k_proj": lin("layers.{i}.self_attn.k_proj", bias=False),
+            "v_proj": lin("layers.{i}.self_attn.v_proj"),
+            "out_proj": lin("layers.{i}.self_attn.out_proj"),
+            "final_ln": ln("layers.{i}.final_layer_norm"),
+            "fc1": lin("layers.{i}.fc1"),
+            "fc2": lin("layers.{i}.fc2"),
+        },
+        "layer_norm": {
+            "scale": r("layer_norm.weight"),
+            "bias": r("layer_norm.bias"),
+        },
+    }
+
+
+def convert_decoder(
+    sd: FlatDict, cfg: DecoderConfig, dtype=jnp.float32
+) -> Params:
+    """HF CausalLM state dict (``model.embed_tokens.weight``,
+    ``model.layers.{i}...``, ``lm_head.weight``) -> decoder param tree."""
+    r = _Reader(sd, dtype)
+    L = cfg.num_layers
+    pre = "model."
+
+    def lin(stem, bias=False):
+        p = {"kernel": r.stack(pre + stem + ".weight", L, transpose=True)}
+        if bias and r.has(pre + stem.format(i=0) + ".bias"):
+            p["bias"] = r.stack(pre + stem + ".bias", L)
+        return p
+
+    layers: Params = {
+        "input_ln": r.stack(pre + "layers.{i}.input_layernorm.weight", L),
+        "q_proj": lin("layers.{i}.self_attn.q_proj", bias=cfg.attention_bias),
+        "k_proj": lin("layers.{i}.self_attn.k_proj", bias=cfg.attention_bias),
+        "v_proj": lin("layers.{i}.self_attn.v_proj", bias=cfg.attention_bias),
+        "o_proj": lin("layers.{i}.self_attn.o_proj"),
+        "post_attn_ln": r.stack(
+            pre + "layers.{i}.post_attention_layernorm.weight", L
+        ),
+        "gate_proj": lin("layers.{i}.mlp.gate_proj"),
+        "up_proj": lin("layers.{i}.mlp.up_proj"),
+        "down_proj": lin("layers.{i}.mlp.down_proj"),
+    }
+    if cfg.qk_norm:
+        layers["q_norm"] = r.stack(pre + "layers.{i}.self_attn.q_norm.weight", L)
+        layers["k_norm"] = r.stack(pre + "layers.{i}.self_attn.k_norm.weight", L)
+    if cfg.use_post_norms:
+        layers["pre_ffn_ln"] = r.stack(
+            pre + "layers.{i}.pre_feedforward_layernorm.weight", L
+        )
+        layers["post_ffn_ln"] = r.stack(
+            pre + "layers.{i}.post_feedforward_layernorm.weight", L
+        )
+
+    params: Params = {
+        "embed_tokens": r(pre + "embed_tokens.weight"),
+        "layers": layers,
+        "norm": r(pre + "norm.weight"),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": r("lm_head.weight", transpose=True)}
+    return params
+
+
+def convert_projector(sd: FlatDict, cfg: UltravoxConfig, dtype=jnp.float32) -> Params:
+    """Fixie checkpoint projector keys (``ln_pre.weight``, ``linear_1.weight``,
+    ``ln_mid.weight`` / ``ln_post.weight``, ``linear_2.weight``)."""
+    r = _Reader(sd, dtype)
+    params: Params = {
+        "ln_pre": r("ln_pre.weight"),
+        "linear_1": {"kernel": r("linear_1.weight", transpose=True)},
+        "linear_2": {"kernel": r("linear_2.weight", transpose=True)},
+    }
+    if "ln_mid.weight" in sd:
+        params["ln_mid"] = r("ln_mid.weight")
+    if "ln_post.weight" in sd:
+        params["ln_post"] = r("ln_post.weight")
+    return params
+
+
+def convert_ultravox(
+    sd: FlatDict,
+    cfg: UltravoxConfig,
+    dtype=jnp.float32,
+    *,
+    base: Optional[Params] = None,
+) -> Params:
+    """Convert a fixie-ai Ultravox state dict (possibly a *diff* checkpoint
+    holding only trainable params — reference diff_state_dict,
+    ultravox_model.py:565-584) into the composite param tree.
+
+    ``base`` provides pre-loaded sub-model params (e.g. the frozen LLM and
+    encoder loaded from their own checkpoints); keys present in ``sd``
+    override it.
+    """
+    params: Params = dict(base or {})
+    proj_sd = _strip_prefix(sd, "multi_modal_projector.")
+    if proj_sd:
+        params["projector"] = convert_projector(proj_sd, cfg, dtype)
+    audio_sd = _strip_prefix(sd, "audio_tower.")
+    if audio_sd and _covers_encoder(audio_sd, cfg.audio_config):
+        params["audio_tower"] = convert_whisper_encoder(
+            audio_sd, cfg.audio_config, dtype
+        )
+    lm_sd = _strip_prefix(sd, "language_model.")
+    if lm_sd and _covers_decoder(lm_sd, cfg.text_config):
+        params["language_model"] = convert_decoder(lm_sd, cfg.text_config, dtype)
+    return params
+
+
+def _covers_encoder(sd: FlatDict, cfg: WhisperEncoderConfig) -> bool:
+    return all(
+        f"layers.{i}.self_attn.q_proj.weight" in sd for i in range(cfg.num_layers)
+    )
+
+
+def _covers_decoder(sd: FlatDict, cfg: DecoderConfig) -> bool:
+    return all(
+        f"model.layers.{i}.self_attn.q_proj.weight" in sd
+        for i in range(cfg.num_layers)
+    )
+
+
+# --------------------------------------------------------------------------
+# Reverse conversion (for publishing checkpoints loadable by the reference)
+# --------------------------------------------------------------------------
+
+
+def decoder_to_hf(params: Params, cfg: DecoderConfig) -> FlatDict:
+    out: FlatDict = {}
+    ly = params["layers"]
+
+    def unstack(name_pattern, arr, transpose=False):
+        a = np.asarray(arr, dtype=np.float32)
+        for i in range(cfg.num_layers):
+            out[name_pattern.format(i=i)] = a[i].T if transpose else a[i]
+
+    out["model.embed_tokens.weight"] = np.asarray(params["embed_tokens"], np.float32)
+    out["model.norm.weight"] = np.asarray(params["norm"], np.float32)
+    if "lm_head" in params:
+        out["lm_head.weight"] = np.asarray(
+            params["lm_head"]["kernel"], np.float32
+        ).T
+    unstack("model.layers.{i}.input_layernorm.weight", ly["input_ln"])
+    unstack("model.layers.{i}.post_attention_layernorm.weight", ly["post_attn_ln"])
+    for hf, mine in [
+        ("self_attn.q_proj", "q_proj"),
+        ("self_attn.k_proj", "k_proj"),
+        ("self_attn.v_proj", "v_proj"),
+        ("self_attn.o_proj", "o_proj"),
+        ("mlp.gate_proj", "gate_proj"),
+        ("mlp.up_proj", "up_proj"),
+        ("mlp.down_proj", "down_proj"),
+    ]:
+        unstack(
+            "model.layers.{i}." + hf + ".weight", ly[mine]["kernel"], transpose=True
+        )
+        if "bias" in ly[mine]:
+            unstack("model.layers.{i}." + hf + ".bias", ly[mine]["bias"])
+    if "q_norm" in ly:
+        unstack("model.layers.{i}.self_attn.q_norm.weight", ly["q_norm"])
+        unstack("model.layers.{i}.self_attn.k_norm.weight", ly["k_norm"])
+    if "pre_ffn_ln" in ly:
+        unstack("model.layers.{i}.pre_feedforward_layernorm.weight", ly["pre_ffn_ln"])
+        unstack("model.layers.{i}.post_feedforward_layernorm.weight", ly["post_ffn_ln"])
+    return out
+
+
+def projector_to_hf(params: Params) -> FlatDict:
+    out: FlatDict = {
+        "ln_pre.weight": np.asarray(params["ln_pre"], np.float32),
+        "linear_1.weight": np.asarray(params["linear_1"]["kernel"], np.float32).T,
+        "linear_2.weight": np.asarray(params["linear_2"]["kernel"], np.float32).T,
+    }
+    if "ln_mid" in params:
+        out["ln_mid.weight"] = np.asarray(params["ln_mid"], np.float32)
+    if "ln_post" in params:
+        out["ln_post.weight"] = np.asarray(params["ln_post"], np.float32)
+    return out

@@ -1,0 +1,156 @@
+"""Whisper-style audio encoder, TPU-native.
+
+Functional re-design of the reference's ``ModifiedWhisperEncoder``
+(ultravox_model.py:803-994): pure function over a parameter pytree, per-layer
+weights stacked on a leading axis and iterated with ``lax.scan`` (fast
+compiles, natural remat), attention masking expressed as additive biases with
+static shapes.
+
+Reference behaviours carried over:
+- accepts < 30 s inputs: position embeddings sliced to the input length
+  (ultravox_model.py:897);
+- per-sample length masking from mel-frame lengths (ultravox_model.py:915-926);
+- optional block-causal streaming latency mask (ultravox_model.py:834-863);
+- LayerDrop is intentionally omitted: the reference force-disables it under
+  DDP because stochastic depth desyncs ranks (config_base.py:275-284) and all
+  released recipes train with the encoder frozen.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultravox_tpu.models.config import WhisperEncoderConfig
+from ultravox_tpu.ops.attention import block_causal_bias, length_mask_bias, mha
+from ultravox_tpu.ops.norms import layer_norm
+
+Params = Dict[str, Any]
+
+
+def feat_extract_output_length(mel_len: jax.Array | int):
+    """Mel frames -> encoder positions (conv2 stride 2): (n - 1) // 2 + 1."""
+    return (mel_len - 1) // 2 + 1
+
+
+def init_params(
+    cfg: WhisperEncoderConfig, rng: jax.Array, dtype=jnp.float32
+) -> Params:
+    """Random init (for tests / training from scratch). Real use loads
+    converted HF weights via ``ultravox_tpu.models.weights``."""
+    k = iter(jax.random.split(rng, 16))
+    d, f, L = cfg.d_model, cfg.ffn_dim, cfg.num_layers
+    dn = lambda *s: jax.random.normal(next(k), s, dtype) * 0.02
+
+    def ln():
+        return {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)}
+
+    return {
+        "conv1": {"kernel": dn(3, cfg.num_mel_bins, d), "bias": jnp.zeros(d, dtype)},
+        "conv2": {"kernel": dn(3, d, d), "bias": jnp.zeros(d, dtype)},
+        "embed_positions": dn(cfg.max_source_positions, d),
+        "layers": {
+            "attn_ln": ln(),
+            "q_proj": {"kernel": dn(L, d, d), "bias": jnp.zeros((L, d), dtype)},
+            "k_proj": {"kernel": dn(L, d, d)},
+            "v_proj": {"kernel": dn(L, d, d), "bias": jnp.zeros((L, d), dtype)},
+            "out_proj": {"kernel": dn(L, d, d), "bias": jnp.zeros((L, d), dtype)},
+            "final_ln": ln(),
+            "fc1": {"kernel": dn(L, d, f), "bias": jnp.zeros((L, f), dtype)},
+            "fc2": {"kernel": dn(L, f, d), "bias": jnp.zeros((L, d), dtype)},
+        },
+        "layer_norm": {"scale": jnp.ones(d, dtype), "bias": jnp.zeros(d, dtype)},
+    }
+
+
+def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
+    """x: (B, C_in, T); kernel: (K, C_in, C_out); SAME-1 padding like torch
+    Conv1d(padding=1)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NCH", "HIO", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + bias[None, :, None]).astype(x.dtype)
+
+
+def _encoder_layer(cfg: WhisperEncoderConfig, x, bias, p):
+    """One pre-norm transformer encoder layer. x: (B, T, D)."""
+    B, T, D = x.shape
+    h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
+    q = h @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
+    k = h @ p["k_proj"]["kernel"]
+    v = h @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+    shape = (B, T, cfg.num_heads, cfg.head_dim)
+    attn = mha(
+        q.reshape(shape),
+        k.reshape(shape),
+        v.reshape(shape),
+        bias=bias,
+        scale=cfg.head_dim**-0.5,
+    ).reshape(B, T, D)
+    x = x + attn @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+
+    h = layer_norm(x, p["final_ln"]["scale"], p["final_ln"]["bias"])
+    h = jax.nn.gelu(h @ p["fc1"]["kernel"] + p["fc1"]["bias"], approximate=False)
+    x = x + h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+    return x
+
+
+def encoder_forward(
+    params: Params,
+    cfg: WhisperEncoderConfig,
+    mel: jax.Array,  # (B, n_mels, T_mel) float
+    mel_lens: Optional[jax.Array] = None,  # (B,) int32 valid mel frames
+    *,
+    latency_block_size: Optional[int] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Encode mel features -> (B, T_out, d_model) hidden states.
+
+    T_out = feat_extract_output_length-style downsampling of T_mel by the two
+    convs. Padding positions produce garbage and must be excluded downstream
+    via ``mel_lens``-derived token counts (the projector/splice does this).
+    """
+    if mel.shape[-1] > cfg.max_context_length:
+        raise ValueError(
+            f"mel length {mel.shape[-1]} exceeds encoder context "
+            f"{cfg.max_context_length}; chunk the audio first."
+        )
+    x = jax.nn.gelu(
+        _conv1d(mel, params["conv1"]["kernel"], params["conv1"]["bias"], cfg.conv1_stride),
+        approximate=False,
+    )
+    x = jax.nn.gelu(
+        _conv1d(x, params["conv2"]["kernel"], params["conv2"]["bias"], cfg.conv2_stride),
+        approximate=False,
+    )
+    x = jnp.transpose(x, (0, 2, 1))  # (B, T, D)
+    T = x.shape[1]
+    x = x + params["embed_positions"][:T][None].astype(x.dtype)
+
+    bias = None
+    if mel_lens is not None:
+        feat_lens = feat_extract_output_length(mel_lens)
+        bias = length_mask_bias(feat_lens, T)
+    if latency_block_size:
+        # The reference builds a (3000, 3000) block mask and slices the first
+        # (T, T) rows/cols (ultravox_model.py:928-936), so in encoder-position
+        # space the block boundaries fall every `latency_block_size` positions.
+        lat = block_causal_bias(T, latency_block_size)
+        bias = lat if bias is None else jnp.minimum(bias, lat)
+
+    layer_fn = lambda h, p: (_encoder_layer(cfg, h, bias, p), None)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    return layer_norm(
+        x, params["layer_norm"]["scale"], params["layer_norm"]["bias"]
+    )
