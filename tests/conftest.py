@@ -14,6 +14,10 @@ os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
 import jax  # noqa: E402  (after env setup)
 
+# The environment's sitecustomize registers the axon TPU PJRT plugin and
+# forces the platform; the env var alone doesn't stick — override via config.
+jax.config.update("jax_platforms", "cpu")
+
 # fp32 parity tests need true-fp32 matmuls/convs; JAX's default precision
 # lowers them to bf16-class accumulation even on CPU.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -23,11 +23,12 @@ CHAT_TEMPLATE = (
 
 @functools.lru_cache(maxsize=1)
 def make_tiny_tokenizer(vocab_size: int = 384):
-    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
     from transformers import PreTrainedTokenizerFast
 
     tok = Tokenizer(models.BPE(unk_token=None))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
     trainer = trainers.BpeTrainer(
         vocab_size=vocab_size,
         special_tokens=["<|eot_id|>", "<|begin_of_text|>", "<|start|>"],

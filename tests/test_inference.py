@@ -1,0 +1,187 @@
+"""Generation-engine and LocalInference tests: greedy parity vs HF generate,
+batch-padding invariance, streaming, conversation mode."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_tokenizer
+from ultravox_tpu.data.sample import VoiceSample
+from ultravox_tpu.inference.base import InferenceChunk, InferenceStats
+from ultravox_tpu.inference.engine import GenerationEngine
+from ultravox_tpu.inference.infer import LocalInference
+from ultravox_tpu.models import DecoderConfig, UltravoxConfig, WhisperEncoderConfig
+from ultravox_tpu.models import ultravox as uv
+from ultravox_tpu.models import weights as weights_lib
+from ultravox_tpu.models.processor import UltravoxProcessor
+
+V = 384
+
+
+@pytest.fixture(scope="module")
+def tiny_llm():
+    import transformers
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig.from_hf_dict(hf_cfg.to_dict())
+    params = weights_lib.convert_decoder(
+        weights_lib.from_torch_state_dict(model.state_dict()), cfg
+    )
+    return model, cfg, params
+
+
+@pytest.fixture(scope="module")
+def uv_setup(tiny_llm):
+    _, dec_cfg, dec_params = tiny_llm
+    import jax
+
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=32, num_layers=1, num_heads=2, ffn_dim=64,
+            max_source_positions=1500,
+        ),
+        text_config=dec_cfg,
+        hidden_size=64,
+    )
+    rest = uv.init_params(cfg, jax.random.key(1))
+    params = {
+        "language_model": dec_params,
+        "audio_tower": rest["audio_tower"],
+        "projector": rest["projector"],
+    }
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(tokenizer)
+    return cfg, params, processor
+
+
+def _engine(cfg, params, stop_ids=(), **kw):
+    return GenerationEngine(
+        {"language_model": params} if "language_model" not in params else params,
+        cfg,
+        max_cache_len=128,
+        cache_dtype=jnp.float32,
+        stop_token_ids=stop_ids,
+        **kw,
+    )
+
+
+def test_greedy_matches_hf_generate(tiny_llm):
+    model, dec_cfg, params = tiny_llm
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, V, size=(1, 9)).astype(np.int32)
+
+    with torch.no_grad():
+        ref = model.generate(
+            torch.from_numpy(prompt).long(),
+            max_new_tokens=12,
+            do_sample=False,
+            pad_token_id=0,
+        )[0, 9:].tolist()
+
+    engine = _engine(cfg, {"language_model": params})
+    batch = {
+        "input_ids": prompt,
+        "attention_mask": np.ones_like(prompt),
+    }
+    out = engine.generate(batch, max_new_tokens=12)
+    assert out.token_ids[0] == ref
+
+
+def test_batch_padding_invariance(tiny_llm):
+    """Generation for a sequence must not depend on its batch neighbours or
+    on bucket padding."""
+    model, dec_cfg, params = tiny_llm
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    engine = _engine(cfg, {"language_model": params})
+    rng = np.random.default_rng(1)
+    p1 = rng.integers(1, V, size=7).astype(np.int32)
+    p2 = rng.integers(1, V, size=13).astype(np.int32)
+
+    def gen(prompts):
+        max_len = max(len(p) for p in prompts)
+        ids = np.zeros((len(prompts), max_len), np.int32)
+        mask = np.zeros_like(ids)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            mask[i, : len(p)] = 1
+        return engine.generate(
+            {"input_ids": ids, "attention_mask": mask}, max_new_tokens=8
+        ).token_ids
+
+    solo1 = gen([p1])[0]
+    solo2 = gen([p2])[0]
+    both = gen([p1, p2])
+    assert both[0] == solo1
+    assert both[1] == solo2
+
+
+def test_stop_token_terminates(tiny_llm):
+    model, dec_cfg, params = tiny_llm
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(1, V, size=(1, 5)).astype(np.int32)
+    base = _engine(cfg, {"language_model": params})
+    free = base.generate(
+        {"input_ids": prompt, "attention_mask": np.ones_like(prompt)},
+        max_new_tokens=10,
+    ).token_ids[0]
+    assert len(free) == 10
+    stop = free[3]
+    engine = _engine(cfg, {"language_model": params}, stop_ids=(stop,))
+    out = engine.generate(
+        {"input_ids": prompt, "attention_mask": np.ones_like(prompt)},
+        max_new_tokens=10,
+    ).token_ids[0]
+    assert out == free[:3]
+
+
+def test_local_inference_with_audio(uv_setup):
+    cfg, params, processor = uv_setup
+    inference = LocalInference(
+        params, cfg, processor, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    rng = np.random.default_rng(3)
+    sample = VoiceSample.from_prompt_and_audio(
+        "transcribe <|audio|>", (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    )
+    out = inference.infer(sample, max_tokens=6)
+    assert out.input_tokens > 4  # prompt + audio tokens
+    assert 0 < out.output_tokens <= 6
+    assert isinstance(out.text, str)
+
+
+def test_infer_stream_yields_chunks_then_stats(uv_setup):
+    cfg, params, processor = uv_setup
+    inference = LocalInference(
+        params, cfg, processor, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    sample = VoiceSample.from_prompt("hello world")
+    messages = list(inference.infer_stream(sample, max_tokens=6))
+    assert isinstance(messages[-1], InferenceStats)
+    chunks = [m for m in messages[:-1] if isinstance(m, InferenceChunk)]
+    streamed = "".join(c.text for c in chunks)
+    ref = inference.infer(sample, max_tokens=6)
+    assert streamed.strip() == ref.text.strip()
+    assert messages[-1].ttft_s is not None
+
+
+def test_conversation_mode_accumulates(uv_setup):
+    cfg, params, processor = uv_setup
+    inference = LocalInference(
+        params, cfg, processor, max_cache_len=256,
+        conversation_mode=True, cache_dtype=jnp.float32,
+    )
+    out1 = inference.infer(VoiceSample.from_prompt("hello"), max_tokens=4)
+    assert len(inference.past_messages) == 2
+    assert inference.past_messages[-1]["content"] == out1.text
+    inference.infer(VoiceSample.from_prompt("again"), max_tokens=4)
+    assert len(inference.past_messages) == 4

@@ -1,0 +1,114 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh: sharded forward
+and train step must compile, execute, and agree with the single-device path
+(replaces the reference's untestable-distributed-path gap, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.helpers import make_tiny_tokenizer
+from ultravox_tpu.models import DecoderConfig, LossConfig, UltravoxConfig, WhisperEncoderConfig
+from ultravox_tpu.models import ultravox as uv
+from ultravox_tpu.models.processor import DataCollatorWithAudio, UltravoxProcessor
+from ultravox_tpu.parallel import MeshConfig, make_mesh, param_pspecs, shard_params
+from ultravox_tpu.parallel.sharding import shard_batch
+from ultravox_tpu.training import train_step as ts
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=64, num_layers=2, num_heads=4, ffn_dim=128
+        ),
+        text_config=DecoderConfig(
+            vocab_size=384, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        ),
+        hidden_size=64,
+    )
+    params = uv.init_params(cfg, jax.random.key(0))
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(tokenizer)
+    coll = DataCollatorWithAudio(pad_token_id=tokenizer.pad_token_id)
+    rng = np.random.default_rng(0)
+    feats = []
+    for i in range(8):
+        f = processor(
+            text=f"sample {i} <|audio|> text",
+            audio=(rng.standard_normal(4000 + 800 * i) * 0.1).astype(np.float32),
+        )
+        labels = np.asarray(f["input_ids"][0]).copy()
+        labels[: len(labels) // 2] = -100
+        f["labels"] = labels
+        feats.append(f)
+    batch = coll(feats)
+    return cfg, params, batch
+
+
+def test_mesh_resolution():
+    mc = MeshConfig(data=2, fsdp=-1, tensor=2)
+    assert mc.resolve(8) == (2, 2, 2)
+    mesh = make_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    assert dict(mesh.shape) == {"data": 1, "fsdp": 4, "tensor": 2}
+
+
+def test_param_specs_cover_tree(setup):
+    cfg, params, _ = setup
+    mesh = make_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    specs = param_pspecs(params, mesh=mesh)
+    flat = jax.tree_util.tree_leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert len(flat) == len(jax.tree_util.tree_leaves(params))
+    # the big matmuls must actually be sharded
+    assert specs["language_model"]["layers"]["q_proj"]["kernel"] != P()
+    assert specs["language_model"]["embed_tokens"] != P()
+
+
+def test_sharded_forward_matches_single_device(setup):
+    cfg, params, batch = setup
+    ref = np.asarray(
+        uv.ultravox_forward(params, cfg, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+    for mc in [MeshConfig(1, 4, 2), MeshConfig(2, 2, 2), MeshConfig(8, 1, 1)]:
+        mesh = make_mesh(mc)
+        sharded = shard_params(params, mesh)
+        jbatch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        fwd = jax.jit(lambda p, b: uv.ultravox_forward(p, cfg, b))
+        out = np.asarray(fwd(sharded, jbatch))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_sharded_train_step(setup):
+    """One full training step over a 2×2×2 mesh (dp×fsdp×tp): compiles,
+    executes, loss finite and equal to the unsharded step's loss."""
+    cfg, params, batch = setup
+    loss_cfg = LossConfig()
+    opt = ts.make_optimizer(1e-3, warmup_steps=0, total_steps=10, schedule="constant")
+    step_fn = None
+
+    # unsharded reference
+    state, template = ts.init_train_state(params, opt)
+    ref_step = jax.jit(ts.make_train_step(cfg, loss_cfg, opt, template, remat=True))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, ref_metrics = ref_step(state, jbatch)
+
+    mesh = make_mesh(MeshConfig(2, 2, 2))
+    sharded_params = shard_params(params, mesh)
+    state_s, template_s = ts.init_train_state(sharded_params, opt)
+    step_s = jax.jit(ts.make_train_step(cfg, loss_cfg, opt, template_s, remat=True))
+    sbatch = shard_batch(jbatch, mesh)
+    new_state, metrics = step_s(state_s, sbatch)
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), float(ref_metrics["grad_norm"]), rtol=1e-3
+    )

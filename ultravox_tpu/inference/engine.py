@@ -1,0 +1,201 @@
+"""Jitted generation engine: bucketed prefill + single-token decode steps.
+
+The TPU-native replacement for HF ``generate`` (reference: inference/infer.py
+:309-342). Everything device-side is a compiled function with static shapes:
+
+- ``prefill``: embeds the (right-padded) prompt — including the audio tower,
+  projector, and embed-splice — writes k/v into a fresh static-size cache,
+  and returns the last valid position's logits.
+- ``decode_step``: one token for the whole batch, writing the cache at
+  per-sequence offsets (donated, so XLA updates it in place).
+
+Shape discipline: batch sizes and prompt lengths are bucketed (powers of two /
+pad multiples) so the jit cache stays small; the KV cache length is fixed at
+construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultravox_tpu.models import decoder as decoder_lib
+from ultravox_tpu.models import ultravox as uv
+from ultravox_tpu.models.config import UltravoxConfig
+from ultravox_tpu.ops.sampling import sample_token
+
+
+def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: List[List[int]]  # generated ids per sequence (no prompt)
+    prompt_lens: List[int]
+
+
+class GenerationEngine:
+    """Owns the compiled prefill/decode functions and a KV cache budget."""
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: UltravoxConfig,
+        *,
+        max_cache_len: int = 2048,
+        batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
+        chunk_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128),
+        cache_dtype=jnp.bfloat16,
+        stop_token_ids: Tuple[int, ...] = (),
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.max_cache_len = max_cache_len
+        self.batch_buckets = batch_buckets
+        self.chunk_buckets = chunk_buckets
+        self.cache_dtype = cache_dtype
+        self.stop_token_ids = tuple(stop_token_ids)
+
+        self._prefill = jax.jit(functools.partial(_prefill_impl, cfg=cfg))
+        self._decode = jax.jit(
+            functools.partial(_decode_impl, cfg=cfg), donate_argnames=("cache",)
+        )
+        self._sample = jax.jit(
+            sample_token, static_argnames=("temperature", "top_k", "top_p")
+        )
+
+    # -- batch preparation ------------------------------------------------
+
+    def pad_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Pad batch rows and audio chunk counts up to bucket sizes."""
+        batch = dict(batch)
+        B = batch["input_ids"].shape[0]
+        Bp = _bucket(B, self.batch_buckets)
+        if Bp != B:
+            for key in ("input_ids", "attention_mask", "labels"):
+                if key in batch:
+                    pad = np.zeros((Bp - B,) + batch[key].shape[1:], batch[key].dtype)
+                    batch[key] = np.concatenate([batch[key], pad])
+        if "audio_values" in batch:
+            N = batch["audio_values"].shape[0]
+            Np = _bucket(N, self.chunk_buckets)
+            if Np != N:
+                pad_v = np.zeros(
+                    (Np - N,) + batch["audio_values"].shape[1:],
+                    batch["audio_values"].dtype,
+                )
+                batch["audio_values"] = np.concatenate([batch["audio_values"], pad_v])
+                for key, fill in (
+                    ("audio_lens", 1),
+                    ("audio_token_len", 0),  # 0 tokens => scatter drops them
+                    ("audio_token_start_idx", 0),
+                    ("audio_chunk_batch_idx", 0),
+                ):
+                    pad = np.full((Np - N,), fill, batch[key].dtype)
+                    batch[key] = np.concatenate([batch[key], pad])
+        return batch
+
+    # -- generation -------------------------------------------------------
+
+    def generate(
+        self,
+        batch: Dict[str, np.ndarray],
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        rng: Optional[jax.Array] = None,
+        token_callback=None,
+    ) -> GenerationResult:
+        """Autoregressive generation for a collated batch. ``token_callback``
+        (if set) receives (step, np token ids (B,), done mask) per step —
+        the streaming hook."""
+        true_B = batch["input_ids"].shape[0]
+        prompt_lens = [int(x) for x in batch["attention_mask"].sum(-1)][:true_B]
+        batch = self.pad_batch(batch)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        B = batch["input_ids"].shape[0]
+
+        cache = decoder_lib.KVCache.zeros(
+            self.cfg.text_config, B, self.max_cache_len, self.cache_dtype
+        )
+        logits, cache, seq_lens = self._prefill(self.params, jbatch, cache)
+        if rng is None:
+            rng = jax.random.key(0)
+
+        done = np.zeros(B, dtype=bool)
+        done[true_B:] = True
+        out_ids: List[List[int]] = [[] for _ in range(B)]
+        cache_len = seq_lens
+        for step in range(max_new_tokens):
+            rng, step_rng = jax.random.split(rng)
+            next_tok = self._sample(
+                logits, step_rng, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+            tok_np = np.asarray(next_tok)
+            for b in range(true_B):
+                if not done[b]:
+                    if int(tok_np[b]) in self.stop_token_ids:
+                        done[b] = True
+                    else:
+                        out_ids[b].append(int(tok_np[b]))
+            if token_callback is not None:
+                token_callback(step, tok_np, done.copy())
+            if done.all() or step == max_new_tokens - 1:
+                break
+            logits, cache, cache_len = self._decode(
+                self.params, cache, next_tok, cache_len
+            )
+        return GenerationResult(token_ids=out_ids[:true_B], prompt_lens=prompt_lens)
+
+
+def _prefill_impl(params, batch, cache, *, cfg: UltravoxConfig):
+    input_ids = batch["input_ids"]
+    mask = batch["attention_mask"]
+    B, T = input_ids.shape
+    inputs_embeds = uv.ultravox_embed(params, cfg, input_ids, batch)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    seq_lens = mask.sum(axis=-1).astype(jnp.int32)
+    logits, cache = decoder_lib.decoder_forward(
+        params["language_model"],
+        cfg.text_config,
+        inputs_embeds=inputs_embeds,
+        positions=positions,
+        kv_valid_len=seq_lens,
+        cache=cache,
+        write_pos=jnp.zeros((B,), jnp.int32),
+    )
+    last = jnp.take_along_axis(
+        logits, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    return last, cache, seq_lens
+
+
+def _decode_impl(params, cache, tokens, cache_pos, *, cfg: UltravoxConfig):
+    """One decode step. ``tokens`` (B,) are the tokens just sampled; they get
+    embedded, written at ``cache_pos``, and the next logits returned."""
+    B = tokens.shape[0]
+    embeds = jnp.take(params["language_model"]["embed_tokens"], tokens, axis=0)[
+        :, None
+    ]
+    positions = cache_pos[:, None]
+    logits, cache = decoder_lib.decoder_forward(
+        params["language_model"],
+        cfg.text_config,
+        inputs_embeds=embeds,
+        positions=positions,
+        kv_valid_len=cache_pos + 1,
+        cache=cache,
+        write_pos=cache_pos,
+    )
+    return logits[:, 0], cache, cache_pos + 1

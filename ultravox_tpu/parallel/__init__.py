@@ -1,0 +1,9 @@
+"""Device mesh, sharding rules, and multi-host collectives."""
+
+from ultravox_tpu.parallel.mesh import MeshConfig, make_mesh  # noqa: F401
+from ultravox_tpu.parallel.sharding import (  # noqa: F401
+    DEFAULT_RULES,
+    batch_sharding,
+    param_pspecs,
+    shard_params,
+)
