@@ -45,10 +45,12 @@ class MeshConfig:
                     f"{n_devices} devices not divisible by fixed axes {known}"
                 )
             dims[dims.index(-1)] = n_devices // known
-        if int(np.prod(dims)) != n_devices:
+        if int(np.prod(dims)) > n_devices:
             raise ValueError(
-                f"mesh {dims} does not cover {n_devices} devices"
+                f"mesh {dims} needs more than the {n_devices} available devices"
             )
+        # a fully-specified mesh smaller than the device count uses the first
+        # prod(dims) devices (useful for tests / partial-slice runs)
         return tuple(dims)
 
 
@@ -59,8 +61,9 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()
     shape = config.resolve(len(devices))
-    logging.info("mesh %s over %d devices", dict(zip(AXES, shape)), len(devices))
-    arr = np.asarray(devices).reshape(shape)
+    n_used = int(np.prod(shape))
+    logging.info("mesh %s over %d devices", dict(zip(AXES, shape)), n_used)
+    arr = np.asarray(devices[:n_used]).reshape(shape)
     return jax.sharding.Mesh(arr, AXES)
 
 

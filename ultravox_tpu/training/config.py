@@ -1,0 +1,183 @@
+"""Training configuration: YAML composition + CLI overrides.
+
+Re-design of the reference's simple_parsing setup (training/config_base.py):
+``meta_config.yaml`` is always loaded as the base, ``--config_path <file>``
+overlays it, and any remaining ``--key value`` CLI args override individual
+fields (values YAML-parsed, hyphens normalised to underscores).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from ultravox_tpu.models.config import LossConfig, LossFunction, LossMaskType
+
+logger = logging.getLogger(__name__)
+
+CONFIGS_DIR = os.path.join(os.path.dirname(__file__), "configs")
+META_CONFIG = os.path.join(CONFIGS_DIR, "meta_config.yaml")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # -- experiment ------------------------------------------------------
+    exp_name: str = "ultravox-tpu"
+    output_dir: Optional[str] = None
+    seed: int = 42
+    verbose: bool = False
+
+    # -- models ----------------------------------------------------------
+    text_model: str = ""  # local dir (or hub id when egress exists)
+    audio_model: str = ""
+    tokenizer_path: Optional[str] = None  # defaults to text_model
+    # inline configs for offline/test runs (dicts in HF config.json schema)
+    text_model_config: Optional[Dict[str, Any]] = None
+    audio_model_config: Optional[Dict[str, Any]] = None
+    llm_only_training: bool = False
+
+    # projector hparams (reference: ultravox_config.py)
+    projector_hidden_size: int = 4096
+    stack_factor: int = 8
+    norm_init: float = 0.4
+    projector_act: str = "swiglu"
+    projector_ln_mid: bool = True
+    audio_latency_block_size: Optional[int] = None
+
+    # -- checkpoint load / resume -----------------------------------------
+    model_load_dir: Optional[str] = None
+    resume_from_load_dir: bool = False
+
+    # -- loss --------------------------------------------------------------
+    loss_function: str = "kl"  # "ce" | "kl"
+    kl_temperature: float = 2.0
+    eot_loss_weight: float = 1.0
+    loss_mask_type: str = "last_assistant"
+
+    # -- trainability -------------------------------------------------------
+    trainable_params: List[str] = dataclasses.field(
+        default_factory=lambda: [r".*projector/.*"]
+    )
+
+    # -- data ----------------------------------------------------------------
+    data_sets: List[str] = dataclasses.field(default_factory=list)
+    data_weights: Optional[List[float]] = None
+    val_sets: List[str] = dataclasses.field(default_factory=list)
+    num_samples: Optional[int] = None
+    batch_size: int = 4  # global batch size
+    max_audio_duration_secs: float = 16.0
+    max_input_characters: int = 2200
+    max_response_tokens: Optional[int] = 50
+    shuffle_data: bool = True
+    shuffle_buffer_size: int = 1000
+    augmentations: List[Any] = dataclasses.field(default_factory=list)
+
+    # -- optimizer / schedule ----------------------------------------------
+    lr: float = 2e-3
+    lr_scheduler: str = "cosine_with_min_lr"
+    lr_warmup_steps: int = 1000
+    min_lr_rate: float = 0.1
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    optimizer_betas: List[float] = dataclasses.field(
+        default_factory=lambda: [0.9, 0.999]
+    )
+    max_steps: int = 10_000
+    grad_accum_steps: int = 1
+
+    # -- cadence -----------------------------------------------------------
+    val_steps: Optional[int] = None
+    save_steps: Optional[int] = 1000
+    logging_steps: int = 10
+
+    # -- numerics / parallelism ---------------------------------------------
+    param_dtype: str = "bfloat16"
+    remat: bool = True
+    mesh_data: int = 1
+    mesh_fsdp: int = -1
+    mesh_tensor: int = 1
+
+    # -- logging sinks --------------------------------------------------------
+    report_logs_to: List[str] = dataclasses.field(
+        default_factory=lambda: ["tensorboard"]
+    )
+
+    # -- collation / bucketing ------------------------------------------------
+    text_pad_multiple: int = 64
+    mel_pad_multiple: int = 400
+
+    def __post_init__(self):
+        if self.output_dir is None:
+            self.output_dir = os.path.join("runs", self.exp_name)
+        if self.data_weights is not None and len(self.data_weights) != len(
+            self.data_sets
+        ):
+            raise ValueError("data_weights must match data_sets length")
+        if self.loss_function not in ("ce", "kl"):
+            raise ValueError(f"unknown loss_function {self.loss_function}")
+
+    @property
+    def loss_config(self) -> LossConfig:
+        return LossConfig(
+            loss_function=LossFunction(self.loss_function),
+            kl_temperature=self.kl_temperature,
+            eot_loss_weight=self.eot_loss_weight,
+        )
+
+    @property
+    def loss_mask(self) -> LossMaskType:
+        return LossMaskType(self.loss_mask_type)
+
+
+def _coerce(value: str) -> Any:
+    try:
+        return yaml.safe_load(value)
+    except yaml.YAMLError:
+        return value
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def get_train_config(argv: Optional[List[str]] = None) -> TrainConfig:
+    """meta_config.yaml + ``--config_path`` overlay(s) + ``--key value``
+    overrides (reference: config_base.py:326-343)."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    merged: Dict[str, Any] = {}
+    if os.path.exists(META_CONFIG):
+        merged.update(load_yaml(META_CONFIG))
+
+    i = 0
+    overrides: Dict[str, Any] = {}
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise ValueError(f"unexpected argument {arg!r}")
+        key = arg[2:].replace("-", "_")
+        if "=" in key:
+            key, _, value = key.partition("=")
+            i += 1
+        else:
+            if i + 1 >= len(argv):
+                raise ValueError(f"missing value for {arg!r}")
+            value = argv[i + 1]
+            i += 2
+        if key == "config_path":
+            merged.update(load_yaml(value))
+        else:
+            overrides[key] = _coerce(value)
+    merged.update(overrides)
+
+    valid = {f.name for f in dataclasses.fields(TrainConfig)}
+    unknown = set(merged) - valid
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return TrainConfig(**merged)

@@ -1,0 +1,303 @@
+"""Training CLI: ``python -m ultravox_tpu.training.train --config_path <yaml>``.
+
+Re-design of the reference's ``training/train.py``: instead of torchrun + HF
+Trainer + accelerate, a single pjit-compiled train step over a
+(data, fsdp, tensor) mesh, host-side data loading with a background prefetch
+thread, orbax diff-checkpoints, and TensorBoard/JSONL logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ultravox_tpu.data import registry
+from ultravox_tpu.data import types as data_types
+from ultravox_tpu.data.aug import AugmentationArgs, create_augmentation
+from ultravox_tpu.data.datasets import InterleaveDataset, Range
+from ultravox_tpu.parallel import MeshConfig, make_mesh, shard_params
+from ultravox_tpu.parallel.sharding import shard_batch
+from ultravox_tpu.training import checkpoint as ckpt_lib
+from ultravox_tpu.training import train_step as ts
+from ultravox_tpu.training.config import TrainConfig, get_train_config
+from ultravox_tpu.training.model_factory import create_model_pack
+
+logger = logging.getLogger(__name__)
+
+
+def batch_iterator(
+    dataset, collator, batch_size: int, infinite: bool = True
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Group dataset features into collated batches, cycling if needed."""
+    while True:
+        buf: List[Dict[str, Any]] = []
+        n = 0
+        for features in dataset:
+            buf.append(features)
+            if len(buf) == batch_size:
+                yield collator(buf)
+                buf = []
+            n += 1
+        if buf:
+            yield collator(buf)
+        if not infinite or n == 0:
+            return
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (replaces torch DataLoader workers)."""
+
+    def __init__(self, iterator: Iterator, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._iterator = iterator
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._iterator:
+                self._q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            self._q.put(e)
+        self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class MetricsLogger:
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        self._tb = None
+        self._jsonl = None
+        os.makedirs(config.output_dir, exist_ok=True)
+        if "tensorboard" in config.report_logs_to:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    os.path.join(config.output_dir, "tensorboard")
+                )
+            except ImportError:
+                logger.warning("tensorboardX unavailable; skipping TB logs")
+        self._jsonl = open(
+            os.path.join(config.output_dir, "train_log.jsonl"), "a"
+        )
+
+    def log(self, step: int, metrics: Dict[str, float]):
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, v, step)
+        self._jsonl.write(json.dumps({"step": step, **metrics}) + "\n")
+        self._jsonl.flush()
+        logger.info(
+            "step %d | %s",
+            step,
+            " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+        )
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+        self._jsonl.close()
+
+
+def prepare_dataset(
+    config: TrainConfig,
+    model_pack,
+    data_sets: List[str],
+    args: data_types.VoiceDatasetArgs,
+    num_samples: Optional[int] = None,
+    augmentation=None,
+):
+    datasets = [registry.create_dataset(name, args) for name in data_sets]
+    ds = (
+        InterleaveDataset(datasets, config.data_weights)
+        if len(datasets) > 1
+        else datasets[0]
+    )
+    ds = model_pack.wrap_with_data_proc(ds, config, augmentation=augmentation)
+    if num_samples:
+        ds = Range(ds, num_samples)
+    return ds
+
+
+def train(config: TrainConfig) -> Dict[str, float]:
+    logging.basicConfig(
+        level=logging.DEBUG if config.verbose else logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+    t_start = time.time()
+    logger.info("devices: %s", jax.devices())
+    os.makedirs(config.output_dir, exist_ok=True)
+    with open(os.path.join(config.output_dir, "train_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2, default=str)
+
+    mesh = make_mesh(
+        MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor)
+    )
+    model_pack = create_model_pack(config)
+    params = shard_params(model_pack.params, mesh)
+
+    # -- optimizer & state ---------------------------------------------------
+    import optax
+
+    optimizer = ts.make_optimizer(
+        config.lr,
+        schedule=config.lr_scheduler,
+        warmup_steps=config.lr_warmup_steps,
+        total_steps=config.max_steps,
+        min_lr_rate=config.min_lr_rate,
+        weight_decay=config.weight_decay,
+        max_grad_norm=config.max_grad_norm,
+        b1=config.optimizer_betas[0],
+        b2=config.optimizer_betas[1],
+    )
+    if config.grad_accum_steps > 1:
+        optimizer = optax.MultiSteps(optimizer, config.grad_accum_steps)
+    state, template = ts.init_train_state(
+        params, optimizer, config.trainable_params
+    )
+    n_trainable = sum(int(np.prod(x.shape)) for x in state.trainable.values())
+    n_frozen = sum(int(np.prod(x.shape)) for x in state.frozen.values())
+    logger.info(
+        "trainable params: %s || frozen: %s || trainable%%: %.2f%%",
+        f"{n_trainable:,d}",
+        f"{n_frozen:,d}",
+        100 * n_trainable / max(n_trainable + n_frozen, 1),
+    )
+
+    if config.model_load_dir and config.resume_from_load_dir:
+        latest = ckpt_lib.latest_checkpoint(config.model_load_dir)
+        if latest:
+            state = ckpt_lib.restore_checkpoint(latest, state)
+            logger.info("resumed from %s at step %d", latest, int(state.step))
+
+    step_fn = jax.jit(
+        ts.make_train_step(
+            model_pack.config,
+            config.loss_config,
+            optimizer,
+            template,
+            remat=config.remat,
+        ),
+        donate_argnums=(0,),
+    )
+
+    # -- data -----------------------------------------------------------------
+    augmentation = None
+    if config.augmentations:
+        augs = [
+            create_augmentation(a, AugmentationArgs(seed=config.seed))
+            for a in config.augmentations
+        ]
+        if len(augs) == 1:
+            augmentation = augs[0]
+        else:
+            from ultravox_tpu.data.aug.base import Augmentation
+
+            augmentation = Augmentation(
+                AugmentationArgs(seed=config.seed), children=augs
+            )
+    train_args = data_types.TrainDatasetArgs(
+        shuffle=config.shuffle_data,
+        shuffle_buffer_size=config.shuffle_buffer_size,
+        max_audio_duration_secs=config.max_audio_duration_secs,
+        max_input_characters=config.max_input_characters,
+    )
+    train_ds = prepare_dataset(
+        config, model_pack, config.data_sets, train_args,
+        num_samples=config.num_samples, augmentation=augmentation,
+    )
+    batches = Prefetcher(
+        batch_iterator(train_ds, model_pack.collator, config.batch_size)
+    )
+
+    # -- loop -------------------------------------------------------------------
+    metrics_logger = MetricsLogger(config)
+    opt_steps = config.max_steps * config.grad_accum_steps
+    final_metrics: Dict[str, float] = {}
+    step = int(state.step)
+    try:
+        for batch in batches:
+            if step >= opt_steps:
+                break
+            jb = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+            )
+            state, metrics = step_fn(state, jb)
+            step = int(state.step)
+            if step % config.logging_steps == 0 or step == 1:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics["samples_per_s"] = (
+                    step * config.batch_size / (time.time() - t_start)
+                )
+                metrics_logger.log(step, host_metrics)
+                final_metrics = host_metrics
+            if config.save_steps and step % config.save_steps == 0:
+                path = ckpt_lib.save_checkpoint(config.output_dir, state)
+                logger.info("saved checkpoint %s", path)
+            if config.val_steps and step % config.val_steps == 0 and config.val_sets:
+                val = validate(config, model_pack, state, template, mesh)
+                metrics_logger.log(step, val)
+    except BaseException:
+        logger.exception("training failed at step %d", step)
+        raise
+    finally:
+        metrics_logger.close()
+
+    # final artifacts
+    ckpt_lib.save_checkpoint(config.output_dir, state)
+    ckpt_lib.export_safetensors(
+        state, os.path.join(config.output_dir, "model.safetensors")
+    )
+    logger.info("training done in %.1fs", time.time() - t_start)
+    return final_metrics
+
+
+def validate(config, model_pack, state, template, mesh) -> Dict[str, float]:
+    """Weighted val loss over the configured val sets (reference:
+    evaluation/validate.py semantics)."""
+    eval_fn = jax.jit(
+        ts.make_eval_step(model_pack.config, config.loss_config, template)
+    )
+    out: Dict[str, float] = {}
+    args = data_types.ValDatasetArgs()
+    for name in config.val_sets:
+        ds = prepare_dataset(config, model_pack, [name], args, num_samples=64)
+        total, count = 0.0, 0
+        for batch in batch_iterator(
+            ds, model_pack.collator, config.batch_size, infinite=False
+        ):
+            jb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            s, c = eval_fn(state, jb)
+            total += float(s)
+            count += int(c)
+        if count:
+            out[f"val_loss/{name}"] = total / count
+    return out
+
+
+def main():
+    config = get_train_config()
+    train(config)
+
+
+if __name__ == "__main__":
+    main()
