@@ -1,0 +1,150 @@
+"""Evaluation-layer tests: string metrics, registries, GPT judge with a
+mocked client, and the eval_datasets loop with a fake inference engine."""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+
+from ultravox_tpu.data import types as data_types
+from ultravox_tpu.evaluation import gpt_eval, metrics, string_metrics
+from ultravox_tpu.evaluation.eval import EvalConfig, eval_datasets, infer_dataset
+from ultravox_tpu.inference.base import VoiceInference, VoiceOutput
+
+
+def test_wer_perfect_and_known():
+    assert string_metrics.wer(["hello world"], ["hello world"]) == 0.0
+    # one substitution in two words = 50%
+    assert string_metrics.wer(["hello world"], ["hello there"]) == 50.0
+    # normalisation: case + punctuation ignored
+    assert string_metrics.wer(["Hello, world!"], ["hello world"]) == 0.0
+
+
+def test_wer_contractions():
+    assert string_metrics.wer(["do not do that"], ["don't do that"]) == 0.0
+
+
+def test_wer_cjk_char_split():
+    score = string_metrics.wer(["你好世界"], ["你好世情"], language="zh")
+    assert score == 25.0  # 1 of 4 chars
+
+
+def test_wer_hypothesis_capping():
+    long_hyp = "word " * 100
+    score = string_metrics.wer(["two words"], [long_hyp])
+    assert score <= 450.0  # capped at 4x ref length
+
+
+def test_cer():
+    assert string_metrics.cer(["abcd"], ["abed"]) == 25.0
+
+
+def test_bleu_sanity():
+    refs = ["the cat sat on the mat", "dogs bark loudly"]
+    perfect = string_metrics.bleu(refs, refs)
+    assert perfect == pytest.approx(100.0, abs=0.1)
+    assert string_metrics.bleu(refs, ["x y z", "a b c"]) < 5.0
+
+
+def test_exact_match_last_word():
+    assert string_metrics.exact_match_last_word("True", "I think True.") == 1.0
+    assert string_metrics.exact_match_last_word("True", "False") == 0.0
+
+
+def test_evaluate_answers_corpus_and_sample():
+    samples = [
+        metrics.EvalSample(0, "q", "yes", "yes"),
+        metrics.EvalSample(1, "q", "no", "yes"),
+    ]
+    corpus = metrics.evaluate_answers(samples, "wer")
+    assert corpus["score"] == 50.0
+    sample = metrics.evaluate_answers(samples, "exact_match")
+    assert sample["score"] == 0.5
+
+
+def test_gpt_judge_with_mock_client():
+    gpt_eval.gpt_evaluator.client = mock.MagicMock()
+    completion = mock.MagicMock()
+    completion.choices[0].message.content = "True — the answer is correct."
+    gpt_eval.gpt_evaluator.client.chat.completions.create.return_value = completion
+    fn = gpt_eval.make_judge_metric("boolq")
+    result = fn(metrics.EvalSample(0, "q", "True", "It is true"), {})
+    assert result.score == 1.0
+    gpt_eval.gpt_evaluator.client = None
+
+
+def test_parsers():
+    assert gpt_eval.parse_binary("False, because...").score == 0.0
+    assert gpt_eval.parse_binary("garbage").score == -1.0
+    assert gpt_eval.parse_scalar("Rating: 4 solid").score == pytest.approx(0.8)
+    assert gpt_eval.parse_yes_no("Yes indeed").score == 1.0
+
+
+class EchoInference(VoiceInference):
+    """Returns the reference transcript (perfect ASR) for metric plumbing."""
+
+    def infer(self, sample, max_tokens=None, temperature=None):
+        return VoiceOutput(
+            text=sample.audio_transcript or "?", input_tokens=1, output_tokens=1
+        )
+
+
+def test_eval_datasets_end_to_end(tmp_path):
+    from ultravox_tpu.data import registry, types
+    from ultravox_tpu.data.types import DatasetConfig
+
+    config = EvalConfig(
+        eval_sets=["synthetic-asr-eval"],
+        num_samples=6,
+        batch_size=2,
+        output_dir=str(tmp_path),
+    )
+    # synthetic-asr has no registry config; register an eval wrapper that
+    # reuses it via create_dataset's special-case by name
+    registry.register_datasets(
+        [
+            DatasetConfig(
+                name="synthetic-asr-eval",
+                path="unused",
+                splits=[],
+                user_template="u",
+                eval_config=types.EvalConfig(metric="wer"),
+            )
+        ]
+    )
+    real_create = registry.create_dataset
+
+    def fake_create(name, args):
+        return real_create("synthetic-asr", args)
+
+    with mock.patch.object(registry, "create_dataset", side_effect=fake_create):
+        scores = eval_datasets(EchoInference(), config)
+    assert scores["synthetic-asr-eval"]["score"] == 0.0  # echo => WER 0
+    assert scores["synthetic-asr-eval"]["num_samples"] == 6
+    assert (tmp_path / "summary.json").exists()
+    registry.unregister_datasets(["synthetic-asr-eval"])
+
+
+def test_infer_dataset_pops_assistant():
+    from ultravox_tpu.data.datasets import SyntheticAsrDataset
+
+    ds = SyntheticAsrDataset(data_types.EvalDatasetArgs(), num_samples=3)
+    captured = []
+
+    class Capture(VoiceInference):
+        def infer_batch(self, samples, max_tokens=None, temperature=None):
+            captured.extend(samples)
+            return [
+                VoiceOutput(text="x", input_tokens=1, output_tokens=1)
+                for _ in samples
+            ]
+
+        def infer(self, s, m=None, t=None):
+            raise NotImplementedError
+
+    samples = infer_dataset(
+        Capture(), ds, batch_size=2, max_tokens=4, temperature=0.0
+    )
+    assert len(samples) == 3
+    assert all(s.expected_answer for s in samples)
+    assert all(m.messages[-1]["role"] == "user" for m in captured)

@@ -1,0 +1,148 @@
+"""Checkpoint publishing: full HF-layout export and hub upload.
+
+Re-design of the reference's ``tools/push_to_hub.py``: writes a checkpoint
+directory (config.json + model.safetensors + tokenizer files) in the fixie
+naming scheme so both this framework (``UltravoxInference``) and the
+reference implementation can load it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+
+from ultravox_tpu.models import weights as weights_lib
+from ultravox_tpu.models.config import UltravoxConfig
+
+
+def config_to_hf_dict(cfg: UltravoxConfig) -> dict:
+    audio = cfg.audio_config
+    text = cfg.text_config
+    return {
+        "model_type": "ultravox",
+        "audio_model_id": cfg.audio_model_id,
+        "text_model_id": cfg.text_model_id,
+        "ignore_index": cfg.ignore_index,
+        "audio_token_index": cfg.audio_token_index,
+        "hidden_size": cfg.hidden_size,
+        "stack_factor": cfg.stack_factor,
+        "norm_init": cfg.norm_init,
+        "projector_act": cfg.projector_act,
+        "projector_ln_mid": cfg.projector_ln_mid,
+        "audio_latency_block_size": cfg.audio_latency_block_size,
+        "llm_only_training": cfg.llm_only_training,
+        "audio_config": {
+            "model_type": "whisper",
+            "num_mel_bins": audio.num_mel_bins,
+            "d_model": audio.d_model,
+            "encoder_layers": audio.num_layers,
+            "encoder_attention_heads": audio.num_heads,
+            "encoder_ffn_dim": audio.ffn_dim,
+            "max_source_positions": audio.max_source_positions,
+            "activation_function": audio.activation,
+        },
+        "text_config": {
+            "model_type": text.arch if text.arch != "gemma3" else "gemma3_text",
+            "vocab_size": text.vocab_size,
+            "hidden_size": text.hidden_size,
+            "intermediate_size": text.intermediate_size,
+            "num_hidden_layers": text.num_layers,
+            "num_attention_heads": text.num_heads,
+            "num_key_value_heads": text.num_kv_heads,
+            "head_dim": text.head_dim,
+            "rms_norm_eps": text.rms_norm_eps,
+            "rope_theta": text.rope_theta,
+            "max_position_embeddings": text.max_position_embeddings,
+            "tie_word_embeddings": text.tie_word_embeddings,
+            "sliding_window": text.sliding_window,
+        },
+    }
+
+
+def save_pretrained(
+    params: Any,
+    cfg: UltravoxConfig,
+    out_dir: str,
+    tokenizer=None,
+    *,
+    diff_only: bool = False,
+) -> str:
+    """Write a loadable checkpoint directory. ``diff_only`` saves just the
+    projector (adapter-sized, reference diff_state_dict semantics)."""
+    import safetensors.numpy
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config_to_hf_dict(cfg), f, indent=2)
+
+    sd: dict = {}
+    if "projector" in params:
+        for k, v in weights_lib.projector_to_hf(params["projector"]).items():
+            sd[f"multi_modal_projector.{k}"] = v
+    if not diff_only:
+        if "language_model" in params:
+            for k, v in weights_lib.decoder_to_hf(
+                params["language_model"], cfg.text_config
+            ).items():
+                sd[f"language_model.{k}"] = v
+        if "audio_tower" in params:
+            for k, v in _encoder_to_hf(params["audio_tower"], cfg).items():
+                sd[f"audio_tower.{k}"] = v
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
+    safetensors.numpy.save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    if tokenizer is not None:
+        tokenizer.save_pretrained(out_dir)
+    return out_dir
+
+
+def _encoder_to_hf(params: Any, cfg: UltravoxConfig) -> dict:
+    out = {}
+    L = cfg.audio_config.num_layers
+
+    def unstack(pattern, arr, transpose=False):
+        a = np.asarray(jax.device_get(arr), np.float32)
+        for i in range(L):
+            out[pattern.format(i=i)] = a[i].T if transpose else a[i]
+
+    out["conv1.weight"] = np.asarray(params["conv1"]["kernel"], np.float32).transpose(2, 1, 0)
+    out["conv1.bias"] = np.asarray(params["conv1"]["bias"], np.float32)
+    out["conv2.weight"] = np.asarray(params["conv2"]["kernel"], np.float32).transpose(2, 1, 0)
+    out["conv2.bias"] = np.asarray(params["conv2"]["bias"], np.float32)
+    out["embed_positions.weight"] = np.asarray(params["embed_positions"], np.float32)
+    out["layer_norm.weight"] = np.asarray(params["layer_norm"]["scale"], np.float32)
+    out["layer_norm.bias"] = np.asarray(params["layer_norm"]["bias"], np.float32)
+    ly = params["layers"]
+    for hf, mine, bias in [
+        ("self_attn.q_proj", "q_proj", True),
+        ("self_attn.k_proj", "k_proj", False),
+        ("self_attn.v_proj", "v_proj", True),
+        ("self_attn.out_proj", "out_proj", True),
+        ("fc1", "fc1", True),
+        ("fc2", "fc2", True),
+    ]:
+        unstack("layers.{i}." + hf + ".weight", ly[mine]["kernel"], transpose=True)
+        if bias:
+            unstack("layers.{i}." + hf + ".bias", ly[mine]["bias"])
+    for hf, mine in [
+        ("self_attn_layer_norm", "attn_ln"),
+        ("final_layer_norm", "final_ln"),
+    ]:
+        unstack("layers.{i}." + hf + ".weight", ly[mine]["scale"])
+        unstack("layers.{i}." + hf + ".bias", ly[mine]["bias"])
+    return out
+
+
+def push_to_hub(checkpoint_dir: str, repo_id: str, private: bool = True) -> None:
+    """Upload a saved checkpoint dir to the HF Hub (requires egress +
+    credentials; reference: tools/push_to_hub.py)."""
+    from huggingface_hub import HfApi
+
+    api = HfApi()
+    api.create_repo(repo_id, private=private, exist_ok=True)
+    api.upload_folder(folder_path=checkpoint_dir, repo_id=repo_id)
