@@ -1,0 +1,196 @@
+"""Serving-engine tests: continuous-batching correctness vs the offline
+engine, concurrent request interleaving, and the OpenAI-protocol HTTP server
+end-to-end."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_tokenizer
+from ultravox_tpu.data.sample import audio_to_wav_bytes
+from ultravox_tpu.inference.engine import GenerationEngine
+from ultravox_tpu.inference.serving.engine import ServingEngine
+from ultravox_tpu.models import DecoderConfig, UltravoxConfig, WhisperEncoderConfig
+from ultravox_tpu.models import ultravox as uv
+from ultravox_tpu.models.processor import DataCollatorWithAudio, UltravoxProcessor
+
+V = 384
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=32, num_layers=1, num_heads=2, ffn_dim=64
+        ),
+        text_config=DecoderConfig(
+            vocab_size=V, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+        ),
+        hidden_size=64,
+    )
+    params = uv.init_params(cfg, jax.random.key(0))
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(tokenizer)
+    collator = DataCollatorWithAudio(
+        pad_token_id=tokenizer.pad_token_id, pad_multiple=1, mel_pad_multiple=400
+    )
+    return cfg, params, processor, collator
+
+
+def _mini_batch(processor, collator, text, audio=None):
+    f = processor(text=text, audio=audio)
+    return collator([f])
+
+
+def _drain(engine, req):
+    ids = []
+    finish = None
+    for ev in engine.stream(req):
+        if ev.token_id is None:
+            finish = ev.finish_reason
+            break
+        ids.append(ev.token_id)
+    return ids, finish
+
+
+def test_serving_matches_offline_greedy(setup):
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(0)
+    texts = [
+        "hello world how are you",
+        "transcribe <|audio|> please",
+        "the quick brown fox",
+    ]
+    audios = [None, (rng.standard_normal(8000) * 0.1).astype(np.float32), None]
+
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = []
+    for text, audio in zip(texts, audios):
+        batch = _mini_batch(processor, collator, text, audio)
+        expected.append(
+            offline.generate(batch, max_new_tokens=8).token_ids[0]
+        )
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(
+                _mini_batch(processor, collator, t, a), max_tokens=8
+            )
+            for t, a in zip(texts, audios)
+        ]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+
+
+def test_serving_stop_tokens_and_slot_reuse(setup):
+    cfg, params, processor, collator = setup
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    batch = _mini_batch(processor, collator, "hello world")
+    free = offline.generate(batch, max_new_tokens=6).token_ids[0]
+    stop = free[2]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        # with only 1 slot, requests must queue and reuse the slot
+        r1 = serving.submit(batch, max_tokens=6, stop_token_ids=(stop,))
+        r2 = serving.submit(batch, max_tokens=6)
+        ids1, fin1 = _drain(serving, r1)
+        ids2, fin2 = _drain(serving, r2)
+    finally:
+        serving.stop()
+    assert ids1 == free[:2] and fin1 == "stop"
+    assert ids2 == free and fin2 == "length"
+
+
+def test_api_server_end_to_end(setup):
+    cfg, params, processor, collator = setup
+    from ultravox_tpu.inference.serving.api_server import ServingAPI, make_handler
+    from http.server import ThreadingHTTPServer
+
+    engine = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    api = ServingAPI(engine, processor, collator)
+    engine.start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(api))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.load(r)["status"] == "ok"
+
+        # non-streaming with audio as base64 wav
+        audio = (np.sin(np.linspace(0, 60, 8000)) * 0.2).astype(np.float32)
+        wav_b64 = __import__("base64").b64encode(
+            audio_to_wav_bytes(audio)
+        ).decode()
+        body = {
+            "model": "ultravox-tpu",
+            "max_tokens": 5,
+            "messages": [
+                {
+                    "role": "user",
+                    "content": [
+                        {"type": "text", "text": "transcribe "},
+                        {
+                            "type": "input_audio",
+                            "input_audio": {"data": wav_b64, "format": "wav"},
+                        },
+                    ],
+                }
+            ],
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert out["object"] == "chat.completion"
+        assert out["usage"]["completion_tokens"] <= 5
+        assert isinstance(out["choices"][0]["message"]["content"], str)
+
+        # streaming
+        body["stream"] = True
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            lines = r.read().decode().strip().split("\n\n")
+        assert lines[-1] == "data: [DONE]"
+        chunks = [json.loads(l[6:]) for l in lines[:-1]]
+        assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    finally:
+        server.shutdown()
+        engine.stop()

@@ -1,0 +1,280 @@
+"""OpenAI-protocol HTTP server over the continuous-batching engine.
+
+Replaces the reference's external vLLM OpenAI server
+(inference/run_vllm_inference.py:180-209). Supports ``/v1/chat/completions``
+(streaming and non-streaming) with audio supplied as
+``{"type": "input_audio", "input_audio": {"data": <b64 wav>, "format": "wav"}}``
+content parts (the protocol the reference's ``tools/infer_api.py`` client
+speaks), plus ``/health``.
+
+Stdlib http.server with a thread pool — the engine serialises device work on
+its own thread, so the HTTP layer only shuttles tokens.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ServingAPI:
+    """Binds a ServingEngine + processor/tokenizer to the HTTP protocol."""
+
+    def __init__(self, engine, processor, collator, model_name="ultravox-tpu"):
+        self.engine = engine
+        self.processor = processor
+        self.tokenizer = processor.tokenizer
+        self.collator = collator
+        self.model_name = model_name
+
+    def parse_messages(self, messages: List[Dict[str, Any]]):
+        """OpenAI content-parts -> (chat messages, audio arrays)."""
+        from ultravox_tpu.data.sample import audio_from_wav_bytes
+        from ultravox_tpu.utils.audio import resample
+
+        out_messages: List[Dict[str, str]] = []
+        audios: List[np.ndarray] = []
+        for m in messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                text_parts = []
+                for part in content:
+                    if part.get("type") == "text":
+                        text_parts.append(part["text"])
+                    elif part.get("type") == "input_audio":
+                        data = base64.b64decode(part["input_audio"]["data"])
+                        audio, sr = audio_from_wav_bytes(data)
+                        if sr != 16000:
+                            audio = resample(audio, sr, 16000)
+                        audios.append(audio)
+                        text_parts.append("<|audio|>")
+                    elif part.get("type") == "audio_url":
+                        url = part["audio_url"]["url"]
+                        if url.startswith("data:"):
+                            payload = url.split(",", 1)[1]
+                            audio, sr = audio_from_wav_bytes(
+                                base64.b64decode(payload)
+                            )
+                            if sr != 16000:
+                                audio = resample(audio, sr, 16000)
+                            audios.append(audio)
+                            text_parts.append("<|audio|>")
+                content = "".join(text_parts)
+            out_messages.append({"role": m["role"], "content": content})
+        return out_messages, audios
+
+    def build_request(self, body: Dict[str, Any]):
+        messages, audios = self.parse_messages(body["messages"])
+        text = self.tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        features = self.processor(text=text, audios=audios or None)
+        batch = self.collator([features])
+        stop_ids = [self.tokenizer.eos_token_id]
+        return self.engine.submit(
+            batch,
+            max_tokens=int(body.get("max_tokens") or 256),
+            temperature=float(body.get("temperature") or 0.0),
+            stop_token_ids=tuple(stop_ids),
+        )
+
+    def handle_chat(self, body: Dict[str, Any]):
+        """Returns (non-streaming response dict) or a generator of SSE lines."""
+        req = self.build_request(body)
+        created = int(time.time())
+        rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+
+        if body.get("stream"):
+            def sse():
+                token_ids: List[int] = []
+                emitted = 0
+                for event in self.engine.stream(req):
+                    if event.token_id is None:
+                        yield _sse_chunk(rid, created, self.model_name, None,
+                                         finish=event.finish_reason)
+                        yield "data: [DONE]\n\n"
+                        return
+                    token_ids.append(event.token_id)
+                    text = self.tokenizer.decode(
+                        token_ids, skip_special_tokens=True
+                    )
+                    if not text.endswith("�") and len(text) > emitted:
+                        yield _sse_chunk(
+                            rid, created, self.model_name, text[emitted:]
+                        )
+                        emitted = len(text)
+            return sse()
+
+        token_ids = []
+        finish = "stop"
+        for event in self.engine.stream(req):
+            if event.token_id is None:
+                finish = event.finish_reason or "stop"
+                break
+            token_ids.append(event.token_id)
+        text = self.tokenizer.decode(token_ids, skip_special_tokens=True)
+        return {
+            "id": rid,
+            "object": "chat.completion",
+            "created": created,
+            "model": self.model_name,
+            "choices": [
+                {
+                    "index": 0,
+                    "message": {"role": "assistant", "content": text},
+                    "finish_reason": finish,
+                }
+            ],
+            "usage": {
+                "prompt_tokens": req.prompt_len,
+                "completion_tokens": len(token_ids),
+                "total_tokens": req.prompt_len + len(token_ids),
+            },
+        }
+
+
+def _sse_chunk(rid, created, model, delta_text, finish=None):
+    delta = {} if delta_text is None else {"content": delta_text}
+    chunk = {
+        "id": rid,
+        "object": "chat.completion.chunk",
+        "created": created,
+        "model": model,
+        "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+    }
+    return f"data: {json.dumps(chunk)}\n\n"
+
+
+def make_handler(api: ServingAPI):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.debug("http: " + fmt, *args)
+
+        def do_GET(self):
+            if self.path in ("/health", "/v1/health"):
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(
+                    200,
+                    {
+                        "object": "list",
+                        "data": [
+                            {"id": api.model_name, "object": "model"}
+                        ],
+                    },
+                )
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/chat/completions":
+                self._json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length))
+                result = api.handle_chat(body)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("chat request failed")
+                self._json(400, {"error": str(e)})
+                return
+            if isinstance(result, dict):
+                self._json(200, result)
+            else:  # SSE stream
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    for line in result:
+                        self.wfile.write(line.encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+        def _json(self, code, payload):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return Handler
+
+
+def serve(api: ServingAPI, host: str = "0.0.0.0", port: int = 8000):
+    api.engine.start()
+    server = ThreadingHTTPServer((host, port), make_handler(api))
+    logger.info("serving on %s:%d", host, port)
+    try:
+        server.serve_forever()
+    finally:
+        api.engine.stop()
+
+
+def main():
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+    from ultravox_tpu.inference.ultravox_infer import resolve_checkpoint
+    from ultravox_tpu.models import ultravox as uv_model
+    from ultravox_tpu.models import weights as weights_lib
+    from ultravox_tpu.models.config import UltravoxConfig
+    from ultravox_tpu.models.processor import (
+        DataCollatorWithAudio,
+        UltravoxProcessor,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--num-slots", type=int, default=16)
+    parser.add_argument("--max-seq-len", type=int, default=4096)
+    args = parser.parse_args()
+
+    import jax
+    import transformers
+
+    logging.basicConfig(level=logging.INFO)
+    model_dir = resolve_checkpoint(args.model)
+    cfg = UltravoxConfig.from_pretrained_dir(model_dir)
+    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    params = weights_lib.convert_ultravox(
+        weights_lib.load_safetensors_dir(model_dir), cfg, jnp.bfloat16,
+        base=params,
+    )
+    tokenizer = transformers.AutoTokenizer.from_pretrained(model_dir)
+    if tokenizer.pad_token_id is None:
+        tokenizer.pad_token = tokenizer.eos_token
+    processor = UltravoxProcessor(
+        tokenizer,
+        num_mel_bins=cfg.audio_config.num_mel_bins,
+        stack_factor=cfg.stack_factor,
+    )
+    collator = DataCollatorWithAudio(pad_token_id=tokenizer.pad_token_id)
+    engine = ServingEngine(
+        params, cfg, num_slots=args.num_slots, max_seq_len=args.max_seq_len
+    )
+    serve(
+        ServingAPI(engine, processor, collator),
+        host=args.host,
+        port=args.port,
+    )
+
+
+if __name__ == "__main__":
+    main()

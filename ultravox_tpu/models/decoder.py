@@ -124,6 +124,7 @@ def _decoder_layer(
     cache_k: Optional[jax.Array],  # (B, S_max, Hkv, Dh) or None
     cache_v: Optional[jax.Array],
     write_pos: Optional[jax.Array],  # (B,) int32 write offset into cache
+    return_kv: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     B, T, D = x.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -159,6 +160,8 @@ def _decoder_layer(
         k_all, v_all = cache_k, cache_v
     else:
         k_all, v_all = k, v
+        if return_kv:
+            cache_k, cache_v = k, v
 
     if bias_local is not None:
         bias = jnp.where(layer_is_local, bias_local, bias_global)
@@ -218,11 +221,15 @@ def decoder_forward(
     write_pos: Optional[jax.Array] = None,  # (B,) cache write offset
     remat: bool = False,
     return_hidden: bool = False,
+    return_kv: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Returns (logits (B, T, V) fp32, updated cache).
 
     With ``cache``: attends over the full cache (after writing the current
     k/v at ``write_pos``); without: self-attention over the T inputs.
+    ``return_kv`` (cache-less mode) additionally returns the per-layer k/v
+    computed for these tokens as a KVCache of shape (L, B, T, Hkv, Dh) — used
+    by the serving engine to prefill into an external slot cache.
     """
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
@@ -255,6 +262,7 @@ def decoder_forward(
         h, ck, cv = _decoder_layer(
             cfg, h, p, cos_g, sin_g, cos_l, sin_l,
             bias_global, bias_local, is_loc, ck, cv, write_pos,
+            return_kv=return_kv,
         )
         return h, (ck, cv)
 
@@ -280,5 +288,9 @@ def decoder_forward(
         cap = cfg.final_logit_softcapping
         logits = jnp.tanh(logits / cap) * cap
 
-    new_cache = KVCache(k=new_k, v=new_v) if cache is not None else None
+    new_cache = (
+        KVCache(k=new_k, v=new_v)
+        if (cache is not None or return_kv)
+        else None
+    )
     return logits, new_cache
