@@ -48,7 +48,7 @@ def main():
     def encode_sum(params, audio, lens):
         mel = mel_lib.log_mel_spectrogram(audio, num_mel_filters=cfg.num_mel_bins)
         out = whisper_encoder.encoder_forward(
-            params, cfg, mel.astype(jnp.bfloat16), lens
+            params, cfg, mel.astype(jnp.bfloat16), lens, attn_impl="fused"
         )
         # reduce on device: a host scalar fetch is the only reliable
         # execution fence on the remote-attached (axon) backend, where

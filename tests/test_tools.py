@@ -1,0 +1,167 @@
+"""Tools tests: model soup, projector up-projection math, ds_tool chunked
+processing with caching, OpenAI client payloads."""
+
+import json
+import os
+from unittest import mock
+
+import numpy as np
+import pytest
+
+
+def test_average_state_dicts():
+    from ultravox_tpu.tools.model_averaging import average_state_dicts
+
+    a = {"w": np.asarray([1.0, 2.0], np.float32)}
+    b = {"w": np.asarray([3.0, 4.0], np.float32)}
+    out = average_state_dicts([a, b])
+    np.testing.assert_allclose(out["w"], [2.0, 3.0])
+    with pytest.raises(ValueError, match="disagree"):
+        average_state_dicts([a, {"v": a["w"]}])
+
+
+def test_average_checkpoints_roundtrip(tmp_path):
+    import safetensors.numpy
+
+    from ultravox_tpu.tools.model_averaging import average_checkpoints
+
+    for i, val in enumerate([0.0, 2.0]):
+        d = tmp_path / f"in{i}"
+        d.mkdir()
+        safetensors.numpy.save_file(
+            {"multi_modal_projector.ln_pre.weight": np.full(4, val, np.float32)},
+            str(d / "model.safetensors"),
+        )
+    out = average_checkpoints(
+        [str(tmp_path / "in0"), str(tmp_path / "in1")], str(tmp_path / "avg")
+    )
+    sd = safetensors.numpy.load_file(os.path.join(out, "model.safetensors"))
+    np.testing.assert_allclose(
+        sd["multi_modal_projector.ln_pre.weight"], np.full(4, 1.0)
+    )
+
+
+def test_projector_regression_and_combine():
+    """Mirrors the reference's projector_combine_tool_test: with an exactly
+    linear relationship between embedding spaces, the combined projector must
+    reproduce small-projector-then-map outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultravox_tpu.models import UltravoxConfig, WhisperEncoderConfig, DecoderConfig
+    from ultravox_tpu.models import projector as projector_lib
+    from ultravox_tpu.tools.projector_tools import fit_embedding_map, combine_projector
+
+    rng = np.random.default_rng(0)
+    d_small, d_big, V = 16, 24, 200
+    M_true = rng.standard_normal((d_small, d_big)).astype(np.float32) * 0.3
+    emb_small = rng.standard_normal((V, d_small)).astype(np.float32)
+    emb_big = emb_small @ M_true
+
+    M = fit_embedding_map(emb_small, emb_big, ridge=1e-8)
+    np.testing.assert_allclose(M, M_true, atol=1e-4)
+
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(d_model=8),
+        text_config=DecoderConfig(hidden_size=d_small),
+        hidden_size=32,
+        projector_ln_mid=True,  # no ln_post => exact composition
+    )
+    proj = projector_lib.init_params(cfg, jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    small_out = projector_lib.projector_forward(proj, cfg, x)
+
+    combined = combine_projector(proj, M)
+    cfg_big = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(d_model=8),
+        text_config=DecoderConfig(hidden_size=d_big),
+        hidden_size=32,
+        projector_ln_mid=True,
+    )
+    big_out = projector_lib.projector_forward(combined, cfg_big, x)
+    np.testing.assert_allclose(
+        np.asarray(big_out), np.asarray(small_out) @ M, atol=1e-4
+    )
+
+
+def test_disk_cache(tmp_path):
+    from ultravox_tpu.tools.ds_tool.caching import DiskCache
+
+    cache = DiskCache(str(tmp_path))
+    calls = []
+    fn = lambda: calls.append(1) or {"x": 1}
+    assert cache.get_or_compute({"k": "a"}, fn) == {"x": 1}
+    assert cache.get_or_compute({"k": "a"}, fn) == {"x": 1}
+    assert len(calls) == 1  # second call served from disk
+
+
+def test_caching_chat_wrapper(tmp_path):
+    from ultravox_tpu.tools.ds_tool.caching import CachingChatWrapper
+
+    client = mock.MagicMock()
+    client.chat.completions.create.return_value.choices[0].message.content = "hi"
+    chat = CachingChatWrapper(client, str(tmp_path))
+    assert chat.chat_completion(model="m", messages=[]) == "hi"
+    assert chat.chat_completion(model="m", messages=[]) == "hi"
+    assert client.chat.completions.create.call_count == 1
+
+
+def test_ds_tool_tasks_and_chunking(tmp_path):
+    import datasets as hf_datasets
+
+    from ultravox_tpu.tools.ds_tool.ds_tool import (
+        DatasetChunkProcessor,
+        DedupTask,
+        TextGenerationTask,
+    )
+
+    ds = hf_datasets.Dataset.from_dict(
+        {"text": ["one", "two", "one", "THREE", "three"]}
+    )
+    deduped = DedupTask(column_name="text").map_split(ds)
+    assert deduped["text"] == ["one", "two", "THREE"]
+
+    client = mock.MagicMock()
+    client.chat.completions.create.return_value.choices[0].message.content = "gen"
+    task = TextGenerationTask(
+        client=client, new_column_name="out", cache_dir=str(tmp_path / "chat")
+    )
+    proc = DatasetChunkProcessor(
+        task=task, output_dir=str(tmp_path / "out"), chunk_size=2
+    )
+    saved = proc.process_split(ds, "train")
+    assert len(saved) == 3  # ceil(5 / 2)
+    reloaded = hf_datasets.load_from_disk(saved[0])
+    assert reloaded["out"] == ["gen", "gen"]
+
+
+def test_chunk_subdivision_on_failure(tmp_path):
+    import datasets as hf_datasets
+
+    from ultravox_tpu.tools.ds_tool.ds_tool import DatasetChunkProcessor
+
+    class FlakyTask:
+        def map_split(self, dataset, num_proc=1):
+            if len(dataset) > 2:
+                raise RuntimeError("too big")
+            return dataset
+
+    ds = hf_datasets.Dataset.from_dict({"x": list(range(8))})
+    proc = DatasetChunkProcessor(
+        task=FlakyTask(), output_dir=str(tmp_path), chunk_size=8, min_chunk_size=1
+    )
+    saved = proc.process_split(ds)
+    assert len(saved) == 4  # subdivided 8 -> 4,4 -> 2,2,2,2
+
+
+def test_openai_client_payload():
+    from ultravox_tpu.data.sample import VoiceSample
+    from ultravox_tpu.tools.infer_api import OpenAIInference
+
+    client = OpenAIInference("http://example.invalid")
+    audio = np.zeros(1600, np.float32)
+    sample = VoiceSample.from_prompt_and_audio("transcribe <|audio|> now", audio)
+    messages = client._messages_payload(sample)
+    parts = messages[0]["content"]
+    assert [p["type"] for p in parts] == ["text", "input_audio", "text"]
+    assert parts[1]["input_audio"]["format"] == "wav"

@@ -56,6 +56,7 @@ class GenerationEngine:
         chunk_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128),
         cache_dtype=jnp.bfloat16,
         stop_token_ids: Tuple[int, ...] = (),
+        encoder_attn_impl: str = "xla",
     ):
         self.params = params
         self.cfg = cfg
@@ -65,7 +66,11 @@ class GenerationEngine:
         self.cache_dtype = cache_dtype
         self.stop_token_ids = tuple(stop_token_ids)
 
-        self._prefill = jax.jit(functools.partial(_prefill_impl, cfg=cfg))
+        self._prefill = jax.jit(
+            functools.partial(
+                _prefill_impl, cfg=cfg, encoder_attn_impl=encoder_attn_impl
+            )
+        )
         self._decode = jax.jit(
             functools.partial(_decode_impl, cfg=cfg), donate_argnames=("cache",)
         )
@@ -159,11 +164,15 @@ class GenerationEngine:
         return GenerationResult(token_ids=out_ids[:true_B], prompt_lens=prompt_lens)
 
 
-def _prefill_impl(params, batch, cache, *, cfg: UltravoxConfig):
+def _prefill_impl(
+    params, batch, cache, *, cfg: UltravoxConfig, encoder_attn_impl: str = "xla"
+):
     input_ids = batch["input_ids"]
     mask = batch["attention_mask"]
     B, T = input_ids.shape
-    inputs_embeds = uv.ultravox_embed(params, cfg, input_ids, batch)
+    inputs_embeds = uv.ultravox_embed(
+        params, cfg, input_ids, batch, encoder_attn_impl=encoder_attn_impl
+    )
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     seq_lens = mask.sum(axis=-1).astype(jnp.int32)
     logits, cache = decoder_lib.decoder_forward(

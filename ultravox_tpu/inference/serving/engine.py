@@ -84,6 +84,7 @@ class ServingEngine:
         prefill_len_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
+        encoder_attn_impl: str = "xla",
     ):
         self.params = params
         self.cfg = cfg
@@ -101,7 +102,11 @@ class ServingEngine:
         self.last_tokens = jnp.zeros((num_slots,), jnp.int32)
         self._rng = jax.random.key(0)
 
-        self._prefill = jax.jit(functools.partial(_prefill_kv, cfg=cfg))
+        self._prefill = jax.jit(
+            functools.partial(
+                _prefill_kv, cfg=cfg, encoder_attn_impl=encoder_attn_impl
+            )
+        )
         self._insert = jax.jit(_insert_kv, donate_argnums=(0,), static_argnums=(4,))
         self._decode = jax.jit(
             functools.partial(_decode_all_slots, cfg=cfg),
@@ -293,13 +298,15 @@ class ServingEngine:
                 self.cache_lens = self.cache_lens.at[req.slot].set(0)
 
 
-def _prefill_kv(params, batch, *, cfg: UltravoxConfig):
+def _prefill_kv(params, batch, *, cfg: UltravoxConfig, encoder_attn_impl="xla"):
     """Single-request prefill: returns (last-position logits (1, V), kv with
     shape (L, 1, T, Hkv, Dh))."""
     input_ids = batch["input_ids"]
     mask = batch["attention_mask"]
     B, T = input_ids.shape
-    embeds = uv.ultravox_embed(params, cfg, input_ids, batch)
+    embeds = uv.ultravox_embed(
+        params, cfg, input_ids, batch, encoder_attn_impl=encoder_attn_impl
+    )
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     seq_lens = mask.sum(axis=-1).astype(jnp.int32)
     logits, kv = decoder_lib.decoder_forward(

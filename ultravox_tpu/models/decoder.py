@@ -108,10 +108,9 @@ def _act(cfg: DecoderConfig, x: jax.Array) -> jax.Array:
 
 
 def _proj(x: jax.Array, p: Params) -> jax.Array:
-    out = x @ p["kernel"]
-    if "bias" in p:
-        out = out + p["bias"]
-    return out
+    from ultravox_tpu.models.lora import proj_apply
+
+    return proj_apply(x, p)
 
 
 def _decoder_layer(
@@ -169,7 +168,7 @@ def _decoder_layer(
         bias = bias_global
 
     attn = mha(q, k_all, v_all, bias=bias, scale=cfg.attn_scale)
-    attn = attn.reshape(B, T, Hq * Dh) @ p["o_proj"]["kernel"]
+    attn = _proj(attn.reshape(B, T, Hq * Dh), p["o_proj"])
     if cfg.use_post_norms:
         attn = rms_norm(attn, p["post_attn_ln"], cfg.rms_norm_eps, plus_one=plus_one)
         x = x + attn
@@ -178,9 +177,10 @@ def _decoder_layer(
         x = x + attn
         h = rms_norm(x, p["post_attn_ln"], cfg.rms_norm_eps, plus_one=plus_one)
 
-    mlp = (_act(cfg, h @ p["gate_proj"]["kernel"]) * (h @ p["up_proj"]["kernel"])) @ p[
-        "down_proj"
-    ]["kernel"]
+    mlp = _proj(
+        _act(cfg, _proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
+        p["down_proj"],
+    )
     if cfg.use_post_norms:
         mlp = rms_norm(mlp, p["post_ffn_ln"], cfg.rms_norm_eps, plus_one=plus_one)
     x = x + mlp

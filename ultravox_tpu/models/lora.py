@@ -1,0 +1,147 @@
+"""LoRA: low-rank adapters on attention/FFN projections.
+
+Re-design of the reference's peft integration (``apply_lora``,
+ultravox_model.py:690-709): instead of wrapper modules, target projection
+param dicts gain ``lora_a`` (in, r) / ``lora_b`` (r, out) leaves (stacked
+with the layer axis), applied inside the projection helper as
+``y += (x @ lora_a) @ lora_b * (alpha / r)``. Freezing is then just a
+trainable-pattern selection (``.*lora_[ab]$``), and ``merge_lora`` folds the
+update into the kernel (reference merge_and_unload, ultravox_model.py:528-559).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ultravox_tpu.models.config import LoraConfig
+
+Params = Dict[str, Any]
+
+# module-name → param-tree key for each tower
+DECODER_TARGETS = {
+    "q_proj": "q_proj",
+    "k_proj": "k_proj",
+    "v_proj": "v_proj",
+    "o_proj": "o_proj",
+    "gate_proj": "gate_proj",
+    "up_proj": "up_proj",
+    "down_proj": "down_proj",
+}
+ENCODER_TARGETS = {
+    "q_proj": "q_proj",
+    "k_proj": "k_proj",
+    "v_proj": "v_proj",
+    "out_proj": "out_proj",
+    "fc1": "fc1",
+    "fc2": "fc2",
+}
+# reference default target_modules includes wav2vec-style linear_k/linear_q
+_ALIASES = {"linear_q": "q_proj", "linear_k": "k_proj"}
+
+
+def lora_scale(cfg: LoraConfig) -> float:
+    return cfg.lora_alpha / max(cfg.r, 1)
+
+
+def add_lora(
+    tower_params: Params,
+    cfg: LoraConfig,
+    rng: jax.Array,
+    targets: Dict[str, str],
+    dtype=jnp.float32,
+) -> Params:
+    """Add stacked lora_a/lora_b leaves to the targeted projections of one
+    tower's ``layers`` subtree. A is gaussian-init, B zero-init (standard
+    LoRA init: the adapter starts as identity)."""
+    if cfg.r <= 0:
+        return tower_params
+    layers = dict(tower_params["layers"])
+    wanted = {
+        _ALIASES.get(t, t) for t in (cfg.target_modules or targets.keys())
+    }
+    keys = jax.random.split(rng, len(targets))
+    for key, (mod, tree_key) in zip(keys, sorted(targets.items())):
+        if mod not in wanted or tree_key not in layers:
+            continue
+        proj = dict(layers[tree_key])
+        kernel = proj["kernel"]  # (L, in, out)
+        L, d_in, d_out = kernel.shape
+        proj["lora_a"] = (
+            jax.random.normal(key, (L, d_in, cfg.r), dtype) * (1.0 / cfg.r)
+        )
+        proj["lora_b"] = jnp.zeros((L, cfg.r, d_out), dtype)
+        # per-layer scale leaf so the projection helper needs no config;
+        # sliced to a scalar by the layer scan
+        proj["lora_scale"] = jnp.full((L,), lora_scale(cfg), dtype)
+        layers[tree_key] = proj
+    out = dict(tower_params)
+    out["layers"] = layers
+    return out
+
+
+def apply_lora_to_model(
+    params: Params,
+    text_lora: LoraConfig,
+    audio_lora: LoraConfig,
+    rng: jax.Array,
+    dtype=jnp.float32,
+) -> Params:
+    k1, k2 = jax.random.split(rng)
+    out = dict(params)
+    if text_lora.r > 0 and "language_model" in out:
+        out["language_model"] = add_lora(
+            out["language_model"], text_lora, k1, DECODER_TARGETS, dtype
+        )
+    if audio_lora.r > 0 and "audio_tower" in out:
+        out["audio_tower"] = add_lora(
+            out["audio_tower"], audio_lora, k2, ENCODER_TARGETS, dtype
+        )
+    return out
+
+
+def proj_apply(x: jax.Array, p: Params) -> jax.Array:
+    """Linear projection with optional bias and LoRA path."""
+    out = x @ p["kernel"]
+    if "bias" in p:
+        out = out + p["bias"]
+    if "lora_a" in p:
+        out = out + ((x @ p["lora_a"]) @ p["lora_b"]) * p["lora_scale"]
+    return out
+
+
+def merge_lora(
+    params: Params,
+    towers: Sequence[str] = ("language_model", "audio_tower"),
+) -> Params:
+    """Fold LoRA into the kernels and drop the adapter leaves
+    (reference merge_and_unload)."""
+
+    def merge_tower(tower: Params) -> Params:
+        layers = {}
+        for key, leaf in tower["layers"].items():
+            if isinstance(leaf, dict) and "lora_a" in leaf:
+                new = dict(leaf)
+                a = new.pop("lora_a")
+                b = new.pop("lora_b")
+                scale = new.pop("lora_scale")[:, None, None]
+                delta = jnp.einsum("lir,lro->lio", a, b) * scale
+                new["kernel"] = new["kernel"] + delta.astype(new["kernel"].dtype)
+                layers[key] = new
+            else:
+                layers[key] = leaf
+        out = dict(tower)
+        out["layers"] = layers
+        return out
+
+    out = dict(params)
+    for tower in towers:
+        if tower in out and "layers" in out.get(tower, {}):
+            out[tower] = merge_tower(out[tower])
+    return out
+
+
+def lora_trainable_patterns() -> Tuple[str, ...]:
+    return (r".*lora_[ab]$",)

@@ -81,6 +81,7 @@ def prepare_audio_embeds(
     audio_chunk_batch_idx: jax.Array,
     *,
     remat: bool = False,
+    encoder_attn_impl: str = "xla",
 ) -> jax.Array:
     """Audio tower + projector + splice (reference: ultravox_model.py:354-396)."""
     enc = encoder_lib.encoder_forward(
@@ -90,6 +91,7 @@ def prepare_audio_embeds(
         mel_lens=audio_lens,
         latency_block_size=cfg.audio_latency_block_size,
         remat=remat,
+        attn_impl=encoder_attn_impl,
     )
     audio_embeds = projector_lib.projector_forward(params["projector"], cfg, enc)
     return splice_audio_embeds(
@@ -108,6 +110,7 @@ def ultravox_embed(
     batch: Dict[str, jax.Array],
     *,
     remat: bool = False,
+    encoder_attn_impl: str = "xla",
 ) -> jax.Array:
     """Token embeddings with audio spliced in (if the batch carries audio)."""
     inputs_embeds = jnp.take(
@@ -124,6 +127,7 @@ def ultravox_embed(
             batch["audio_token_len"],
             batch["audio_chunk_batch_idx"],
             remat=remat,
+            encoder_attn_impl=encoder_attn_impl,
         )
     return inputs_embeds
 

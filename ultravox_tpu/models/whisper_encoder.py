@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ultravox_tpu.models.config import WhisperEncoderConfig
+from ultravox_tpu.models.lora import proj_apply
 from ultravox_tpu.ops.attention import block_causal_bias, length_mask_bias, mha
 from ultravox_tpu.ops.norms import layer_norm
 
@@ -81,26 +82,30 @@ def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
     return (out + bias[None, :, None]).astype(x.dtype)
 
 
-def _encoder_layer(cfg: WhisperEncoderConfig, x, bias, p):
+def _encoder_layer(cfg: WhisperEncoderConfig, x, bias, p, *, attn_fn=None):
     """One pre-norm transformer encoder layer. x: (B, T, D)."""
     B, T, D = x.shape
     h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
-    q = h @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
-    k = h @ p["k_proj"]["kernel"]
-    v = h @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+    q = proj_apply(h, p["q_proj"])
+    k = proj_apply(h, p["k_proj"])
+    v = proj_apply(h, p["v_proj"])
     shape = (B, T, cfg.num_heads, cfg.head_dim)
-    attn = mha(
-        q.reshape(shape),
-        k.reshape(shape),
-        v.reshape(shape),
-        bias=bias,
-        scale=cfg.head_dim**-0.5,
-    ).reshape(B, T, D)
-    x = x + attn @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+    if attn_fn is not None:
+        attn = attn_fn(q.reshape(shape), k.reshape(shape), v.reshape(shape))
+    else:
+        attn = mha(
+            q.reshape(shape),
+            k.reshape(shape),
+            v.reshape(shape),
+            bias=bias,
+            scale=cfg.head_dim**-0.5,
+        )
+    attn = attn.reshape(B, T, D)
+    x = x + proj_apply(attn, p["out_proj"])
 
     h = layer_norm(x, p["final_ln"]["scale"], p["final_ln"]["bias"])
-    h = jax.nn.gelu(h @ p["fc1"]["kernel"] + p["fc1"]["bias"], approximate=False)
-    x = x + h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+    h = jax.nn.gelu(proj_apply(h, p["fc1"]), approximate=False)
+    x = x + proj_apply(h, p["fc2"])
     return x
 
 
@@ -112,12 +117,17 @@ def encoder_forward(
     *,
     latency_block_size: Optional[int] = None,
     remat: bool = False,
+    attn_impl: str = "xla",
 ) -> jax.Array:
     """Encode mel features -> (B, T_out, d_model) hidden states.
 
     T_out = feat_extract_output_length-style downsampling of T_mel by the two
     convs. Padding positions produce garbage and must be excluded downstream
     via ``mel_lens``-derived token counts (the projector/splice does this).
+
+    ``attn_impl``: "xla" (einsum, differentiable — required when encoder
+    weights train) or "fused" (Pallas VMEM-resident kernel — the inference /
+    frozen-encoder fast path, ~5× faster at the 30 s window on v5e).
     """
     if mel.shape[-1] > cfg.max_context_length:
         raise ValueError(
@@ -137,17 +147,31 @@ def encoder_forward(
     x = x + params["embed_positions"][:T][None].astype(x.dtype)
 
     bias = None
-    if mel_lens is not None:
-        feat_lens = feat_extract_output_length(mel_lens)
-        bias = length_mask_bias(feat_lens, T)
-    if latency_block_size:
-        # The reference builds a (3000, 3000) block mask and slices the first
-        # (T, T) rows/cols (ultravox_model.py:928-936), so in encoder-position
-        # space the block boundaries fall every `latency_block_size` positions.
-        lat = block_causal_bias(T, latency_block_size)
-        bias = lat if bias is None else jnp.minimum(bias, lat)
+    attn_fn = None
+    if attn_impl == "fused":
+        from ultravox_tpu.ops.pallas.fused_attention import fused_attention
 
-    layer_fn = lambda h, p: (_encoder_layer(cfg, h, bias, p), None)
+        feat_lens = (
+            feat_extract_output_length(mel_lens) if mel_lens is not None else None
+        )
+        attn_fn = lambda q, k, v: fused_attention(
+            q, k, v, feat_lens,
+            scale=cfg.head_dim**-0.5,
+            latency_block=latency_block_size or 0,
+        )
+    else:
+        if mel_lens is not None:
+            feat_lens = feat_extract_output_length(mel_lens)
+            bias = length_mask_bias(feat_lens, T)
+        if latency_block_size:
+            # The reference builds a (3000, 3000) block mask and slices the
+            # first (T, T) rows/cols (ultravox_model.py:928-936), so in
+            # encoder-position space the block boundaries fall every
+            # `latency_block_size` positions.
+            lat = block_causal_bias(T, latency_block_size)
+            bias = lat if bias is None else jnp.minimum(bias, lat)
+
+    layer_fn = lambda h, p: (_encoder_layer(cfg, h, bias, p, attn_fn=attn_fn), None)
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])

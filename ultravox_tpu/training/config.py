@@ -62,6 +62,11 @@ class TrainConfig:
     trainable_params: List[str] = dataclasses.field(
         default_factory=lambda: [r".*projector/.*"]
     )
+    # LoRA configs (dicts: r, lora_alpha, target_modules, unfreeze_layers);
+    # r > 0 adds adapters whose params train; r == 0 freezes the tower except
+    # unfreeze_layers patterns (reference: apply_lora, ultravox_model.py:690)
+    text_model_lora: Optional[Dict[str, Any]] = None
+    audio_model_lora: Optional[Dict[str, Any]] = None
 
     # -- data ----------------------------------------------------------------
     data_sets: List[str] = dataclasses.field(default_factory=list)
@@ -119,6 +124,24 @@ class TrainConfig:
             raise ValueError("data_weights must match data_sets length")
         if self.loss_function not in ("ce", "kl"):
             raise ValueError(f"unknown loss_function {self.loss_function}")
+
+    @property
+    def effective_trainable_patterns(self) -> List[str]:
+        from ultravox_tpu.models.config import LoraConfig
+
+        patterns = list(self.trainable_params)
+        for tower, lora_dict in (
+            ("language_model", self.text_model_lora),
+            ("audio_tower", self.audio_model_lora),
+        ):
+            if not lora_dict:
+                continue
+            cfg = LoraConfig.from_dict(lora_dict)
+            if cfg.r > 0:
+                patterns.append(rf".*{tower}/.*lora_[ab]$")
+            for pat in cfg.unfreeze_layers:
+                patterns.append(rf".*{tower}/.*{pat}.*")
+        return patterns
 
     @property
     def loss_config(self) -> LossConfig:

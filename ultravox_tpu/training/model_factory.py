@@ -131,6 +131,17 @@ def create_model_pack(config: TrainConfig) -> ModelPack:
                     )
                     break
 
+    # LoRA adapters (reference: apply_lora / LoraConfigSimplified)
+    from ultravox_tpu.models.config import LoraConfig
+    from ultravox_tpu.models.lora import apply_lora_to_model
+
+    text_lora = LoraConfig.from_dict(config.text_model_lora)
+    audio_lora = LoraConfig.from_dict(config.audio_model_lora)
+    if text_lora.r > 0 or audio_lora.r > 0:
+        params = apply_lora_to_model(
+            params, text_lora, audio_lora, jax.random.key(config.seed + 1), dtype
+        )
+
     if config.model_load_dir:
         sd_path = config.model_load_dir
         if os.path.isdir(sd_path):

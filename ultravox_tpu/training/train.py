@@ -172,7 +172,7 @@ def train(config: TrainConfig) -> Dict[str, float]:
     if config.grad_accum_steps > 1:
         optimizer = optax.MultiSteps(optimizer, config.grad_accum_steps)
     state, template = ts.init_train_state(
-        params, optimizer, config.trainable_params
+        params, optimizer, config.effective_trainable_patterns
     )
     n_trainable = sum(int(np.prod(x.shape)) for x in state.trainable.values())
     n_frozen = sum(int(np.prod(x.shape)) for x in state.frozen.values())
