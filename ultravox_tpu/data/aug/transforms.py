@@ -119,9 +119,10 @@ def _alaw(audio: np.ndarray, A: float = 87.6) -> np.ndarray:
     x = np.clip(audio, -1.0, 1.0)
     ax = np.abs(x)
     lnA = 1.0 + np.log(A)
-    comp = np.sign(x) * np.where(
-        ax < 1.0 / A, A * ax / lnA, (1.0 + np.log(A * ax)) / lnA
-    )
+    with np.errstate(divide="ignore"):
+        comp = np.sign(x) * np.where(
+            ax < 1.0 / A, A * ax / lnA, (1.0 + np.log(np.maximum(A * ax, 1e-30))) / lnA
+        )
     q = np.round((comp + 1.0) / 2.0 * 255.0) / 255.0 * 2.0 - 1.0
     aq = np.abs(q)
     return (

@@ -1,0 +1,305 @@
+"""IFEval — instruction-following evaluation.
+
+Re-implementation of the instruction-checker battery the reference vendors
+from Google (evaluation/ifeval/, ~3.4K LoC; paper: arXiv:2311.07911). Each
+sample carries ``instruction_id_list`` + per-instruction kwargs; a response
+passes an instruction iff its checker accepts. Scoring follows the strict /
+loose protocol: loose retries with line-stripped and asterisk-stripped
+response variants.
+
+The checkers cover the instruction families IFEval uses: keywords, length
+constraints, detectable content/format, combination, start/end, case, and
+punctuation.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Callable, Dict, List
+
+Checker = Callable[[str, Dict[str, Any]], bool]
+
+
+def _words(text: str) -> List[str]:
+    return re.findall(r"\w+", text)
+
+
+def _sentences(text: str) -> List[str]:
+    parts = re.split(r"[.!?]+(?:\s|$)", text)
+    return [p for p in parts if p.strip()]
+
+
+def _paragraphs(text: str) -> List[str]:
+    return [p for p in re.split(r"\n\s*\n|\s*\*\*\*\s*", text) if p.strip()]
+
+
+def _rel(count: int, relation: str, target: int) -> bool:
+    if relation == "at least":
+        return count >= target
+    if relation == "at most":
+        return count <= target
+    if relation in ("exactly", None, "equal to"):
+        return count == target
+    return count >= target
+
+
+# -- keywords -------------------------------------------------------------
+
+
+def keywords_existence(text: str, kw) -> bool:
+    return all(
+        re.search(rf"\b{re.escape(k)}\b", text, re.IGNORECASE)
+        for k in kw.get("keywords", [])
+    )
+
+
+def keywords_frequency(text: str, kw) -> bool:
+    count = len(
+        re.findall(rf"\b{re.escape(kw['keyword'])}\b", text, re.IGNORECASE)
+    )
+    return _rel(count, kw.get("relation", "at least"), kw.get("frequency", 1))
+
+
+def keywords_forbidden(text: str, kw) -> bool:
+    return not any(
+        re.search(rf"\b{re.escape(k)}\b", text, re.IGNORECASE)
+        for k in kw.get("forbidden_words", [])
+    )
+
+
+def letter_frequency(text: str, kw) -> bool:
+    count = text.lower().count(kw["letter"].lower())
+    return _rel(count, kw.get("let_relation", "at least"), kw.get("let_frequency", 1))
+
+
+# -- length constraints ------------------------------------------------------
+
+
+def number_words(text: str, kw) -> bool:
+    return _rel(
+        len(_words(text)), kw.get("relation", "at least"), kw.get("num_words", 1)
+    )
+
+
+def number_sentences(text: str, kw) -> bool:
+    return _rel(
+        len(_sentences(text)),
+        kw.get("relation", "at least"),
+        kw.get("num_sentences", 1),
+    )
+
+
+def number_paragraphs(text: str, kw) -> bool:
+    return len(_paragraphs(text)) == kw.get("num_paragraphs", 1)
+
+
+def nth_paragraph_first_word(text: str, kw) -> bool:
+    paras = [p for p in text.split("\n\n") if p.strip()]
+    if len(paras) != kw.get("num_paragraphs", len(paras)):
+        return False
+    n = kw.get("nth_paragraph", 1)
+    if n > len(paras):
+        return False
+    first = _words(paras[n - 1])
+    return bool(first) and first[0].lower() == kw["first_word"].lower()
+
+
+# -- detectable content ----------------------------------------------------
+
+
+def number_placeholders(text: str, kw) -> bool:
+    return len(re.findall(r"\[.*?\]", text)) >= kw.get("num_placeholders", 1)
+
+
+def postscript(text: str, kw) -> bool:
+    marker = kw.get("postscript_marker", "P.S.")
+    pattern = (
+        r"\bp\.\s?s\.?" if marker.upper().startswith("P.S") else re.escape(marker)
+    )
+    return bool(re.search(pattern, text, re.IGNORECASE))
+
+
+# -- detectable format -----------------------------------------------------
+
+
+def number_bullet_lists(text: str, kw) -> bool:
+    bullets = re.findall(r"^\s*[\*\-]\s", text, re.MULTILINE)
+    return len(bullets) == kw.get("num_bullets", 1)
+
+
+def constrained_response(text: str, kw) -> bool:
+    options = kw.get(
+        "options",
+        ("My answer is yes.", "My answer is no.", "My answer is maybe."),
+    )
+    return any(opt.lower() in text.lower() for opt in options)
+
+
+def number_highlighted_sections(text: str, kw) -> bool:
+    return len(re.findall(r"\*[^\n\*]+\*", text)) >= kw.get("num_highlights", 1)
+
+
+def multiple_sections(text: str, kw) -> bool:
+    splitter = kw.get("section_spliter", kw.get("section_splitter", "Section"))
+    found = re.findall(
+        rf"{re.escape(splitter)}\s+\d", text, re.IGNORECASE
+    )
+    return len(found) >= kw.get("num_sections", 1)
+
+
+def json_format(text: str, kw) -> bool:
+    stripped = (
+        text.strip().removeprefix("```json").removeprefix("```").removesuffix("```")
+    ).strip()
+    try:
+        json.loads(stripped)
+        return True
+    except ValueError:
+        return False
+
+
+def title(text: str, kw) -> bool:
+    return bool(re.search(r"<<[^\n]+>>", text))
+
+
+# -- combination -----------------------------------------------------------
+
+
+def repeat_prompt(text: str, kw) -> bool:
+    return text.strip().lower().startswith(
+        kw.get("prompt_to_repeat", "").strip().lower()
+    )
+
+
+def two_responses(text: str, kw) -> bool:
+    parts = text.split("******")
+    valid = [p for p in parts if p.strip()]
+    return len(valid) == 2 and valid[0].strip() != valid[1].strip()
+
+
+# -- start / end -------------------------------------------------------------
+
+
+def end_checker(text: str, kw) -> bool:
+    return text.strip().lower().endswith(kw.get("end_phrase", "").strip().lower())
+
+
+def quotation(text: str, kw) -> bool:
+    t = text.strip()
+    return t.startswith('"') and t.endswith('"')
+
+
+# -- case --------------------------------------------------------------------
+
+
+def capital_word_frequency(text: str, kw) -> bool:
+    count = sum(1 for w in _words(text) if w.isupper())
+    return _rel(
+        count,
+        kw.get("capital_relation", "at least"),
+        kw.get("capital_frequency", 1),
+    )
+
+
+def english_capital(text: str, kw) -> bool:
+    letters = [c for c in text if c.isalpha()]
+    return bool(letters) and all(c.isupper() for c in letters)
+
+
+def english_lowercase(text: str, kw) -> bool:
+    letters = [c for c in text if c.isalpha()]
+    return bool(letters) and all(c.islower() for c in letters)
+
+
+# -- punctuation ----------------------------------------------------------------
+
+
+def no_comma(text: str, kw) -> bool:
+    return "," not in text
+
+
+CHECKERS: Dict[str, Checker] = {
+    "keywords:existence": keywords_existence,
+    "keywords:frequency": keywords_frequency,
+    "keywords:forbidden_words": keywords_forbidden,
+    "keywords:letter_frequency": letter_frequency,
+    "length_constraints:number_words": number_words,
+    "length_constraints:number_sentences": number_sentences,
+    "length_constraints:number_paragraphs": number_paragraphs,
+    "length_constraints:nth_paragraph_first_word": nth_paragraph_first_word,
+    "detectable_content:number_placeholders": number_placeholders,
+    "detectable_content:postscript": postscript,
+    "detectable_format:number_bullet_lists": number_bullet_lists,
+    "detectable_format:constrained_response": constrained_response,
+    "detectable_format:number_highlighted_sections": number_highlighted_sections,
+    "detectable_format:multiple_sections": multiple_sections,
+    "detectable_format:json_format": json_format,
+    "detectable_format:title": title,
+    "combination:repeat_prompt": repeat_prompt,
+    "combination:two_responses": two_responses,
+    "startend:end_checker": end_checker,
+    "startend:quotation": quotation,
+    "change_case:capital_word_frequency": capital_word_frequency,
+    "change_case:english_capital": english_capital,
+    "change_case:english_lowercase": english_lowercase,
+    "punctuation:no_comma": no_comma,
+}
+
+
+def _loose_variants(response: str) -> List[str]:
+    """The loose protocol's response variants (remove first/last line,
+    strip asterisks, and combinations)."""
+    lines = response.split("\n")
+    variants = [
+        response,
+        response.replace("*", ""),
+        "\n".join(lines[1:]).strip(),
+        "\n".join(lines[:-1]).strip(),
+        "\n".join(lines[1:-1]).strip(),
+    ]
+    variants += [v.replace("*", "") for v in variants[2:]]
+    return [v for v in variants if v]
+
+
+def evaluate_instructions(
+    response: str,
+    instruction_id_list: List[str],
+    kwargs_list: List[Dict[str, Any]],
+    *,
+    strict: bool = True,
+) -> List[bool]:
+    """Per-instruction pass/fail."""
+    results = []
+    for inst_id, kw in zip(instruction_id_list, kwargs_list):
+        checker = CHECKERS.get(inst_id)
+        if checker is None:
+            results.append(False)
+            continue
+        kw = {k: v for k, v in (kw or {}).items() if v is not None}
+        if strict:
+            results.append(bool(checker(response, kw)))
+        else:
+            results.append(
+                any(checker(v, kw) for v in _loose_variants(response))
+            )
+    return results
+
+
+def ifeval_score(samples: List[Dict[str, Any]], strict: bool = True) -> Dict[str, float]:
+    """samples: [{response, instruction_id_list, kwargs}]. Returns prompt- and
+    instruction-level accuracies (the two headline IFEval numbers)."""
+    prompt_hits, inst_hits, inst_total = 0, 0, 0
+    for s in samples:
+        results = evaluate_instructions(
+            s["response"], s["instruction_id_list"], s.get("kwargs", [{}] * len(s["instruction_id_list"])),
+            strict=strict,
+        )
+        prompt_hits += all(results)
+        inst_hits += sum(results)
+        inst_total += len(results)
+    n = max(len(samples), 1)
+    return {
+        "prompt_level_accuracy": prompt_hits / n,
+        "instruction_level_accuracy": inst_hits / max(inst_total, 1),
+    }

@@ -41,6 +41,9 @@ def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
 class GenerationResult:
     token_ids: List[List[int]]  # generated ids per sequence (no prompt)
     prompt_lens: List[int]
+    # populated when return_cache=True (conversation reuse)
+    cache: Any = None
+    cache_lens: Any = None  # np (B,) valid cache entries per row
 
 
 class GenerationEngine:
@@ -121,20 +124,32 @@ class GenerationEngine:
         top_p: float = 1.0,
         rng: Optional[jax.Array] = None,
         token_callback=None,
+        cache: Optional[decoder_lib.KVCache] = None,
+        start_pos: int = 0,
+        return_cache: bool = False,
     ) -> GenerationResult:
         """Autoregressive generation for a collated batch. ``token_callback``
         (if set) receives (step, np token ids (B,), done mask) per step —
-        the streaming hook."""
+        the streaming hook.
+
+        Conversation KV reuse: pass the previous turn's ``cache`` plus
+        ``start_pos`` = number of already-cached tokens; the batch must then
+        contain only the suffix tokens (audio start indices in local/suffix
+        coordinates), and prefill writes at offset ``start_pos``.
+        """
         true_B = batch["input_ids"].shape[0]
         prompt_lens = [int(x) for x in batch["attention_mask"].sum(-1)][:true_B]
         batch = self.pad_batch(batch)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         B = batch["input_ids"].shape[0]
 
-        cache = decoder_lib.KVCache.zeros(
-            self.cfg.text_config, B, self.max_cache_len, self.cache_dtype
+        if cache is None:
+            cache = decoder_lib.KVCache.zeros(
+                self.cfg.text_config, B, self.max_cache_len, self.cache_dtype
+            )
+        logits, cache, seq_lens = self._prefill(
+            self.params, jbatch, cache, jnp.asarray(start_pos, jnp.int32)
         )
-        logits, cache, seq_lens = self._prefill(self.params, jbatch, cache)
         if rng is None:
             rng = jax.random.key(0)
 
@@ -161,20 +176,32 @@ class GenerationEngine:
             logits, cache, cache_len = self._decode(
                 self.params, cache, next_tok, cache_len
             )
-        return GenerationResult(token_ids=out_ids[:true_B], prompt_lens=prompt_lens)
+        result = GenerationResult(
+            token_ids=out_ids[:true_B], prompt_lens=prompt_lens
+        )
+        if return_cache:
+            result.cache = cache
+            result.cache_lens = np.asarray(cache_len)
+        return result
 
 
 def _prefill_impl(
-    params, batch, cache, *, cfg: UltravoxConfig, encoder_attn_impl: str = "xla"
+    params, batch, cache, start_pos, *, cfg: UltravoxConfig,
+    encoder_attn_impl: str = "xla",
 ):
+    """Prefill (optionally at a nonzero cache offset for conversation KV
+    reuse). ``start_pos`` is a scalar: tokens land at absolute positions
+    [start_pos, start_pos + seq_len)."""
     input_ids = batch["input_ids"]
     mask = batch["attention_mask"]
     B, T = input_ids.shape
     inputs_embeds = uv.ultravox_embed(
         params, cfg, input_ids, batch, encoder_attn_impl=encoder_attn_impl
     )
-    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    seq_lens = mask.sum(axis=-1).astype(jnp.int32)
+    positions = start_pos + jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None], (B, T)
+    )
+    seq_lens = start_pos + mask.sum(axis=-1).astype(jnp.int32)
     logits, cache = decoder_lib.decoder_forward(
         params["language_model"],
         cfg.text_config,
@@ -182,10 +209,12 @@ def _prefill_impl(
         positions=positions,
         kv_valid_len=seq_lens,
         cache=cache,
-        write_pos=jnp.zeros((B,), jnp.int32),
+        write_pos=jnp.full((B,), start_pos, jnp.int32),
     )
     last = jnp.take_along_axis(
-        logits, jnp.maximum(seq_lens - 1, 0)[:, None, None], axis=1
+        logits,
+        jnp.maximum(seq_lens - start_pos - 1, 0)[:, None, None],
+        axis=1,
     )[:, 0]
     return last, cache, seq_lens
 

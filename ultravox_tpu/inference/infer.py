@@ -77,10 +77,20 @@ class LocalInference(base.VoiceInference):
             self.tokenizer.chat_template = chat_template
         self.conversation_mode = conversation_mode
         self.past_messages: List[Dict[str, str]] = []
+        # audios referenced by <|audio|> placeholders in past messages, in
+        # order (the prefix-reuse path skips re-encoding them; a cache miss
+        # re-encodes from here)
+        self.past_audios: List[np.ndarray] = []
+        # conversation KV state: tokens written to the cache so far + the
+        # cache itself (engine-owned arrays)
+        self._conv_tokens: List[int] = []
+        self._conv_cache = None
 
     # -- data prep ---------------------------------------------------------
 
-    def _dataproc(self, sample: VoiceSample) -> Dict[str, np.ndarray]:
+    def _dataproc(
+        self, sample: VoiceSample, past_audios: Optional[List[np.ndarray]] = None
+    ) -> Dict[str, np.ndarray]:
         if sample.audio is not None and sample.sample_rate != SAMPLE_RATE:
             sample = dataclasses.replace(
                 sample,
@@ -90,7 +100,10 @@ class LocalInference(base.VoiceInference):
         text = self.tokenizer.apply_chat_template(
             sample.messages, tokenize=False, add_generation_prompt=True
         )
-        return self.processor(text=text, audio=sample.audio)
+        audios = list(past_audios or [])
+        if sample.audio is not None:
+            audios.append(sample.audio)
+        return self.processor(text=text, audios=audios or None)
 
     # -- public API ----------------------------------------------------------
 
@@ -109,15 +122,23 @@ class LocalInference(base.VoiceInference):
         temperature: Optional[float] = None,
     ) -> List[base.VoiceOutput]:
         samples = [self._with_past(s) for s in samples]
-        feats = [self._dataproc(s) for s in samples]
-        batch = self.collator(feats)
-        result = self.engine.generate(
-            batch,
-            max_new_tokens=max_tokens or MAX_NEW_TOKENS,
-            temperature=temperature or 0.0,
-        )
+        if self.conversation_mode and len(samples) == 1:
+            result = self._generate_conversational(
+                samples[0], max_tokens, temperature
+            )
+            prompt_lens = result.prompt_lens
+            results = [(result.token_ids[0], prompt_lens[0])]
+        else:
+            feats = [self._dataproc(s) for s in samples]
+            batch = self.collator(feats)
+            result = self.engine.generate(
+                batch,
+                max_new_tokens=max_tokens or MAX_NEW_TOKENS,
+                temperature=temperature or 0.0,
+            )
+            results = list(zip(result.token_ids, result.prompt_lens))
         outputs = []
-        for ids, n_in in zip(result.token_ids, result.prompt_lens):
+        for ids, n_in in results:
             text = self.tokenizer.decode(ids, skip_special_tokens=True)
             thinking, text = _split_thinking(text)
             outputs.append(
@@ -132,7 +153,70 @@ class LocalInference(base.VoiceInference):
             self.past_messages = samples[0].messages + [
                 {"role": "assistant", "content": outputs[0].text}
             ]
+            if samples[0].audio is not None:
+                self.past_audios.append(samples[0].audio)
         return outputs
+
+    # -- conversation KV reuse ------------------------------------------------
+
+    def _split_prefix(self, feats: Dict[str, np.ndarray]):
+        """Longest reusable cached prefix (token-id match, never splitting an
+        audio chunk), and the suffix batch in local coordinates."""
+        ids = np.asarray(feats["input_ids"][0])
+        cached = self._conv_tokens
+        p = 0
+        limit = min(len(cached), len(ids) - 1)  # keep ≥1 suffix token
+        while p < limit and cached[p] == int(ids[p]):
+            p += 1
+        if "audio_token_start_idx" in feats:
+            starts = np.asarray(feats["audio_token_start_idx"])
+            lens = np.asarray(feats["audio_token_len"])
+            for s, l in zip(starts, lens):
+                if s < p < s + l:  # don't split a chunk
+                    p = int(s)
+        suffix: Dict[str, np.ndarray] = {
+            "input_ids": ids[None, p:],
+            "attention_mask": np.ones((1, len(ids) - p), np.int32),
+        }
+        if "audio_values" in feats:
+            starts = np.asarray(feats["audio_token_start_idx"])
+            keep = starts >= p
+            if keep.any():
+                suffix["audio_values"] = np.asarray(feats["audio_values"])[keep]
+                suffix["audio_lens"] = np.asarray(feats["audio_lens"])[keep]
+                suffix["audio_token_len"] = np.asarray(feats["audio_token_len"])[
+                    keep
+                ]
+                suffix["audio_token_start_idx"] = (starts[keep] - p).astype(
+                    np.int32
+                )
+                suffix["audio_chunk_batch_idx"] = np.zeros(
+                    int(keep.sum()), np.int32
+                )
+        return p, suffix, ids
+
+    def _generate_conversational(
+        self, sample, max_tokens, temperature, token_callback=None
+    ):
+        """``sample`` must already include past messages (see _with_past)."""
+        feats = self._dataproc(sample, past_audios=self.past_audios)
+        p, suffix, full_ids = self._split_prefix(feats)
+        result = self.engine.generate(
+            suffix,
+            max_new_tokens=max_tokens or MAX_NEW_TOKENS,
+            temperature=temperature or 0.0,
+            cache=self._conv_cache if p > 0 else None,
+            start_pos=p,
+            return_cache=True,
+            token_callback=token_callback,
+        )
+        self._conv_cache = result.cache
+        cache_len = int(result.cache_lens[0])
+        written = list(full_ids) + result.token_ids[0]
+        self._conv_tokens = written[:cache_len]
+        # report the full prompt length (not just the suffix)
+        result.prompt_lens = [len(full_ids)]
+        return result
 
     def infer_stream(
         self,
@@ -140,9 +224,11 @@ class LocalInference(base.VoiceInference):
         max_tokens: Optional[int] = None,
         temperature: Optional[float] = None,
     ) -> base.InferenceGenerator:
+        conversational = self.conversation_mode
         sample = self._with_past(sample)
-        feats = self._dataproc(sample)
-        batch = self.collator([feats])
+        if not conversational:
+            feats = self._dataproc(sample)
+            batch = self.collator([feats])
         t_start = time.monotonic()
         ttft: List[Optional[float]] = [None]
 
@@ -164,12 +250,17 @@ class LocalInference(base.VoiceInference):
         result_box: Dict[str, Any] = {}
 
         def run():
-            result_box["result"] = self.engine.generate(
-                batch,
-                max_new_tokens=max_tokens or MAX_NEW_TOKENS,
-                temperature=temperature or 0.0,
-                token_callback=callback,
-            )
+            if conversational:
+                result_box["result"] = self._generate_conversational(
+                    sample, max_tokens, temperature, token_callback=callback
+                )
+            else:
+                result_box["result"] = self.engine.generate(
+                    batch,
+                    max_new_tokens=max_tokens or MAX_NEW_TOKENS,
+                    temperature=temperature or 0.0,
+                    token_callback=callback,
+                )
             q.put(None)
 
         worker = threading.Thread(target=run, daemon=True)
@@ -188,6 +279,8 @@ class LocalInference(base.VoiceInference):
             self.past_messages = sample.messages + [
                 {"role": "assistant", "content": full_text}
             ]
+            if sample.audio is not None:
+                self.past_audios.append(sample.audio)
         yield base.InferenceStats(
             input_tokens=result.prompt_lens[0],
             output_tokens=len(result.token_ids[0]),
@@ -197,6 +290,10 @@ class LocalInference(base.VoiceInference):
 
     def update_conversation(self, past_messages=None, past_cache=None) -> None:
         self.past_messages = past_messages or []
+        if not past_messages:
+            self.past_audios = []
+            self._conv_tokens = []
+            self._conv_cache = None
 
     def _with_past(self, sample: VoiceSample) -> VoiceSample:
         if not self.conversation_mode or not self.past_messages:

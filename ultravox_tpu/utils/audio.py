@@ -13,9 +13,28 @@ import math
 import numpy as np
 
 
+_USE_NATIVE = None
+
+
+def _native_dsp():
+    """Memoised handle to the C++ DSP library (None if unbuildable)."""
+    global _USE_NATIVE
+    if _USE_NATIVE is None:
+        try:
+            from ultravox_tpu.native import audio_dsp
+
+            _USE_NATIVE = audio_dsp if audio_dsp.available() else False
+        except Exception:  # noqa: BLE001
+            _USE_NATIVE = False
+    return _USE_NATIVE or None
+
+
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return np.asarray(audio, dtype=np.float32)
+    native = _native_dsp()
+    if native is not None:
+        return native.resample_poly(audio, orig_sr, target_sr)
     try:
         from scipy.signal import resample_poly
 
