@@ -1,0 +1,28 @@
+# Developer recipes (the reference uses a Justfile; make is baked into this
+# image). All test/CI targets run on the JAX CPU backend.
+
+PYTEST ?= python -m pytest
+
+.PHONY: test test-fast bench train-test native lint dryrun
+
+test:
+	$(PYTEST) tests/ -q
+
+test-fast:
+	$(PYTEST) tests/ -q -x -k "not integration and not sharding"
+
+bench:
+	python bench.py
+
+native:
+	python -c "from ultravox_tpu.native import audio_dsp; print(audio_dsp.build(force=True))"
+
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+train-test:
+	JAX_PLATFORMS=cpu python -m ultravox_tpu.training.train \
+	  --config_path ultravox_tpu/training/configs/test_train.yaml \
+	  --output_dir /tmp/uvtpu-train-test --text_model ""

@@ -73,6 +73,8 @@ def main():
     audio_seconds = BATCH * SECONDS_PER_CHUNK * iters
     rtfx = audio_seconds / dt
     baseline_rtfx = 30.0  # north-star: >30x real time per chip
+
+    ttft_ms, decode_tps = _flagship_metrics()
     print(
         json.dumps(
             {
@@ -83,10 +85,65 @@ def main():
                 "encoder": "whisper-large-v3-turbo-class (1280d x 32L, bf16)",
                 "batch_30s_chunks": BATCH,
                 "wall_s_per_iter": round(dt / iters, 4),
+                "ttft_ms_p50_10s_audio_1b": ttft_ms,
+                "decode_tok_s_batch8_1b": decode_tps,
                 "device": str(jax.devices()[0]),
             }
         )
     )
+
+
+def _flagship_metrics():
+    """TTFT (10 s audio -> first-token logits) and fused-decode throughput on
+    the 1B-class flagship (whisper-small + llama-3.2-1B dims, bf16).
+
+    The 8B target config does not fit a single 16 GB v5e chip; multi-chip
+    serving shards it over the mesh (see parallel/)."""
+    import time
+
+    import __graft_entry__ as graft
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.models import decoder as decoder_lib
+    from ultravox_tpu.models import ultravox as uv_model
+
+    cfg = graft._flagship_config()
+    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    engine = GenerationEngine(params, cfg, max_cache_len=1024)
+
+    B = 8
+    prompt = np.full((B, 128), 7, np.int32)
+    batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
+    engine.generate_greedy_fused(batch, max_new_tokens=64)  # compile
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        engine.generate_greedy_fused(batch, max_new_tokens=64)
+    decode_tps = B * 64 * iters / (time.perf_counter() - t0)
+
+    n_tok = -(-1000 // cfg.audio_token_compression)
+    abatch = {
+        "input_ids": prompt[:1],
+        "attention_mask": np.ones((1, 128), np.int32),
+        "audio_values": np.zeros((1, 80, 1000), np.float32),
+        "audio_lens": np.asarray([1000], np.int32),
+        "audio_token_len": np.asarray([n_tok], np.int32),
+        "audio_token_start_idx": np.asarray([4], np.int32),
+        "audio_chunk_batch_idx": np.asarray([0], np.int32),
+    }
+
+    def ttft_once():
+        t0 = time.perf_counter()
+        jb = {k: jnp.asarray(v) for k, v in engine.pad_batch(abatch).items()}
+        cache = decoder_lib.KVCache.zeros(cfg.text_config, 1, 1024, jnp.bfloat16)
+        logits, _, _ = engine._prefill(
+            engine.params, jb, cache, jnp.asarray(0, jnp.int32)
+        )
+        int(jnp.argmax(logits[0]))  # host fetch = execution fence
+        return time.perf_counter() - t0
+
+    ttft_once()  # compile
+    times = sorted(ttft_once() for _ in range(10))
+    return round(times[5] * 1000, 1), round(decode_tps, 1)
 
 
 if __name__ == "__main__":

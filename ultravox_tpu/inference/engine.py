@@ -80,6 +80,11 @@ class GenerationEngine:
         self._sample = jax.jit(
             sample_token, static_argnames=("temperature", "top_k", "top_p")
         )
+        self._decode_scan = jax.jit(
+            functools.partial(_decode_scan_impl, cfg=cfg),
+            static_argnames=("n_steps",),
+            donate_argnames=("cache",),
+        )
 
     # -- batch preparation ------------------------------------------------
 
@@ -183,6 +188,57 @@ class GenerationEngine:
             result.cache = cache
             result.cache_lens = np.asarray(cache_len)
         return result
+
+    def generate_greedy_fused(
+        self, batch: Dict[str, np.ndarray], *, max_new_tokens: int = 256
+    ) -> GenerationResult:
+        """Offline greedy generation with the whole decode loop fused into
+        one compiled scan (fastest batch path; stop-token truncation happens
+        on host afterwards)."""
+        true_B = batch["input_ids"].shape[0]
+        prompt_lens = [int(x) for x in batch["attention_mask"].sum(-1)][:true_B]
+        batch = self.pad_batch(batch)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        B = batch["input_ids"].shape[0]
+        cache = decoder_lib.KVCache.zeros(
+            self.cfg.text_config, B, self.max_cache_len, self.cache_dtype
+        )
+        logits, cache, seq_lens = self._prefill(
+            self.params, jbatch, cache, jnp.asarray(0, jnp.int32)
+        )
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks, cache, _ = self._decode_scan(
+            self.params, cache, first, seq_lens, n_steps=max_new_tokens - 1
+        )
+        all_toks = np.concatenate(
+            [np.asarray(first)[:, None], np.asarray(toks)], axis=1
+        )
+        out_ids: List[List[int]] = []
+        for b in range(true_B):
+            ids = []
+            for t in all_toks[b]:
+                if int(t) in self.stop_token_ids:
+                    break
+                ids.append(int(t))
+            out_ids.append(ids)
+        return GenerationResult(token_ids=out_ids, prompt_lens=prompt_lens)
+
+
+def _decode_scan_impl(params, cache, tokens, cache_pos, *, cfg, n_steps: int):
+    """Greedy-decode ``n_steps`` tokens in ONE compiled call (lax.scan over
+    decode steps — one host dispatch instead of n). Used for batch/offline
+    throughput; streaming uses the per-step path."""
+
+    def body(carry, _):
+        tok, cache, pos = carry
+        logits, cache, pos = _decode_impl(params, cache, tok, pos, cfg=cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache, pos), nxt
+
+    (tok, cache, pos), toks = jax.lax.scan(
+        body, (tokens, cache, cache_pos), None, length=n_steps
+    )
+    return jnp.transpose(toks), cache, pos  # (B, n_steps)
 
 
 def _prefill_impl(

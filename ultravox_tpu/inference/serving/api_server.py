@@ -161,7 +161,16 @@ def make_handler(api: ServingAPI):
             logger.debug("http: " + fmt, *args)
 
         def do_GET(self):
-            if self.path in ("/health", "/v1/health"):
+            if self.path in ("/", "/demo"):
+                from ultravox_tpu.inference.serving.demo_page import DEMO_HTML
+
+                data = DEMO_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path in ("/health", "/v1/health"):
                 self._json(200, {"status": "ok"})
             elif self.path == "/v1/models":
                 self._json(

@@ -85,7 +85,11 @@ class ServingEngine:
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
         encoder_attn_impl: str = "xla",
+        mesh=None,
     ):
+        """``mesh``: serve a sharded model — params should already be placed
+        via ``parallel.shard_params``; the KV cache shards its head axis over
+        ``tensor`` and its slot axis over ``(data, fsdp)``."""
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -98,6 +102,17 @@ class ServingEngine:
         self.cache = decoder_lib.KVCache.zeros(
             tc, num_slots, max_seq_len, cache_dtype
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            heads_ok = tc.num_kv_heads % mesh.shape["tensor"] == 0
+            spec = P(
+                None, None, None, "tensor" if heads_ok else None, None
+            )
+            self.cache = decoder_lib.KVCache(
+                k=jax.device_put(self.cache.k, NamedSharding(mesh, spec)),
+                v=jax.device_put(self.cache.v, NamedSharding(mesh, spec)),
+            )
         self.cache_lens = jnp.zeros((num_slots,), jnp.int32)
         self.last_tokens = jnp.zeros((num_slots,), jnp.int32)
         self._rng = jax.random.key(0)

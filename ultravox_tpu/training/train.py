@@ -82,9 +82,14 @@ class Prefetcher:
 
 
 class MetricsLogger:
+    """Metrics sinks: JSONL always; TensorBoard and W&B when configured and
+    importable (reference logs to W&B/TensorBoard via report_logs_to,
+    config_base.py:171)."""
+
     def __init__(self, config: TrainConfig):
         self.config = config
         self._tb = None
+        self._wandb = None
         self._jsonl = None
         os.makedirs(config.output_dir, exist_ok=True)
         if "tensorboard" in config.report_logs_to:
@@ -96,6 +101,19 @@ class MetricsLogger:
                 )
             except ImportError:
                 logger.warning("tensorboardX unavailable; skipping TB logs")
+        if "wandb" in config.report_logs_to:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "ultravox-tpu"),
+                    name=config.exp_name,
+                    config=dataclasses.asdict(config),
+                    dir=config.output_dir,
+                )
+            except ImportError:
+                logger.warning("wandb unavailable; skipping W&B logs")
         self._jsonl = open(
             os.path.join(config.output_dir, "train_log.jsonl"), "a"
         )
@@ -104,6 +122,8 @@ class MetricsLogger:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
         self._jsonl.write(json.dumps({"step": step, **metrics}) + "\n")
         self._jsonl.flush()
         logger.info(
@@ -115,6 +135,8 @@ class MetricsLogger:
     def close(self):
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
         self._jsonl.close()
 
 
