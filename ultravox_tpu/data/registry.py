@@ -62,9 +62,12 @@ def create_dataset(
 
 
 def _register_builtin_configs():
-    from ultravox_tpu.data.configs import builtin
+    from ultravox_tpu.data.configs import benchmarks, builtin, indic, multilingual
 
     register_datasets(builtin.configs())
+    register_datasets(multilingual.configs())
+    register_datasets(indic.configs())
+    register_datasets(benchmarks.configs())
 
 
 _register_builtin_configs()

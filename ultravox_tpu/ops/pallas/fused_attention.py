@@ -52,9 +52,11 @@ def _attn_kernel(
     b = pl.program_id(0)
     iq = pl.program_id(2)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, D)
-    k = k_ref[0, 0].astype(jnp.float32)  # (S, D)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, S)
+    # keep the QK^T operands in their native (bf16) dtype — the MXU runs
+    # bf16 x bf16 -> fp32 at full rate; upcasting first quarters throughput
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (bq, S)
 
     rows = (
         iq * block_q
