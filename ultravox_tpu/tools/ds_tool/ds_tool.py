@@ -131,11 +131,69 @@ class DedupTask:
         return dataset.filter(unique)
 
 
+@dataclasses.dataclass
+class AsrTask:
+    """Transcribe an audio column via an injectable ASR client (reference:
+    tasks asr — Deepgram). The client must expose
+    ``transcribe(audio: np.ndarray, sample_rate: int) -> str``."""
+
+    audio_column_name: str = "audio"
+    text_column_name: str = "asr_text"
+    client: Any = None
+
+    def map_split(self, dataset, num_proc: int = 1):
+        def transcribe(row):
+            entry = row[self.audio_column_name]
+            row[self.text_column_name] = self.client.transcribe(
+                entry["array"], entry.get("sampling_rate", 16000)
+            )
+            return row
+
+        return dataset.map(transcribe)
+
+
+@dataclasses.dataclass
+class AudioSplitTask:
+    """Split long audio rows into fixed windows, one output row per window
+    (reference: tasks audiosplit)."""
+
+    audio_column_name: str = "audio"
+    window_secs: float = 30.0
+    min_window_secs: float = 1.0
+
+    def map_split(self, dataset, num_proc: int = 1):
+        def split(batch):
+            import numpy as np
+
+            out = {k: [] for k in batch}
+            for i in range(len(batch[self.audio_column_name])):
+                entry = batch[self.audio_column_name][i]
+                audio = np.asarray(entry["array"], dtype=np.float32)
+                sr = entry.get("sampling_rate", 16000)
+                window = int(self.window_secs * sr)
+                for start in range(0, len(audio), window):
+                    chunk = audio[start : start + window]
+                    if len(chunk) < self.min_window_secs * sr:
+                        continue
+                    for key in batch:
+                        if key == self.audio_column_name:
+                            out[key].append(
+                                {"array": chunk, "sampling_rate": sr}
+                            )
+                        else:
+                            out[key].append(batch[key][i])
+            return out
+
+        return dataset.map(split, batched=True)
+
+
 TASKS = {
     "textgen": TextGenerationTask,
     "tts": TtsTask,
     "augment": AugmentTask,
     "dedup": DedupTask,
+    "asr": AsrTask,
+    "audiosplit": AudioSplitTask,
 }
 
 

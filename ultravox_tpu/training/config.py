@@ -51,6 +51,9 @@ class TrainConfig:
     # -- checkpoint load / resume -----------------------------------------
     model_load_dir: Optional[str] = None
     resume_from_load_dir: bool = False
+    # fnmatch patterns over state-dict keys: load only matching params from
+    # model_load_dir (reference: model_load_parameters, model_types.py:252-275)
+    model_load_parameters: Optional[List[str]] = None
 
     # -- loss --------------------------------------------------------------
     loss_function: str = "kl"  # "ce" | "kl"

@@ -146,6 +146,21 @@ def create_model_pack(config: TrainConfig) -> ModelPack:
         sd_path = config.model_load_dir
         if os.path.isdir(sd_path):
             sd = weights_lib.load_safetensors_dir(sd_path)
+            if config.model_load_parameters:
+                import fnmatch
+
+                sd = {
+                    k: v
+                    for k, v in sd.items()
+                    if any(
+                        fnmatch.fnmatch(k, pat)
+                        for pat in config.model_load_parameters
+                    )
+                }
+                logger.info(
+                    "selective load: %d params match %s",
+                    len(sd), config.model_load_parameters,
+                )
             params = weights_lib.convert_ultravox(sd, uv_cfg, dtype, base=params)
             logger.info("overlaid ultravox checkpoint from %s", sd_path)
 
