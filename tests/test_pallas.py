@@ -92,3 +92,82 @@ def test_encoder_fused_matches_xla(qkv):
 def test_supports_shape():
     assert supports_shape(3000, 64)
     assert not supports_shape(200_000, 128)
+
+
+def test_decode_attention_kernel_parity():
+    from ultravox_tpu.ops.attention import decode_attention as xla_decode
+    from ultravox_tpu.ops.pallas.decode_attention import decode_attention
+
+    B, S, H, Hkv, D = 4, 512, 8, 2, 64
+    q = jax.random.normal(jax.random.key(0), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, S, Hkv, D), jnp.float32)
+    lens = jnp.asarray([512, 100, 256, 7], jnp.int32)
+    ref = xla_decode(q, k, v, lens)
+    out = decode_attention(q[:, 0], k, v, lens, interpret=True, block_s=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]), atol=2e-5)
+
+
+def test_decode_attention_kernel_sliding_window():
+    from ultravox_tpu.ops.attention import NEG_INF, mha
+    from ultravox_tpu.ops.pallas.decode_attention import decode_attention
+
+    B, S, H, D, W = 2, 256, 4, 64, 32
+    q = jax.random.normal(jax.random.key(0), (B, 1, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, S, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, S, H, D), jnp.float32)
+    lens = jnp.asarray([200, 40], jnp.int32)
+    # reference: mask keys outside [len - W, len)
+    pos = jnp.arange(S)[None, :]
+    ok = (pos < lens[:, None]) & (pos >= lens[:, None] - W)
+    bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :]
+    ref = mha(q, k, v, bias=bias)
+    out = decode_attention(
+        q[:, 0], k, v, lens, window=W, interpret=True, block_s=64
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, 0]), atol=2e-5)
+
+
+def test_decoder_decode_kernel_path_matches_xla():
+    import functools
+
+    import ultravox_tpu.ops.pallas.decode_attention as da
+    from ultravox_tpu.models import DecoderConfig
+    from ultravox_tpu.models import decoder as dlib
+
+    orig = da.decode_attention
+    da.decode_attention = functools.partial(orig, interpret=True, block_s=64)
+    try:
+        cfg = DecoderConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+        )
+        params = dlib.init_params(cfg, jax.random.key(0))
+        B, T = 2, 10
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, 128, (B, T)), jnp.int32
+        )
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+        cache = dlib.KVCache.zeros(cfg, B, 64, jnp.float32)
+        logits, cache = dlib.decoder_forward(
+            params, cfg, input_ids=ids, positions=pos,
+            kv_valid_len=jnp.full((B,), T, jnp.int32),
+            cache=cache, write_pos=jnp.zeros((B,), jnp.int32),
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        emb = jnp.take(params["embed_tokens"], tok, axis=0)[:, None]
+        kw = dict(
+            inputs_embeds=emb,
+            positions=jnp.full((B, 1), T, jnp.int32),
+            kv_valid_len=jnp.full((B,), T + 1, jnp.int32),
+            write_pos=jnp.full((B,), T, jnp.int32),
+        )
+        l_xla, _ = dlib.decoder_forward(params, cfg, cache=cache, **kw)
+        l_krn, _ = dlib.decoder_forward(
+            params, cfg, cache=cache, decode_kernel=True, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_xla), np.asarray(l_krn), atol=1e-5
+        )
+    finally:
+        da.decode_attention = orig

@@ -60,6 +60,7 @@ class GenerationEngine:
         cache_dtype=jnp.bfloat16,
         stop_token_ids: Tuple[int, ...] = (),
         encoder_attn_impl: str = "xla",
+        decode_attn_impl: str = "xla",  # "kernel" = flash-decoding pallas
     ):
         self.params = params
         self.cfg = cfg
@@ -74,14 +75,18 @@ class GenerationEngine:
                 _prefill_impl, cfg=cfg, encoder_attn_impl=encoder_attn_impl
             )
         )
+        use_kernel = decode_attn_impl == "kernel"
         self._decode = jax.jit(
-            functools.partial(_decode_impl, cfg=cfg), donate_argnames=("cache",)
+            functools.partial(_decode_impl, cfg=cfg, decode_kernel=use_kernel),
+            donate_argnames=("cache",),
         )
         self._sample = jax.jit(
             sample_token, static_argnames=("temperature", "top_k", "top_p")
         )
         self._decode_scan = jax.jit(
-            functools.partial(_decode_scan_impl, cfg=cfg),
+            functools.partial(
+                _decode_scan_impl, cfg=cfg, decode_kernel=use_kernel
+            ),
             static_argnames=("n_steps",),
             donate_argnames=("cache",),
         )
@@ -224,14 +229,19 @@ class GenerationEngine:
         return GenerationResult(token_ids=out_ids, prompt_lens=prompt_lens)
 
 
-def _decode_scan_impl(params, cache, tokens, cache_pos, *, cfg, n_steps: int):
+def _decode_scan_impl(
+    params, cache, tokens, cache_pos, *, cfg, n_steps: int,
+    decode_kernel: bool = False,
+):
     """Greedy-decode ``n_steps`` tokens in ONE compiled call (lax.scan over
     decode steps — one host dispatch instead of n). Used for batch/offline
     throughput; streaming uses the per-step path."""
 
     def body(carry, _):
         tok, cache, pos = carry
-        logits, cache, pos = _decode_impl(params, cache, tok, pos, cfg=cfg)
+        logits, cache, pos = _decode_impl(
+            params, cache, tok, pos, cfg=cfg, decode_kernel=decode_kernel
+        )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, cache, pos), nxt
 
@@ -275,7 +285,10 @@ def _prefill_impl(
     return last, cache, seq_lens
 
 
-def _decode_impl(params, cache, tokens, cache_pos, *, cfg: UltravoxConfig):
+def _decode_impl(
+    params, cache, tokens, cache_pos, *, cfg: UltravoxConfig,
+    decode_kernel: bool = False,
+):
     """One decode step. ``tokens`` (B,) are the tokens just sampled; they get
     embedded, written at ``cache_pos``, and the next logits returned."""
     B = tokens.shape[0]
@@ -291,5 +304,6 @@ def _decode_impl(params, cache, tokens, cache_pos, *, cfg: UltravoxConfig):
         kv_valid_len=cache_pos + 1,
         cache=cache,
         write_pos=cache_pos,
+        decode_kernel=decode_kernel,
     )
     return logits[:, 0], cache, cache_pos + 1

@@ -85,6 +85,7 @@ class ServingEngine:
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
         encoder_attn_impl: str = "xla",
+        decode_attn_impl: str = "xla",
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -124,7 +125,10 @@ class ServingEngine:
         )
         self._insert = jax.jit(_insert_kv, donate_argnums=(0,), static_argnums=(4,))
         self._decode = jax.jit(
-            functools.partial(_decode_all_slots, cfg=cfg),
+            functools.partial(
+                _decode_all_slots, cfg=cfg,
+                decode_kernel=decode_attn_impl == "kernel",
+            ),
             donate_argnums=(1,),
         )
         self._sample = jax.jit(
@@ -352,7 +356,10 @@ def _insert_kv(cache, kv, slot, prompt_len, max_seq_len: int):
     return decoder_lib.KVCache(k=ins(cache.k, kv.k), v=ins(cache.v, kv.v))
 
 
-def _decode_all_slots(params, cache, tokens, cache_lens, active_mask, *, cfg):
+def _decode_all_slots(
+    params, cache, tokens, cache_lens, active_mask, *, cfg,
+    decode_kernel: bool = False,
+):
     """One decode step for every slot. Inactive slots keep cache_len and
     produce ignored logits (position clamps keep indices in range)."""
     B = tokens.shape[0]
@@ -368,6 +375,7 @@ def _decode_all_slots(params, cache, tokens, cache_lens, active_mask, *, cfg):
         kv_valid_len=cache_lens + 1,
         cache=cache,
         write_pos=cache_lens,
+        decode_kernel=decode_kernel,
     )
     new_lens = jnp.where(active_mask, cache_lens + 1, cache_lens)
     return logits[:, 0], cache, new_lens

@@ -124,6 +124,8 @@ def _decoder_layer(
     cache_v: Optional[jax.Array],
     write_pos: Optional[jax.Array],  # (B,) int32 write offset into cache
     return_kv: bool = False,
+    decode_kernel: bool = False,
+    decode_lengths: Optional[jax.Array] = None,  # (B,) valid cache entries
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     B, T, D = x.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -167,7 +169,21 @@ def _decoder_layer(
     else:
         bias = bias_global
 
-    attn = mha(q, k_all, v_all, bias=bias, scale=cfg.attn_scale)
+    if decode_kernel and T == 1 and cache_k is not None:
+        # flash-decoding Pallas kernel: reads only the valid cache prefix
+        from ultravox_tpu.ops.pallas.decode_attention import decode_attention
+
+        window = (
+            jnp.where(layer_is_local, cfg.sliding_window, 0)
+            if cfg.sliding_window is not None
+            else jnp.asarray(0, jnp.int32)
+        )
+        attn = decode_attention(
+            q[:, 0], k_all, v_all, decode_lengths, window,
+            scale=cfg.attn_scale,
+        )[:, None]
+    else:
+        attn = mha(q, k_all, v_all, bias=bias, scale=cfg.attn_scale)
     attn = _proj(attn.reshape(B, T, Hq * Dh), p["o_proj"])
     if cfg.use_post_norms:
         attn = rms_norm(attn, p["post_attn_ln"], cfg.rms_norm_eps, plus_one=plus_one)
@@ -222,6 +238,7 @@ def decoder_forward(
     remat: bool = False,
     return_hidden: bool = False,
     return_kv: bool = False,
+    decode_kernel: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Returns (logits (B, T, V) fp32, updated cache).
 
@@ -256,6 +273,10 @@ def decoder_forward(
 
     local_flags = jnp.asarray(is_local_layer(cfg))
 
+    use_decode_kernel = (
+        decode_kernel and cache is not None and x.shape[1] == 1
+    )
+
     def layer_fn(carry, xs):
         h = carry
         p, is_loc, ck, cv = xs
@@ -263,6 +284,8 @@ def decoder_forward(
             cfg, h, p, cos_g, sin_g, cos_l, sin_l,
             bias_global, bias_local, is_loc, ck, cv, write_pos,
             return_kv=return_kv,
+            decode_kernel=use_decode_kernel,
+            decode_lengths=kv_valid_len,
         )
         return h, (ck, cv)
 
