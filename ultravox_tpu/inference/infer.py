@@ -52,6 +52,7 @@ class LocalInference(base.VoiceInference):
         chat_template: Optional[str] = None,
         extra_stop_tokens: tuple = (),
         cache_dtype=None,
+        fused_greedy_decode: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -76,6 +77,7 @@ class LocalInference(base.VoiceInference):
         if chat_template:
             self.tokenizer.chat_template = chat_template
         self.conversation_mode = conversation_mode
+        self.fused_greedy_decode = fused_greedy_decode
         self.past_messages: List[Dict[str, str]] = []
         # audios referenced by <|audio|> placeholders in past messages, in
         # order (the prefix-reuse path skips re-encoding them; a cache miss
@@ -131,11 +133,19 @@ class LocalInference(base.VoiceInference):
         else:
             feats = [self._dataproc(s) for s in samples]
             batch = self.collator(feats)
-            result = self.engine.generate(
-                batch,
-                max_new_tokens=max_tokens or MAX_NEW_TOKENS,
-                temperature=temperature or 0.0,
-            )
+            if self.fused_greedy_decode and not temperature:
+                # fused decode loop: one dispatch per call; always runs
+                # max_new_tokens steps, so best when dispatch latency
+                # dominates (remote-attached devices) or answers are long
+                result = self.engine.generate_greedy_fused(
+                    batch, max_new_tokens=max_tokens or MAX_NEW_TOKENS
+                )
+            else:
+                result = self.engine.generate(
+                    batch,
+                    max_new_tokens=max_tokens or MAX_NEW_TOKENS,
+                    temperature=temperature or 0.0,
+                )
             results = list(zip(result.token_ids, result.prompt_lens))
         outputs = []
         for ids, n_in in results:

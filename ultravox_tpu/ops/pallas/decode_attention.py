@@ -2,15 +2,24 @@
 reading ONLY the valid prefix of each sequence's cache.
 
 Why: the XLA decode path computes attention against the full static-shape
-cache every step — at batch 8 × 1024 max positions × 1B-model dims that is
-~2 GB of (mostly invalid) KV traffic per step, while the valid prefix is
-often a tenth of that. This kernel (vLLM's paged-attention counterpart,
+cache every step — at batch 8 × 2048 max positions × 1B-model dims that is
+multiple GB of (mostly invalid) KV traffic per step, while the valid prefix
+is often a tenth of that. This kernel (vLLM's paged-attention counterpart,
 SURVEY.md §2.9) keeps the cache in HBM and DMAs fixed-size blocks into VMEM
 with an online-softmax accumulator, terminating the block loop at each
 sequence's actual length (per-sequence lengths arrive via scalar prefetch).
 
-Grid: one program per batch row. GQA: queries (H, D) grouped as
-(Hkv, group, D) against the (S, Hkv, D) cache.
+Alignment strategy: Mosaic requires manual HBM→VMEM DMA slices to have a
+128-aligned minor dimension, but head_dim is typically 64. The cache is
+therefore viewed as (B, S, Hkv·D) (a free bitcast — minor dim 512+), and the
+per-head structure is recovered algebraically: queries enter as a
+block-diagonal (Hkv·D, Hkv·group) matrix (zeros kill cross-head terms), so
+`k_flat @ q_bd` yields exactly the per-head logits with only lane-aligned 2-D
+shapes inside the kernel. The block-diagonal construction and the final
+diagonal extraction are cheap XLA ops outside the kernel.
+
+Grid: one program per batch row. The block loop skips blocks outside
+[window_start, length) — sliding-window layers read only their window.
 """
 
 from __future__ import annotations
@@ -28,47 +37,38 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _decode_kernel(
     lens_ref,  # SMEM (B,) — valid cache length per row (incl. current token)
     window_ref,  # SMEM (1,) — sliding window size; 0 = disabled
-    q_ref,  # VMEM (1, H, D)
-    k_hbm,  # ANY  (B, S, Hkv, D) — full array; batch row indexed in-kernel
-    v_hbm,  # ANY  (B, S, Hkv, D)
-    o_ref,  # VMEM (1, H, D)
-    k_scratch,  # VMEM (2, block_s, Hkv, D)
+    qbd_ref,  # VMEM (1, Hkv*D, Hkv*G) block-diagonal queries
+    k_hbm,  # ANY  (B, S, Hkv*D)
+    v_hbm,  # ANY  (B, S, Hkv*D)
+    o_ref,  # VMEM (1, Hkv*D, Hkv*G) fp32 — packed output, diag-extracted outside
+    k_scratch,  # VMEM (2, block_s, Hkv*D)
     v_scratch,
     sem,  # DMA semaphores (2, 2)
     *,
     block_s: int,
-    seq_len: int,
-    num_heads: int,
-    num_kv_heads: int,
-    head_dim: int,
-    scale: float,
+    packed_dim: int,  # Hkv*D
+    num_cols: int,  # Hkv*G
 ):
     b = pl.program_id(0)
     n = lens_ref[b]
     window = window_ref[0]
-    # with a sliding window only keys in [n - window, n) participate; skip
-    # whole blocks below the window start
     win_start = jnp.where(window > 0, jnp.maximum(n - window, 0), 0)
     first_block = win_start // block_s
     num_blocks = pl.cdiv(n, block_s)
-    group = num_heads // num_kv_heads
 
-    q = q_ref[0].reshape(num_kv_heads, group, head_dim)
+    q_bd = qbd_ref[0]  # (packed, cols)
 
     def start_copy(slot, block_idx):
-        kc = pltpu.make_async_copy(
+        pltpu.make_async_copy(
             k_hbm.at[b, pl.ds(block_idx * block_s, block_s)],
             k_scratch.at[slot],
             sem.at[slot, 0],
-        )
-        vc = pltpu.make_async_copy(
+        ).start()
+        pltpu.make_async_copy(
             v_hbm.at[b, pl.ds(block_idx * block_s, block_s)],
             v_scratch.at[slot],
             sem.at[slot, 1],
-        )
-        kc.start()
-        vc.start()
-        return kc, vc
+        ).start()
 
     def wait_copy(slot, block_idx):
         pltpu.make_async_copy(
@@ -82,7 +82,6 @@ def _decode_kernel(
             sem.at[slot, 1],
         ).wait()
 
-    # warm-up: first block in flight
     @pl.when(num_blocks > first_block)
     def _():
         start_copy(first_block % 2, first_block)
@@ -96,42 +95,38 @@ def _decode_kernel(
             start_copy((i + 1) % 2, i + 1)
 
         wait_copy(slot, i)
-        k = k_scratch[slot]  # (block_s, Hkv, D)
+        k = k_scratch[slot]  # (block_s, packed)
         v = v_scratch[slot]
 
-        # s[kv, g, s_blk] = q[kv, g, :] · k[s_blk, kv, :]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (Hkv, group, block_s)
-
+        # per-head logits via the block-diagonal queries: (block_s, cols)
+        s = jnp.dot(k, q_bd, preferred_element_type=jnp.float32)
         pos = i * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, block_s), 2
+            jnp.int32, (block_s, 1), 0
         )
-        s = jnp.where((pos < n) & (pos >= win_start), s, NEG_INF)
+        valid = (pos < n) & (pos >= win_start)
+        s = jnp.where(valid, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))  # (1, cols)
         corr = jnp.exp(m - m_new)
-        e = jnp.exp(s - m_new)
-        z_new = z * corr + jnp.sum(e, axis=-1, keepdims=True)
-        # acc[kv, g, d] += e[kv, g, s_blk] · v[s_blk, kv, d]
+        e = jnp.exp(s - m_new)  # (block_s, cols)
+        e = jnp.where(valid, e, 0.0)
+        z_new = z * corr + jnp.sum(e, axis=0, keepdims=True)
+        # acc (packed, cols) += V^T e
         pv = jax.lax.dot_general(
-            e.astype(v.dtype),
             v,
-            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            e.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_new = acc * corr + pv
-        return m_new, z_new, acc_new
+        return m_new, z_new, acc * corr + pv
 
-    m0 = jnp.full((num_kv_heads, group, 1), NEG_INF, jnp.float32)
-    z0 = jnp.zeros((num_kv_heads, group, 1), jnp.float32)
-    acc0 = jnp.zeros((num_kv_heads, group, head_dim), jnp.float32)
-    m, z, acc = jax.lax.fori_loop(first_block, num_blocks, body, (m0, z0, acc0))
-    out = acc / jnp.maximum(z, 1e-30)
-    o_ref[0] = out.reshape(num_heads, head_dim).astype(o_ref.dtype)
+    m0 = jnp.full((1, num_cols), NEG_INF, jnp.float32)
+    z0 = jnp.zeros((1, num_cols), jnp.float32)
+    acc0 = jnp.zeros((packed_dim, num_cols), jnp.float32)
+    m, z, acc = jax.lax.fori_loop(
+        first_block, num_blocks, body, (m0, z0, acc0)
+    )
+    o_ref[0] = acc / jnp.maximum(z, 1e-30)
 
 
 @functools.partial(
@@ -152,49 +147,60 @@ def decode_attention(
     B, H, D = q.shape
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
+    G = H // Hkv
     if scale is None:
         scale = D**-0.5
     block_s = min(block_s, S)
     if S % block_s:
         raise ValueError(f"cache length {S} not a multiple of block {block_s}")
 
+    packed = Hkv * D
+    cols = Hkv * G
+
+    # block-diagonal queries: q_bd[b, kv*D+d, kv*G+g] = q[b, kv, g, d] * scale
+    qg = (q.reshape(B, Hkv, G, D) * jnp.asarray(scale, q.dtype))
+    eye = jnp.eye(Hkv, dtype=q.dtype)
+    q_bd = jnp.einsum("bkgd,kK->bkdKg", qg, eye).reshape(B, packed, cols)
+
+    k_flat = k_cache.reshape(B, S, packed)
+    v_flat = v_cache.reshape(B, S, packed)
+
     kernel = functools.partial(
-        _decode_kernel,
-        block_s=block_s,
-        seq_len=S,
-        num_heads=H,
-        num_kv_heads=Hkv,
-        head_dim=D,
-        scale=scale,
+        _decode_kernel, block_s=block_s, packed_dim=packed, num_cols=cols
     )
-    return pl.pallas_call(
+    out_packed = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, H, D), lambda b, *_: (b, 0, 0),
+                    (1, packed, cols), lambda b, *_: (b, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, packed, cols), lambda b, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, block_s, Hkv, D), k_cache.dtype),
-                pltpu.VMEM((2, block_s, Hkv, D), v_cache.dtype),
+                pltpu.VMEM((2, block_s, packed), k_cache.dtype),
+                pltpu.VMEM((2, block_s, packed), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, packed, cols), jnp.float32),
         interpret=interpret,
     )(
         lengths.astype(jnp.int32),
         jnp.asarray(window, jnp.int32).reshape(1),
-        q,
-        k_cache,
-        v_cache,
+        q_bd,
+        k_flat,
+        v_flat,
     )
+    # extract the diagonal blocks: out[b, kv, g, d] = packed[b, kv*D+d, kv*G+g]
+    out5 = out_packed.reshape(B, Hkv, D, Hkv, G)
+    out = jnp.einsum("bkdKg,kK->bkgd", out5, jnp.eye(Hkv, dtype=jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
