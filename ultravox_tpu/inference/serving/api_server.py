@@ -253,6 +253,14 @@ def main():
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--num-slots", type=int, default=16)
     parser.add_argument("--max-seq-len", type=int, default=4096)
+    parser.add_argument(
+        "--encoder-attn", default="fused", choices=["xla", "fused"],
+        help="fused = Pallas VMEM-resident encoder attention",
+    )
+    parser.add_argument(
+        "--decode-attn", default="kernel", choices=["xla", "kernel"],
+        help="kernel = flash-decoding Pallas kernel (reads only valid cache)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -276,7 +284,12 @@ def main():
     )
     collator = DataCollatorWithAudio(pad_token_id=tokenizer.pad_token_id)
     engine = ServingEngine(
-        params, cfg, num_slots=args.num_slots, max_seq_len=args.max_seq_len
+        params,
+        cfg,
+        num_slots=args.num_slots,
+        max_seq_len=args.max_seq_len,
+        encoder_attn_impl=args.encoder_attn,
+        decode_attn_impl=args.decode_attn,
     )
     serve(
         ServingAPI(engine, processor, collator),

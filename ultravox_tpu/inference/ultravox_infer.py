@@ -47,6 +47,7 @@ class UltravoxInference(LocalInference):
         max_cache_len: int = 4096,
         conversation_mode: bool = False,
         mesh=None,
+        fused_greedy_decode: bool = False,
     ):
         import transformers
 
@@ -102,4 +103,5 @@ class UltravoxInference(LocalInference):
             max_cache_len=max_cache_len,
             conversation_mode=conversation_mode,
             cache_dtype=dtype,
+            fused_greedy_decode=fused_greedy_decode,
         )

@@ -20,6 +20,14 @@ diagonal extraction are cheap XLA ops outside the kernel.
 
 Grid: one program per batch row. The block loop skips blocks outside
 [window_start, length) — sliding-window layers read only their window.
+
+When to use (measured on v5e, 1B model, batch 8): the standalone op is ~8×
+faster than the standalone XLA decode attention at a 2048-entry cache, but
+*inside the full decode step* XLA fuses its attention chain well and the
+per-layer kernel-launch overhead makes the kernel a net loss at short
+contexts (~820 vs ~968 tok/s at ≤256 live entries). Select
+``decode_attn_impl="kernel"`` for long-context serving (≥2–4K live cache
+entries per sequence); the XLA path stays the default.
 """
 
 from __future__ import annotations
