@@ -39,11 +39,19 @@ def config_to_hf_dict(cfg: UltravoxConfig) -> dict:
         "llm_only_training": cfg.llm_only_training,
         "audio_config": {
             "model_type": "whisper",
+            # the reference selects its ModifiedWhisperEncoder path by
+            # substring-matching _name_or_path (ultravox_model.py:470)
+            "_name_or_path": cfg.audio_model_id or "whisper-encoder",
             "num_mel_bins": audio.num_mel_bins,
             "d_model": audio.d_model,
             "encoder_layers": audio.num_layers,
             "encoder_attention_heads": audio.num_heads,
             "encoder_ffn_dim": audio.ffn_dim,
+            # decoder dims kept consistent so a full WhisperModel is also
+            # constructible from this config
+            "decoder_layers": audio.num_layers,
+            "decoder_attention_heads": audio.num_heads,
+            "decoder_ffn_dim": audio.ffn_dim,
             "max_source_positions": audio.max_source_positions,
             "activation_function": audio.activation,
         },
