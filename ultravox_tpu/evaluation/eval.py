@@ -107,9 +107,13 @@ def eval_datasets(
     ]
     scores: Dict[str, Dict[str, Any]] = {}
     for name in config.eval_sets:
-        ds_config = registry._resolve_config(name)
-        metric = ds_config.eval_config.metric if ds_config.eval_config else "wer"
-        metric_args = dict(ds_config.eval_config.args) if ds_config.eval_config else {}
+        try:
+            ds_config = registry._resolve_config(name)
+        except KeyError:
+            ds_config = None  # special-cased dataset (e.g. synthetic-asr)
+        eval_cfg = ds_config.eval_config if ds_config else None
+        metric = eval_cfg.metric if eval_cfg else "wer"
+        metric_args = dict(eval_cfg.args) if eval_cfg else {}
         if config.language:
             metric_args.setdefault("lang_id", config.language)
         args = data_types.EvalDatasetArgs(language=config.language)

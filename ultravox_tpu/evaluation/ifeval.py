@@ -219,6 +219,54 @@ def no_comma(text: str, kw) -> bool:
     return "," not in text
 
 
+# -- language ---------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "is", "of", "to", "in", "that", "it", "you", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "est", "et", "je", "vous", "pour", "dans", "une"},
+    "es": {"el", "la", "los", "es", "y", "que", "una", "para", "con", "por"},
+    "it": {"il", "la", "che", "è", "e", "per", "una", "sono", "con", "non"},
+    "pt": {"o", "a", "que", "é", "e", "para", "uma", "com", "não", "os"},
+}
+_SCRIPTS = [
+    ("zh", r"[一-鿿]"), ("ja", r"[぀-ヿ]"),
+    ("ko", r"[가-힯]"), ("ru", r"[Ѐ-ӿ]"),
+    ("ar", r"[؀-ۿ]"), ("hi", r"[ऀ-ॿ]"),
+    ("th", r"[฀-๿]"), ("he", r"[֐-׿]"),
+]
+
+
+def _detect_language(text: str):
+    try:
+        import langdetect
+
+        return langdetect.detect(text)
+    except Exception:  # noqa: BLE001 — package absent or detection failure
+        pass
+    chars = [c for c in text if not c.isspace()]
+    if not chars:
+        return None
+    for lang, pattern in _SCRIPTS:
+        if len(re.findall(pattern, text)) / len(chars) > 0.3:
+            return lang
+    words = set(w.lower() for w in re.findall(r"[a-zA-Zà-ÿ]+", text))
+    best, best_hits = None, 0
+    for lang, stops in _STOPWORDS.items():
+        hits = len(words & stops)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best if best_hits >= 2 else "en" if words else None
+
+
+def response_language(text: str, kw) -> bool:
+    """reference: ifeval ResponseLanguageChecker (langdetect); heuristic
+    script/stopword fallback when langdetect is unavailable."""
+    detected = _detect_language(text)
+    target = kw.get("language", "en")
+    return detected is not None and detected.startswith(target.split("-")[0])
+
+
 CHECKERS: Dict[str, Checker] = {
     "keywords:existence": keywords_existence,
     "keywords:frequency": keywords_frequency,
@@ -244,6 +292,7 @@ CHECKERS: Dict[str, Checker] = {
     "change_case:english_capital": english_capital,
     "change_case:english_lowercase": english_lowercase,
     "punctuation:no_comma": no_comma,
+    "language:response_language": response_language,
 }
 
 

@@ -153,7 +153,9 @@ def _decoder_layer(
         # attend over the whole (masked) cache.
         def write(cache, new):
             return jax.vmap(
-                lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (i, 0, 0))
+                lambda c, n, i: jax.lax.dynamic_update_slice(
+                    c, n.astype(c.dtype), (i, 0, 0)
+                )
             )(cache, new, write_pos)
 
         cache_k = write(cache_k, k)

@@ -85,6 +85,11 @@ def save_pretrained(
     projector (adapter-sized, reference diff_state_dict semantics)."""
     import safetensors.numpy
 
+    from ultravox_tpu.models.lora import merge_lora
+
+    # fold any LoRA adapters into the kernels before publishing (reference
+    # merges via merge_and_unload before push_to_hub, ultravox_model.py:561)
+    params = merge_lora(params)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(config_to_hf_dict(cfg), f, indent=2)

@@ -102,6 +102,13 @@ class TrainConfig:
     save_steps: Optional[int] = 1000
     logging_steps: int = 10
 
+    # -- post-train in-process eval (reference: train.py:343-382) ------------
+    do_eval: bool = False
+    eval_sets: List[str] = dataclasses.field(default_factory=list)
+    eval_num_samples: int = 64
+    eval_batch_size: int = 8
+    eval_max_tokens: int = 64
+
     # -- numerics / parallelism ---------------------------------------------
     param_dtype: str = "bfloat16"
     remat: bool = True

@@ -289,8 +289,41 @@ def train(config: TrainConfig) -> Dict[str, float]:
     ckpt_lib.export_safetensors(
         state, os.path.join(config.output_dir, "model.safetensors")
     )
+
+    # post-train in-process eval (reference: train.py:343-382 merges LoRA and
+    # runs LocalInference over the eval sets)
+    if config.do_eval and config.eval_sets:
+        final_metrics.update(
+            post_train_eval(config, model_pack, state, template)
+        )
     logger.info("training done in %.1fs", time.time() - t_start)
     return final_metrics
+
+
+def post_train_eval(config, model_pack, state, template) -> Dict[str, float]:
+    from ultravox_tpu.evaluation.eval import EvalConfig, eval_datasets
+    from ultravox_tpu.inference.infer import LocalInference
+    from ultravox_tpu.models.lora import merge_lora
+
+    params = ts.merge_params(template, state.trainable, state.frozen)
+    params = merge_lora(params)
+    inference = LocalInference(
+        params, model_pack.config, model_pack.processor,
+        max_cache_len=2048,
+    )
+    scores = eval_datasets(
+        inference,
+        EvalConfig(
+            eval_sets=config.eval_sets,
+            num_samples=config.eval_num_samples,
+            batch_size=config.eval_batch_size,
+            max_tokens=config.eval_max_tokens,
+            output_dir=os.path.join(config.output_dir, "eval"),
+        ),
+    )
+    return {
+        f"eval/{name}": float(s["score"]) for name, s in scores.items()
+    }
 
 
 def validate(config, model_pack, state, template, mesh) -> Dict[str, float]:
