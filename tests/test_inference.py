@@ -185,3 +185,32 @@ def test_conversation_mode_accumulates(uv_setup):
     assert inference.past_messages[-1]["content"] == out1.text
     inference.infer(VoiceSample.from_prompt("again"), max_tokens=4)
     assert len(inference.past_messages) == 4
+
+
+def test_cache_budget_guard(tiny_llm):
+    """Boundary semantics: prompt + max_new == max_cache_len + 1 fits (the
+    final sampled token is never written); one more raises."""
+    model, dec_cfg, params = tiny_llm
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    engine = _engine(cfg, {"language_model": params})  # max_cache_len=128
+    prompt = np.ones((1, 9), np.int32)
+    batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
+    # 9 + 120 = 129 == max_cache_len + 1 -> allowed
+    out = engine.generate(batch, max_new_tokens=120)
+    assert len(out.token_ids[0]) == 120
+    with pytest.raises(ValueError, match="max_cache_len"):
+        engine.generate(batch, max_new_tokens=121)
+    with pytest.raises(ValueError, match="max_cache_len"):
+        engine.generate_greedy_fused(batch, max_new_tokens=121)
+
+
+def test_infer_stream_surfaces_engine_errors(uv_setup):
+    """A generation error must terminate the stream with the exception, not
+    hang the consumer."""
+    cfg, params, processor = uv_setup
+    inference = LocalInference(
+        params, cfg, processor, max_cache_len=16, cache_dtype=jnp.float32
+    )
+    sample = VoiceSample.from_prompt("a long enough prompt that overflows")
+    with pytest.raises(ValueError, match="max_cache_len"):
+        list(inference.infer_stream(sample, max_tokens=64))

@@ -194,3 +194,29 @@ def test_api_server_end_to_end(setup):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_serving_rejects_oversized_prompt(setup):
+    """Prompts beyond the largest prefill bucket terminate with
+    prompt_too_long instead of killing the serving loop."""
+    cfg, params, processor, collator = setup
+    serving = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(32,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        big = {
+            "input_ids": np.ones((1, 64), np.int32),
+            "attention_mask": np.ones((1, 64), np.int32),
+        }
+        req = serving.submit(big, max_tokens=4)
+        events = list(serving.stream(req))
+        assert events[-1].finish_reason == "prompt_too_long"
+        # the loop must still serve well-sized requests afterwards
+        ok = _mini_batch(processor, collator, "hello world")
+        req2 = serving.submit(ok, max_tokens=3)
+        ids, fin = _drain(serving, req2)
+        assert len(ids) == 3 and fin == "length"
+    finally:
+        serving.stop()

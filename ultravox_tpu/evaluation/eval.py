@@ -75,9 +75,21 @@ def infer_dataset(
             trimmed = dataclasses.replace(sample)
             trimmed.messages = sample.messages[:-1]
             samples.append(trimmed)
-        outputs = inference.infer_batch(
-            samples, max_tokens=max_tokens, temperature=temperature
-        )
+        try:
+            outputs = inference.infer_batch(
+                samples, max_tokens=max_tokens, temperature=temperature
+            )
+        except Exception:  # noqa: BLE001 — one bad batch must not kill the run
+            logger.exception(
+                "inference failed for batch starting at sample %d; "
+                "scoring empty answers", indices[0],
+            )
+            from ultravox_tpu.inference.base import VoiceOutput
+
+            outputs = [
+                VoiceOutput(text="", input_tokens=0, output_tokens=0)
+                for _ in samples
+            ]
         for idx, q, ref, out, s in zip(indices, questions, refs, outputs, samples):
             results.append(
                 (

@@ -91,6 +91,18 @@ class GenerationEngine:
             donate_argnames=("cache",),
         )
 
+    def _check_cache_budget(
+        self, prompt_len: int, max_new_tokens: int, start_pos: int = 0
+    ) -> None:
+        # the final sampled token is never written to the cache, so the last
+        # written position is start + prompt + max_new - 2
+        if start_pos + prompt_len + max_new_tokens > self.max_cache_len + 1:
+            raise ValueError(
+                f"prompt ({prompt_len} tokens at offset {start_pos}) + "
+                f"max_new_tokens ({max_new_tokens}) exceeds max_cache_len "
+                f"({self.max_cache_len}); raise max_cache_len or truncate."
+            )
+
     # -- batch preparation ------------------------------------------------
 
     def pad_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -149,6 +161,7 @@ class GenerationEngine:
         """
         true_B = batch["input_ids"].shape[0]
         prompt_lens = [int(x) for x in batch["attention_mask"].sum(-1)][:true_B]
+        self._check_cache_budget(max(prompt_lens), max_new_tokens, start_pos)
         batch = self.pad_batch(batch)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         B = batch["input_ids"].shape[0]
@@ -202,6 +215,7 @@ class GenerationEngine:
         on host afterwards)."""
         true_B = batch["input_ids"].shape[0]
         prompt_lens = [int(x) for x in batch["attention_mask"].sum(-1)][:true_B]
+        self._check_cache_budget(max(prompt_lens), max_new_tokens)
         batch = self.pad_batch(batch)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         B = batch["input_ids"].shape[0]

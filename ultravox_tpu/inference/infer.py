@@ -260,18 +260,22 @@ class LocalInference(base.VoiceInference):
         result_box: Dict[str, Any] = {}
 
         def run():
-            if conversational:
-                result_box["result"] = self._generate_conversational(
-                    sample, max_tokens, temperature, token_callback=callback
-                )
-            else:
-                result_box["result"] = self.engine.generate(
-                    batch,
-                    max_new_tokens=max_tokens or MAX_NEW_TOKENS,
-                    temperature=temperature or 0.0,
-                    token_callback=callback,
-                )
-            q.put(None)
+            try:
+                if conversational:
+                    result_box["result"] = self._generate_conversational(
+                        sample, max_tokens, temperature, token_callback=callback
+                    )
+                else:
+                    result_box["result"] = self.engine.generate(
+                        batch,
+                        max_new_tokens=max_tokens or MAX_NEW_TOKENS,
+                        temperature=temperature or 0.0,
+                        token_callback=callback,
+                    )
+            except BaseException as e:  # surfaced to the consumer
+                result_box["error"] = e
+            finally:
+                q.put(None)
 
         worker = threading.Thread(target=run, daemon=True)
         worker.start()
@@ -281,6 +285,8 @@ class LocalInference(base.VoiceInference):
                 break
             yield base.InferenceChunk(chunk)
         worker.join()
+        if "error" in result_box:
+            raise result_box["error"]
         result = result_box["result"]
         full_text = self.tokenizer.decode(
             result.token_ids[0], skip_special_tokens=True

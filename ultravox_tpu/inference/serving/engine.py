@@ -204,12 +204,31 @@ class ServingEngine:
                     req = self._pending.get_nowait()
                 except queue.Empty:
                     break
-                self._admit(req)
+                try:
+                    self._admit(req)
+                except Exception:  # noqa: BLE001 — fail the request, not the loop
+                    logger.exception("admit failed for request %d", req.request_id)
+                    if req.slot >= 0 and req.slot in self._active:
+                        del self._active[req.slot]
+                        self._free_slots.append(req.slot)
+                    req.out_queue.put(
+                        StreamEvent(token_id=None, finish_reason="error")
+                    )
                 admitted += 1
                 did_work = True
 
             if self._active:
-                self._decode_step()
+                try:
+                    self._decode_step()
+                except Exception:  # noqa: BLE001 — fail active requests, keep serving
+                    logger.exception("decode step failed; failing active requests")
+                    for slot, req in list(self._active.items()):
+                        req.out_queue.put(
+                            StreamEvent(token_id=None, finish_reason="error")
+                        )
+                        del self._active[slot]
+                        self._free_slots.append(slot)
+                        self.cache_lens = self.cache_lens.at[slot].set(0)
                 did_work = True
 
             if not did_work:
@@ -235,9 +254,19 @@ class ServingEngine:
         return batch
 
     def _admit(self, req: Request):
+        prompt_len = int(np.asarray(req.batch["attention_mask"]).sum())
+        # a prompt of max_seq_len - 1 is servable (one token, then
+        # cache_full); anything beyond that — or beyond the largest prefill
+        # bucket — cannot be prefilled
+        limit = min(self.max_seq_len - 1, self.prefill_len_buckets[-1])
+        if prompt_len > limit:
+            req.out_queue.put(
+                StreamEvent(token_id=None, finish_reason="prompt_too_long")
+            )
+            return
         slot = self._free_slots.pop()
         req.slot = slot
-        req.prompt_len = int(np.asarray(req.batch["attention_mask"]).sum())
+        req.prompt_len = prompt_len
         padded = self._pad_request(req.batch)
         jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
         logits_last, kv = self._prefill(self.params, jbatch)
