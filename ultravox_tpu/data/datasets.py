@@ -334,11 +334,17 @@ class Range(SizedIterableDataset):
 
 
 class Dataproc(SizedIterableDataset):
-    """Preprocessing wrapper (reference: datasets.py:592-615)."""
+    """Preprocessing wrapper (reference: datasets.py:592-615).
 
-    def __init__(self, dataset: SizedIterableDataset):
+    ``num_workers > 1`` maps ``_process`` over a thread pool with bounded
+    lookahead, preserving order — the numpy mel/FFT work releases the GIL, so
+    this parallelises the host feature pipeline (the reference uses torch
+    DataLoader worker processes for the same purpose)."""
+
+    def __init__(self, dataset: SizedIterableDataset, num_workers: int = 1):
         self._dataset = dataset
         self._name = dataset.name
+        self._num_workers = num_workers
 
     @abc.abstractmethod
     def _process(self, sample: VoiceSample) -> Any: ...
@@ -347,8 +353,32 @@ class Dataproc(SizedIterableDataset):
         return len(self._dataset)
 
     def __iter__(self):
-        for sample in self._dataset:
-            yield self._process(sample)
+        if self._num_workers <= 1:
+            for sample in self._dataset:
+                yield self._process(sample)
+            return
+        import collections
+        import concurrent.futures
+
+        lookahead = self._num_workers * 2
+        with concurrent.futures.ThreadPoolExecutor(self._num_workers) as pool:
+            pending: collections.deque = collections.deque()
+            iterator = iter(self._dataset)
+            try:
+                while True:
+                    while len(pending) < lookahead:
+                        try:
+                            sample = next(iterator)
+                        except StopIteration:
+                            break
+                        pending.append(pool.submit(self._process, sample))
+                    if not pending:
+                        return
+                    yield pending.popleft().result()
+            except GeneratorExit:
+                for fut in pending:
+                    fut.cancel()
+                raise
 
 
 _WORDS = (

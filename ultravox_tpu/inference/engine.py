@@ -69,6 +69,7 @@ class GenerationEngine:
         self.chunk_buckets = chunk_buckets
         self.cache_dtype = cache_dtype
         self.stop_token_ids = tuple(stop_token_ids)
+        self._rng = jax.random.key(0)  # split per generate() call
 
         self._prefill = jax.jit(
             functools.partial(
@@ -174,7 +175,7 @@ class GenerationEngine:
             self.params, jbatch, cache, jnp.asarray(start_pos, jnp.int32)
         )
         if rng is None:
-            rng = jax.random.key(0)
+            self._rng, rng = jax.random.split(self._rng)
 
         done = np.zeros(B, dtype=bool)
         done[true_B:] = True

@@ -81,7 +81,7 @@ class ServingEngine:
         num_slots: int = 16,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
-        prefill_len_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
+        prefill_len_buckets: Optional[Tuple[int, ...]] = None,
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
         encoder_attn_impl: str = "xla",
@@ -95,6 +95,13 @@ class ServingEngine:
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
+        if prefill_len_buckets is None:
+            # powers of two up to the cache length, so the advertised context
+            # is actually prefillable
+            buckets = [64]
+            while buckets[-1] < max_seq_len:
+                buckets.append(min(buckets[-1] * 2, max_seq_len))
+            prefill_len_buckets = tuple(buckets)
         self.prefill_len_buckets = prefill_len_buckets
         self.mel_len_buckets = mel_len_buckets
         self.max_prefills_per_step = max_prefills_per_step
@@ -214,6 +221,7 @@ class ServingEngine:
                     req.out_queue.put(
                         StreamEvent(token_id=None, finish_reason="error")
                     )
+                    self._requests.pop(req.request_id, None)
                 admitted += 1
                 did_work = True
 
@@ -229,6 +237,7 @@ class ServingEngine:
                         del self._active[slot]
                         self._free_slots.append(slot)
                         self.cache_lens = self.cache_lens.at[slot].set(0)
+                        self._requests.pop(req.request_id, None)
                 did_work = True
 
             if not did_work:
@@ -263,22 +272,28 @@ class ServingEngine:
             req.out_queue.put(
                 StreamEvent(token_id=None, finish_reason="prompt_too_long")
             )
+            self._requests.pop(req.request_id, None)
             return
         slot = self._free_slots.pop()
-        req.slot = slot
-        req.prompt_len = prompt_len
-        padded = self._pad_request(req.batch)
-        jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
-        logits_last, kv = self._prefill(self.params, jbatch)
-        self.cache = self._insert(
-            self.cache, kv, jnp.asarray(slot), jnp.asarray(req.prompt_len),
-            self.max_seq_len,
-        )
-        self._rng, rng = jax.random.split(self._rng)
-        tok = self._sample(
-            logits_last, rng, temperature=req.temperature, top_k=0, top_p=1.0
-        )
-        tok_i = int(tok[0])
+        try:
+            req.slot = slot
+            req.prompt_len = prompt_len
+            padded = self._pad_request(req.batch)
+            jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
+            logits_last, kv = self._prefill(self.params, jbatch)
+            self.cache = self._insert(
+                self.cache, kv, jnp.asarray(slot), jnp.asarray(req.prompt_len),
+                self.max_seq_len,
+            )
+            self._rng, rng = jax.random.split(self._rng)
+            tok = self._sample(
+                logits_last, rng, temperature=req.temperature, top_k=0, top_p=1.0
+            )
+            tok_i = int(tok[0])
+        except Exception:
+            self._free_slots.append(slot)  # the slot must not leak
+            req.slot = -1
+            raise
         self.cache_lens = self.cache_lens.at[slot].set(req.prompt_len)
         self.last_tokens = self.last_tokens.at[slot].set(tok_i)
         self._active[slot] = req
@@ -344,6 +359,7 @@ class ServingEngine:
                 del self._active[req.slot]
                 self._free_slots.append(req.slot)
                 self.cache_lens = self.cache_lens.at[req.slot].set(0)
+            self._requests.pop(req.request_id, None)
 
 
 def _prefill_kv(params, batch, *, cfg: UltravoxConfig, encoder_attn_impl="xla"):

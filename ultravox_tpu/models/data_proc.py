@@ -7,7 +7,9 @@ chat-template render → processor → label mask by ``LossMaskType`` → text-o
 
 from __future__ import annotations
 
+import copy
 import dataclasses
+import threading
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -29,14 +31,35 @@ class UltravoxDataproc(Dataproc):
         max_response_tokens: Optional[int] = None,
         augmentation=None,
         inference_mode: bool = False,
+        num_workers: int = 1,
     ):
-        super().__init__(dataset)
-        self.processor = processor
+        super().__init__(dataset, num_workers=num_workers)
+        self._shared_processor = processor
+        self._shared_augmentation = augmentation
         self.loss_mask_type = loss_mask_type
         self.include_alt_fields = include_alt_fields
         self.max_response_tokens = max_response_tokens
-        self.augmentation = augmentation
         self.inference_mode = inference_mode
+        # HF fast tokenizers are not thread-safe ("Already borrowed" under
+        # concurrent use) and Augmentation carries a mutable RNG; with
+        # num_workers > 1 each worker thread gets its own deep copies.
+        self._tls = threading.local()
+
+    @property
+    def processor(self):
+        if self._num_workers <= 1:
+            return self._shared_processor
+        if not hasattr(self._tls, "processor"):
+            self._tls.processor = copy.deepcopy(self._shared_processor)
+        return self._tls.processor
+
+    @property
+    def augmentation(self):
+        if self._shared_augmentation is None or self._num_workers <= 1:
+            return self._shared_augmentation
+        if not hasattr(self._tls, "augmentation"):
+            self._tls.augmentation = copy.deepcopy(self._shared_augmentation)
+        return self._tls.augmentation
 
     def _render(self, messages, add_generation_prompt: bool) -> str:
         return self.processor.tokenizer.apply_chat_template(

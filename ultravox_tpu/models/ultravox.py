@@ -60,7 +60,11 @@ def splice_audio_embeds(
         audio_chunk_batch_idx[:, None] * T + audio_token_start_idx[:, None] + t[None]
     )
     valid = t[None, :] < audio_token_len[:, None]
-    dest = jnp.where(valid, dest, B * T)  # out-of-bounds => dropped
+    # invalid pairs get DISTINCT out-of-bounds destinations so the
+    # unique_indices contract holds (duplicate indices with
+    # unique_indices=True are undefined behaviour)
+    flat_pair = jnp.arange(N * Ta, dtype=jnp.int32).reshape(N, Ta)
+    dest = jnp.where(valid, dest, B * T + flat_pair)
     flat = inputs_embeds.reshape(B * T, D)
     flat = flat.at[dest.reshape(-1)].set(
         audio_embeds.reshape(N * Ta, D).astype(flat.dtype),
@@ -226,9 +230,16 @@ def _masked_kl(
     max_rows = min(T, T2)
     s = compact(student_logits, s_mask, max_rows)
     t = compact(teacher_logits, t_mask, max_rows)
+    # the reference asserts equal masked counts on both streams
+    # (ultravox_model.py:229-239 relies on it); tokenization-boundary shifts
+    # can break that by a few positions, so only rows present in BOTH
+    # compactions contribute — a silent mismatch must not pair student rows
+    # with all-zero teacher rows
     n_s = s_mask.sum(axis=1)  # (B,)
+    n_t = t_mask.sum(axis=1)
+    n_common = jnp.minimum(n_s, n_t)
     slot = jnp.arange(max_rows)[None]
-    row_valid = slot < n_s[:, None]  # (B, max_rows)
+    row_valid = slot < n_common[:, None]  # (B, max_rows)
 
     s_logp = jax.nn.log_softmax(s / temperature, axis=-1)
     t_logp = jax.nn.log_softmax(t / temperature, axis=-1)

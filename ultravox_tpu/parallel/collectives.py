@@ -25,16 +25,33 @@ def is_global_master() -> bool:
 
 
 def all_gather_list(items: List[Any]) -> List[Any]:
-    """Gather python objects from all hosts, concatenated in rank order
-    (reference: ddp_utils.all_gather_list via dist.all_gather_object)."""
+    """Gather arbitrary picklable python objects from all hosts, concatenated
+    in rank order (reference: ddp_utils.all_gather_list via
+    dist.all_gather_object).
+
+    ``process_allgather`` only accepts equal-shaped array pytrees, so the
+    object list is pickled to bytes, padded to the global max length (one
+    scalar gather to agree on it), exchanged as uint8 arrays, and unpickled.
+    """
     if jax.process_count() == 1:
         return list(items)
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(items, tiled=False)
+    payload = pickle.dumps(items)
+    lengths = multihost_utils.process_allgather(
+        np.asarray([len(payload)], np.int64)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros(max_len, np.uint8)
+    padded[: len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = multihost_utils.process_allgather(padded, tiled=False)
+    gathered = np.asarray(gathered).reshape(jax.process_count(), max_len)
     out: List[Any] = []
-    for rank_items in gathered:
-        out.extend(rank_items)
+    for rank in range(jax.process_count()):
+        out.extend(pickle.loads(gathered[rank, : int(lengths[rank])].tobytes()))
     return out
 
 

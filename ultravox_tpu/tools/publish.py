@@ -55,22 +55,44 @@ def config_to_hf_dict(cfg: UltravoxConfig) -> dict:
             "max_source_positions": audio.max_source_positions,
             "activation_function": audio.activation,
         },
-        "text_config": {
-            "model_type": text.arch if text.arch != "gemma3" else "gemma3_text",
-            "vocab_size": text.vocab_size,
-            "hidden_size": text.hidden_size,
-            "intermediate_size": text.intermediate_size,
-            "num_hidden_layers": text.num_layers,
-            "num_attention_heads": text.num_heads,
-            "num_key_value_heads": text.num_kv_heads,
-            "head_dim": text.head_dim,
-            "rms_norm_eps": text.rms_norm_eps,
-            "rope_theta": text.rope_theta,
-            "max_position_embeddings": text.max_position_embeddings,
-            "tie_word_embeddings": text.tie_word_embeddings,
-            "sliding_window": text.sliding_window,
-        },
+        "text_config": _text_config_to_hf(text),
     }
+
+
+def _text_config_to_hf(text) -> dict:
+    """Full DecoderConfig -> HF config.json dict round-trip (everything
+    DecoderConfig.from_hf_dict reads must be written)."""
+    out = {
+        "model_type": text.arch if text.arch != "gemma3" else "gemma3_text",
+        "vocab_size": text.vocab_size,
+        "hidden_size": text.hidden_size,
+        "intermediate_size": text.intermediate_size,
+        "num_hidden_layers": text.num_layers,
+        "num_attention_heads": text.num_heads,
+        "num_key_value_heads": text.num_kv_heads,
+        "head_dim": text.head_dim,
+        "rms_norm_eps": text.rms_norm_eps,
+        "rope_theta": text.rope_theta,
+        "max_position_embeddings": text.max_position_embeddings,
+        "tie_word_embeddings": text.tie_word_embeddings,
+        "attention_bias": text.attention_bias,
+        "hidden_act": text.hidden_act,
+        "sliding_window": text.sliding_window,
+        "sliding_window_pattern": text.sliding_window_pattern,
+        "query_pre_attn_scalar": text.query_pre_attn_scalar,
+        "rope_local_base_freq": text.rope_local_base_freq,
+        "final_logit_softcapping": text.final_logit_softcapping,
+    }
+    if text.rope_scaling is not None:
+        factor, low_ff, high_ff, orig_max = text.rope_scaling
+        out["rope_scaling"] = {
+            "rope_type": "llama3",
+            "factor": factor,
+            "low_freq_factor": low_ff,
+            "high_freq_factor": high_ff,
+            "original_max_position_embeddings": orig_max,
+        }
+    return out
 
 
 def save_pretrained(

@@ -108,17 +108,28 @@ def export_safetensors(state_or_params: Any, out_path: str) -> Dict[str, Any]:
     else:
         flat = state_or_params
 
+    import logging
+
     out: Dict[str, np.ndarray] = {}
+    skipped = []
     for path, leaf in flat.items():
+        # only the projector subtree has a faithful HF-name mapping here;
+        # layer-stacked decoder/encoder leaves and LoRA factors need the full
+        # un-stacking export in tools/publish.save_pretrained
+        if not path.startswith("projector/"):
+            skipped.append(path)
+            continue
         arr = np.asarray(jax.device_get(leaf), dtype=np.float32)
         name = _hf_name(path)
-        if name.endswith((".linear_1.weight", ".linear_2.weight")) or (
-            "proj" in name and name.endswith(".weight") and arr.ndim == 2
-        ):
-            # our kernels are (in, out); HF stores (out, in)
-            if "ln" not in name:
-                arr = arr.T
+        if name.endswith((".linear_1.weight", ".linear_2.weight")):
+            arr = arr.T  # our kernels are (in, out); HF stores (out, in)
         out[name] = arr
+    if skipped:
+        logging.getLogger(__name__).warning(
+            "export_safetensors: %d non-projector trainable leaves not "
+            "exported in HF naming (use tools.publish.save_pretrained for a "
+            "full checkpoint): %s", len(skipped), skipped[:4],
+        )
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     safetensors.numpy.save_file(out, out_path)
     return out

@@ -82,6 +82,7 @@ class TrainConfig:
     max_response_tokens: Optional[int] = 50
     shuffle_data: bool = True
     shuffle_buffer_size: int = 1000
+    num_data_workers: int = 4  # host feature-pipeline threads
     augmentations: List[Any] = dataclasses.field(default_factory=list)
 
     # -- optimizer / schedule ----------------------------------------------

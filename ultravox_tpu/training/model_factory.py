@@ -46,6 +46,7 @@ class ModelPack:
             loss_mask_type=train_config.loss_mask,
             include_alt_fields=train_config.loss_config.requires_alt_fields,
             max_response_tokens=train_config.max_response_tokens,
+            num_workers=train_config.num_data_workers,
             **kw,
         )
 
