@@ -187,6 +187,49 @@ class AudioSplitTask:
         return dataset.map(split, batched=True)
 
 
+@dataclasses.dataclass
+class VoiceDsGenTask:
+    """Generate question/answer pairs grounded in a transcript column via an
+    LLM (reference: tasks voice_ds_gen — manufactures voice-QA training sets
+    whose questions are later TTS-synthesised)."""
+
+    transcript_column: str = "text"
+    question_column: str = "question"
+    answer_column: str = "answer"
+    model: str = "gpt-4o-mini"
+    max_tokens: int = 256
+    client: Any = None
+    cache_dir: str = ".cache/ds_tool/chat"
+    template: str = (
+        "Passage:\n{{ transcript }}\n\n"
+        "Write one question a listener could ask about this passage, then "
+        "answer it. Respond in the form:\nQ: <question>\nA: <answer>"
+    )
+
+    def map_split(self, dataset, num_proc: int = 1):
+        import re
+
+        import jinja2
+
+        tmpl = jinja2.Template(self.template)
+        chat = CachingChatWrapper(self.client, self.cache_dir)
+
+        def generate(row):
+            prompt = tmpl.render(transcript=row[self.transcript_column])
+            text = chat.chat_completion(
+                model=self.model,
+                messages=[{"role": "user", "content": prompt}],
+                max_tokens=self.max_tokens,
+                temperature=0.0,
+            )
+            m = re.search(r"Q:\s*(.+?)\s*A:\s*(.+)", text, re.DOTALL)
+            row[self.question_column] = m.group(1).strip() if m else ""
+            row[self.answer_column] = m.group(2).strip() if m else text.strip()
+            return row
+
+        return dataset.map(generate)
+
+
 TASKS = {
     "textgen": TextGenerationTask,
     "tts": TtsTask,
@@ -194,6 +237,7 @@ TASKS = {
     "dedup": DedupTask,
     "asr": AsrTask,
     "audiosplit": AudioSplitTask,
+    "voice_ds_gen": VoiceDsGenTask,
 }
 
 
