@@ -158,6 +158,9 @@ def encoder_forward(
             q, k, v, feat_lens,
             scale=cfg.head_dim**-0.5,
             latency_block=latency_block_size or 0,
+            # two query blocks at the encoder's native 1500-position window
+            # measured ~3% faster than 256 on v5e
+            block_q=768,
         )
     else:
         if mel_lens is not None:
