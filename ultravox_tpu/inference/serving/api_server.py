@@ -238,10 +238,7 @@ def main():
     import jax.numpy as jnp
 
     from ultravox_tpu.inference.serving.engine import ServingEngine
-    from ultravox_tpu.inference.ultravox_infer import resolve_checkpoint
-    from ultravox_tpu.models import ultravox as uv_model
-    from ultravox_tpu.models import weights as weights_lib
-    from ultravox_tpu.models.config import UltravoxConfig
+    from ultravox_tpu.inference.ultravox_infer import load_ultravox_checkpoint
     from ultravox_tpu.models.processor import (
         DataCollatorWithAudio,
         UltravoxProcessor,
@@ -263,17 +260,12 @@ def main():
     )
     args = parser.parse_args()
 
-    import jax
     import transformers
 
     logging.basicConfig(level=logging.INFO)
-    model_dir = resolve_checkpoint(args.model)
-    cfg = UltravoxConfig.from_pretrained_dir(model_dir)
-    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
-    params = weights_lib.convert_ultravox(
-        weights_lib.load_safetensors_dir(model_dir), cfg, jnp.bfloat16,
-        base=params,
-    )
+    # Shared strict loading path: base sub-models first, checkpoint last,
+    # loud failure if a diff checkpoint leaves a tower at random init.
+    cfg, params, model_dir = load_ultravox_checkpoint(args.model, jnp.bfloat16)
     tokenizer = transformers.AutoTokenizer.from_pretrained(model_dir)
     if tokenizer.pad_token_id is None:
         tokenizer.pad_token = tokenizer.eos_token

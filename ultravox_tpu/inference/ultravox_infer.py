@@ -38,6 +38,88 @@ def resolve_checkpoint(path: str) -> str:
     raise FileNotFoundError(f"checkpoint {path!r} not found")
 
 
+def load_ultravox_checkpoint(
+    model_path: str,
+    dtype=jnp.bfloat16,
+    *,
+    seed: int = 0,
+    strict: bool = True,
+):
+    """Resolve + load a published Ultravox checkpoint into (cfg, params, dir).
+
+    Load order matches the reference's construct-then-load_state_dict
+    semantics (ultravox_infer.py:55-64, model_types.py:227-282): sub-model
+    *base* weights referenced by ``text_model_id``/``audio_model_id`` load
+    first, then the checkpoint state dict is applied LAST so trained /
+    LoRA-merged tower weights in a full checkpoint win over the bases.
+
+    With ``strict`` (default), raises when the language model or audio tower
+    would be left at random init — a diff (adapter-only) checkpoint without
+    resolvable base models must fail loudly, not serve garbage.
+    """
+    import jax
+
+    model_dir = resolve_checkpoint(model_path)
+    cfg = UltravoxConfig.from_pretrained_dir(model_dir)
+    params = uv.init_params(cfg, jax.random.key(seed), dtype)
+    have_lm = have_enc = False
+
+    # 1) base sub-model weights referenced by id (diff checkpoints)
+    if cfg.text_model_id and os.path.isdir(cfg.text_model_id):
+        sub_sd = weights_lib.load_safetensors_dir(cfg.text_model_id)
+        if sub_sd:
+            params["language_model"] = weights_lib.convert_decoder(
+                sub_sd, cfg.text_config, dtype
+            )
+            have_lm = True
+    if cfg.audio_model_id and os.path.isdir(cfg.audio_model_id):
+        sub_sd = weights_lib.load_safetensors_dir(cfg.audio_model_id)
+        for prefix in ("model.encoder.", "encoder.", ""):
+            sub = {
+                k[len(prefix):]: v
+                for k, v in sub_sd.items()
+                if k.startswith(prefix)
+            }
+            if "conv1.weight" in sub:
+                params["audio_tower"] = weights_lib.convert_whisper_encoder(
+                    sub, cfg.audio_config, dtype
+                )
+                have_enc = True
+                break
+
+    # 2) the checkpoint itself, LAST (wins over the bases)
+    sd = weights_lib.load_safetensors_dir(model_dir)
+    lm_sd = {k for k in sd if k.startswith("language_model.")}
+    enc_sd = {k for k in sd if k.startswith("audio_tower.")}
+    have_lm = have_lm or weights_lib._covers_decoder(
+        {k[len("language_model."):]: sd[k] for k in lm_sd}, cfg.text_config
+    )
+    have_enc = have_enc or weights_lib._covers_encoder(
+        {k[len("audio_tower."):]: sd[k] for k in enc_sd}, cfg.audio_config
+    )
+    have_proj = any(k.startswith("multi_modal_projector.") for k in sd)
+    params = weights_lib.convert_ultravox(sd, cfg, dtype, base=params)
+
+    if strict:
+        missing = [
+            name
+            for name, ok in (
+                ("language_model", have_lm),
+                ("audio_tower", have_enc or cfg.llm_only_training),
+                ("multi_modal_projector", have_proj or cfg.llm_only_training),
+            )
+            if not ok
+        ]
+        if missing:
+            raise ValueError(
+                f"checkpoint {model_dir!r} leaves {missing} at random init: "
+                "the state dict does not cover them and no local "
+                "text_model_id/audio_model_id base resolves. Refusing to "
+                "load (pass strict=False to override)."
+            )
+    return cfg, params, model_dir
+
+
 class UltravoxInference(LocalInference):
     def __init__(
         self,
@@ -48,39 +130,13 @@ class UltravoxInference(LocalInference):
         conversation_mode: bool = False,
         mesh=None,
         fused_greedy_decode: bool = False,
+        strict: bool = True,
     ):
         import transformers
 
-        model_dir = resolve_checkpoint(model_path)
-        cfg = UltravoxConfig.from_pretrained_dir(model_dir)
-        params = uv.init_params(cfg, __import__("jax").random.key(0), dtype)
-        sd = weights_lib.load_safetensors_dir(model_dir)
-        params = weights_lib.convert_ultravox(sd, cfg, dtype, base=params)
-
-        # sub-model weights referenced by id (diff checkpoints)
-        for attr, key, convert in (
-            ("text_model_id", "language_model", None),
-            ("audio_model_id", "audio_tower", None),
-        ):
-            model_id = getattr(cfg, attr)
-            if model_id and os.path.isdir(model_id):
-                sub_sd = weights_lib.load_safetensors_dir(model_id)
-                if key == "language_model":
-                    params[key] = weights_lib.convert_decoder(
-                        sub_sd, cfg.text_config, dtype
-                    )
-                else:
-                    for prefix in ("model.encoder.", "encoder.", ""):
-                        sub = {
-                            k[len(prefix):]: v
-                            for k, v in sub_sd.items()
-                            if k.startswith(prefix)
-                        }
-                        if "conv1.weight" in sub:
-                            params[key] = weights_lib.convert_whisper_encoder(
-                                sub, cfg.audio_config, dtype
-                            )
-                            break
+        cfg, params, model_dir = load_ultravox_checkpoint(
+            model_path, dtype, strict=strict
+        )
 
         if mesh is not None:
             from ultravox_tpu.parallel import shard_params

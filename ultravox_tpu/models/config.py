@@ -154,6 +154,9 @@ class DecoderConfig:
     sliding_window: Optional[int] = None
     # gemma: every Nth layer is global attention, the rest sliding window
     sliding_window_pattern: Optional[int] = None
+    # explicit per-layer local/global schedule (HF 'layer_types'); wins over
+    # sliding_window_pattern when set
+    layer_is_local: Optional[Tuple[bool, ...]] = None
     # gemma scales embeddings by sqrt(hidden_size)
     scale_embeddings: bool = False
     # gemma uses extra pre/post feedforward layernorms + post attention norm
@@ -181,18 +184,43 @@ class DecoderConfig:
             inner.setdefault("model_type", model_type.replace("_text", ""))
             d = inner
             model_type = d.get("model_type", model_type)
+        if model_type == "gemma2":
+            # Gemma-2 has no QK-norm and uses attention logit softcapping,
+            # neither of which the gemma3 arch models — mapping it would
+            # silently produce wrong logits.
+            raise ValueError(
+                "model_type 'gemma2' is not supported (no qk_norm, uses "
+                "attn_logit_softcapping); use a gemma3-family checkpoint"
+            )
         arch = {
             "llama": "llama",
             "mistral": "mistral",
             "gemma3": "gemma3",
             "gemma3_text": "gemma3",
-            "gemma2": "gemma3",
             "qwen2": "qwen2",
             "qwen3": "qwen3",
         }.get(model_type, "llama")
 
         num_heads = d.get("num_attention_heads", 32)
         hidden = d.get("hidden_size", 4096)
+
+        # Local/global attention schedule. Current HF Gemma-3 configs express
+        # it via 'layer_types'; older ones via 'sliding_window_pattern'; some
+        # omit both (HF GemmaConfig defaults the pattern to 6).
+        sliding_window = d.get("sliding_window")
+        sliding_window_pattern = d.get("sliding_window_pattern")
+        layer_is_local = None
+        if d.get("layer_types"):
+            layer_is_local = tuple(
+                t == "sliding_attention" for t in d["layer_types"]
+            )
+        elif (
+            arch == "gemma3"
+            and sliding_window is not None
+            and sliding_window_pattern is None
+        ):
+            sliding_window_pattern = 6
+
         rope_scaling = None
         rs = d.get("rope_scaling")
         if rs and rs.get("rope_type", rs.get("type")) == "llama3":
@@ -220,8 +248,9 @@ class DecoderConfig:
                 d.get("attention_bias", False) or arch == "qwen2"
             ),
             qk_norm=arch in ("qwen3", "gemma3"),
-            sliding_window=d.get("sliding_window"),
-            sliding_window_pattern=d.get("sliding_window_pattern"),
+            sliding_window=sliding_window,
+            sliding_window_pattern=sliding_window_pattern,
+            layer_is_local=layer_is_local,
             scale_embeddings=arch == "gemma3",
             use_post_norms=arch == "gemma3",
             final_logit_softcapping=d.get("final_logit_softcapping"),

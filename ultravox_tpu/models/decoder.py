@@ -51,8 +51,16 @@ class KVCache:
 
 
 def is_local_layer(cfg: DecoderConfig) -> np.ndarray:
-    """(L,) bool — which layers use sliding-window attention (Gemma-3
-    pattern: every ``sliding_window_pattern``-th layer is global)."""
+    """(L,) bool — which layers use sliding-window attention. An explicit
+    per-layer schedule (HF 'layer_types') wins; otherwise the Gemma-3
+    pattern (every ``sliding_window_pattern``-th layer is global); otherwise
+    mistral-style all-local when a window is set."""
+    if cfg.layer_is_local is not None:
+        assert len(cfg.layer_is_local) == cfg.num_layers, (
+            f"layer_is_local has {len(cfg.layer_is_local)} entries for "
+            f"{cfg.num_layers} layers"
+        )
+        return np.asarray(cfg.layer_is_local, dtype=bool)
     if cfg.sliding_window is None:
         return np.zeros(cfg.num_layers, dtype=bool)
     if cfg.sliding_window_pattern is None:

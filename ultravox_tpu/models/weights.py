@@ -16,6 +16,7 @@ tensors are stacked on a leading layer axis for ``lax.scan``.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from typing import Any, Callable, Dict, Optional
@@ -24,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ultravox_tpu.models.config import DecoderConfig, UltravoxConfig, WhisperEncoderConfig
+
+logger = logging.getLogger(__name__)
 
 FlatDict = Dict[str, np.ndarray]
 Params = Dict[str, Any]
@@ -214,21 +217,183 @@ def convert_ultravox(
 
     ``base`` provides pre-loaded sub-model params (e.g. the frozen LLM and
     encoder loaded from their own checkpoints); keys present in ``sd``
-    override it.
+    override it. A state dict that only *partially* covers a tower (e.g.
+    ``unfreeze_layers`` diff checkpoints or selective ``model_load_parameters``)
+    is overlaid per-key onto the base tower when one exists, and loudly
+    skipped otherwise.
     """
     params: Params = dict(base or {})
     proj_sd = _strip_prefix(sd, "multi_modal_projector.")
     if proj_sd:
         params["projector"] = convert_projector(proj_sd, cfg, dtype)
     audio_sd = _strip_prefix(sd, "audio_tower.")
-    if audio_sd and _covers_encoder(audio_sd, cfg.audio_config):
-        params["audio_tower"] = convert_whisper_encoder(
-            audio_sd, cfg.audio_config, dtype
-        )
+    if audio_sd:
+        if _covers_encoder(audio_sd, cfg.audio_config):
+            params["audio_tower"] = convert_whisper_encoder(
+                audio_sd, cfg.audio_config, dtype
+            )
+        elif "audio_tower" in params:
+            params["audio_tower"] = _overlay_encoder(
+                params["audio_tower"], audio_sd, cfg.audio_config, dtype
+            )
+        else:
+            logger.warning(
+                "state dict holds %d audio_tower keys that neither cover the "
+                "encoder nor have a base to overlay — IGNORED: %s",
+                len(audio_sd), sorted(audio_sd)[:8],
+            )
     lm_sd = _strip_prefix(sd, "language_model.")
-    if lm_sd and _covers_decoder(lm_sd, cfg.text_config):
-        params["language_model"] = convert_decoder(lm_sd, cfg.text_config, dtype)
+    if lm_sd:
+        if _covers_decoder(lm_sd, cfg.text_config):
+            params["language_model"] = convert_decoder(
+                lm_sd, cfg.text_config, dtype
+            )
+        elif "language_model" in params:
+            params["language_model"] = _overlay_decoder(
+                params["language_model"], lm_sd, cfg.text_config, dtype
+            )
+        else:
+            logger.warning(
+                "state dict holds %d language_model keys that neither cover "
+                "the decoder nor have a base to overlay — IGNORED: %s",
+                len(lm_sd), sorted(lm_sd)[:8],
+            )
     return params
+
+
+_DEC_LIN = {
+    "self_attn.q_proj": "q_proj", "self_attn.k_proj": "k_proj",
+    "self_attn.v_proj": "v_proj", "self_attn.o_proj": "o_proj",
+    "mlp.gate_proj": "gate_proj", "mlp.up_proj": "up_proj",
+    "mlp.down_proj": "down_proj",
+}
+_DEC_NORM = {
+    "input_layernorm": "input_ln",
+    "post_attention_layernorm": "post_attn_ln",
+    "pre_feedforward_layernorm": "pre_ffn_ln",
+    "post_feedforward_layernorm": "post_ffn_ln",
+    "self_attn.q_norm": "q_norm",
+    "self_attn.k_norm": "k_norm",
+}
+_ENC_LIN = {
+    "self_attn.q_proj": "q_proj", "self_attn.k_proj": "k_proj",
+    "self_attn.v_proj": "v_proj", "self_attn.out_proj": "out_proj",
+    "fc1": "fc1", "fc2": "fc2",
+}
+_ENC_NORM = {"self_attn_layer_norm": "attn_ln", "final_layer_norm": "final_ln"}
+
+
+def _decoder_key_to_path(name: str):
+    """HF decoder key -> (tree path, layer idx or None, 'T' transpose flag)."""
+    if name == "model.embed_tokens.weight":
+        return ("embed_tokens",), None, False
+    if name == "model.norm.weight":
+        return ("norm",), None, False
+    if name == "lm_head.weight":
+        return ("lm_head", "kernel"), None, True
+    m = re.match(r"^model\.layers\.(\d+)\.(.+)\.(weight|bias)$", name)
+    if not m:
+        return None
+    idx, stem, leaf = int(m.group(1)), m.group(2), m.group(3)
+    if stem in _DEC_NORM and leaf == "weight":
+        return ("layers", _DEC_NORM[stem]), idx, False
+    if stem in _DEC_LIN:
+        sub = "kernel" if leaf == "weight" else "bias"
+        return ("layers", _DEC_LIN[stem], sub), idx, leaf == "weight"
+    return None
+
+
+def _encoder_key_to_path(name: str):
+    """HF whisper-encoder key -> (path, layer idx, transform in {None,'T','conv'})."""
+    if name == "embed_positions.weight":
+        return ("embed_positions",), None, None
+    m = re.match(r"^(conv[12])\.(weight|bias)$", name)
+    if m:
+        conv, leaf = m.groups()
+        if leaf == "weight":
+            return (conv, "kernel"), None, "conv"
+        return (conv, "bias"), None, None
+    m = re.match(r"^layer_norm\.(weight|bias)$", name)
+    if m:
+        return ("layer_norm", "scale" if m.group(1) == "weight" else "bias"), None, None
+    m = re.match(r"^layers\.(\d+)\.(.+)\.(weight|bias)$", name)
+    if not m:
+        return None
+    idx, stem, leaf = int(m.group(1)), m.group(2), m.group(3)
+    if stem in _ENC_NORM:
+        return ("layers", _ENC_NORM[stem],
+                "scale" if leaf == "weight" else "bias"), idx, None
+    if stem in _ENC_LIN:
+        sub = "kernel" if leaf == "weight" else "bias"
+        return ("layers", _ENC_LIN[stem], sub), idx, "T" if leaf == "weight" else None
+    return None
+
+
+def _tree_set(tree: Params, path, layer_idx, value):
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            raise KeyError(f"overlay target {'.'.join(path)} absent from base tree")
+        node = node[p]
+    leaf = path[-1]
+    if leaf not in node:
+        raise KeyError(f"overlay target {'.'.join(path)} absent from base tree")
+    if layer_idx is None:
+        node[leaf] = value.astype(node[leaf].dtype)
+    else:
+        node[leaf] = node[leaf].at[layer_idx].set(value.astype(node[leaf].dtype))
+
+
+def _copy_one_level(base: Params) -> Params:
+    """Shallow-copy the dict spine so overlay writes don't mutate the input."""
+    out = dict(base)
+    for k, v in out.items():
+        if isinstance(v, dict):
+            out[k] = dict(v)
+    return out
+
+
+def _overlay_tower(base: Params, sd: FlatDict, key_to_path, what: str) -> Params:
+    """Per-key merge of a partial HF state dict onto an existing stacked-layer
+    tree (supports diff checkpoints with ``unfreeze_layers`` / selective
+    ``model_load_parameters`` — reference: ultravox_model.py:565-584)."""
+    out = _copy_one_level(base)
+    if "layers" in out and isinstance(out["layers"], dict):
+        out["layers"] = {
+            k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in base["layers"].items()
+        }
+    applied, ignored = 0, []
+    for name, arr in sd.items():
+        mapped = key_to_path(name)
+        if mapped is None:
+            ignored.append(name)
+            continue
+        path, idx, transform = mapped
+        val = jnp.asarray(arr)
+        if transform == "conv":
+            val = val.transpose(2, 1, 0)  # torch (out,in,k) -> lax HIO
+        elif transform in (True, "T"):
+            val = val.T
+        _tree_set(out, path, idx, val)
+        applied += 1
+    if ignored:
+        logger.warning(
+            "partial %s overlay ignored %d unmapped keys: %s",
+            what, len(ignored), ignored[:8],
+        )
+    logger.info("partial %s overlay applied %d keys", what, applied)
+    return out
+
+
+def _overlay_decoder(base: Params, sd: FlatDict, cfg: DecoderConfig, dtype) -> Params:
+    return _overlay_tower(base, sd, _decoder_key_to_path, "decoder")
+
+
+def _overlay_encoder(
+    base: Params, sd: FlatDict, cfg: WhisperEncoderConfig, dtype
+) -> Params:
+    return _overlay_tower(base, sd, _encoder_key_to_path, "encoder")
 
 
 def _covers_encoder(sd: FlatDict, cfg: WhisperEncoderConfig) -> bool:

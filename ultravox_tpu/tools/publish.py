@@ -79,6 +79,14 @@ def _text_config_to_hf(text) -> dict:
         "hidden_act": text.hidden_act,
         "sliding_window": text.sliding_window,
         "sliding_window_pattern": text.sliding_window_pattern,
+        "layer_types": (
+            [
+                "sliding_attention" if loc else "full_attention"
+                for loc in text.layer_is_local
+            ]
+            if text.layer_is_local is not None
+            else None
+        ),
         "query_pre_attn_scalar": text.query_pre_attn_scalar,
         "rope_local_base_freq": text.rope_local_base_freq,
         "final_logit_softcapping": text.final_logit_softcapping,
