@@ -41,6 +41,11 @@ class EvalConfig:
     language: Optional[str] = None
     output_dir: str = "eval_results"
     seed: int = 42
+    # multi-host rendezvous (reference: dist.init_process_group,
+    # eval.py:312-314); all None on TPU pods
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 def infer_dataset(
@@ -189,6 +194,13 @@ def main():
         base.update(kwargs)
         kwargs = base
     config = EvalConfig(**kwargs)
+
+    # multi-host init BEFORE any device access (reference: eval.py:312-314)
+    from ultravox_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(
+        config.coordinator_address, config.num_processes, config.process_id
+    )
 
     from ultravox_tpu.inference.ultravox_infer import UltravoxInference
 

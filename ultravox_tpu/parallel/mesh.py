@@ -74,16 +74,38 @@ def initialize_multihost(
 ) -> None:
     """Multi-host init (replaces dist.init_process_group, train.py:126-130).
 
-    On TPU pods the runtime discovers topology itself and all arguments may be
-    None; explicit values support CPU/GPU clusters.
+    On TPU pods the runtime discovers topology itself and all arguments may
+    be None; explicit values support CPU/GPU clusters. Must run BEFORE any
+    JAX backend access, so this function never queries devices itself: it
+    decides from the arguments and rendezvous environment variables alone,
+    and no-ops for plain single-host runs.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    import os
+
+    if num_processes is not None and num_processes <= 1:
+        return
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
+    env_rendezvous = any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    ) or len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+    if not explicit and not env_rendezvous:
+        return  # single-host run
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError) as e:  # single-process run
-        logging.debug("jax.distributed.initialize skipped: %s", e)
+        logging.info(
+            "multi-host initialized: process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+    except RuntimeError as e:  # already initialized
+        logging.warning("jax.distributed.initialize skipped: %s", e)

@@ -100,6 +100,7 @@ class TrainConfig:
 
     # -- cadence -----------------------------------------------------------
     val_steps: Optional[int] = None
+    val_num_samples: Optional[int] = 64  # None = the whole val set
     save_steps: Optional[int] = 1000
     logging_steps: int = 10
 
@@ -116,6 +117,12 @@ class TrainConfig:
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_tensor: int = 1
+    # multi-host init (replaces torchrun env rendezvous, reference
+    # train.py:126-130); all None on TPU pods where the runtime discovers
+    # topology itself
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     # -- logging sinks --------------------------------------------------------
     report_logs_to: List[str] = dataclasses.field(

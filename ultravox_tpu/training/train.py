@@ -26,7 +26,9 @@ from ultravox_tpu.data import types as data_types
 from ultravox_tpu.data.aug import AugmentationArgs, create_augmentation
 from ultravox_tpu.data.datasets import InterleaveDataset, Range
 from ultravox_tpu.parallel import MeshConfig, make_mesh, shard_params
-from ultravox_tpu.parallel.sharding import shard_batch
+from ultravox_tpu.parallel import multihost
+from ultravox_tpu.parallel.collectives import is_global_master, sync_hosts
+from ultravox_tpu.parallel.mesh import initialize_multihost
 from ultravox_tpu.training import checkpoint as ckpt_lib
 from ultravox_tpu.training import train_step as ts
 from ultravox_tpu.training.config import TrainConfig, get_train_config
@@ -166,10 +168,21 @@ def train(config: TrainConfig) -> Dict[str, float]:
         format="%(asctime)s %(levelname)s %(message)s",
     )
     t_start = time.time()
-    logger.info("devices: %s", jax.devices())
+    # multi-host rendezvous BEFORE any device access (reference:
+    # dist.init_process_group, train.py:126-130)
+    initialize_multihost(
+        config.coordinator_address, config.num_processes, config.process_id
+    )
+    n_proc = jax.process_count()
+    logger.info(
+        "process %d/%d | devices: %s", jax.process_index(), n_proc, jax.devices()
+    )
     os.makedirs(config.output_dir, exist_ok=True)
-    with open(os.path.join(config.output_dir, "train_config.json"), "w") as f:
-        json.dump(dataclasses.asdict(config), f, indent=2, default=str)
+    if is_global_master():
+        with open(
+            os.path.join(config.output_dir, "train_config.json"), "w"
+        ) as f:
+            json.dump(dataclasses.asdict(config), f, indent=2, default=str)
 
     mesh = make_mesh(
         MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor)
@@ -247,12 +260,31 @@ def train(config: TrainConfig) -> Dict[str, float]:
         config, model_pack, config.data_sets, train_args,
         num_samples=config.num_samples, augmentation=augmentation,
     )
+    # per-host sharded feeding: each process loads a mod-N sample shard and
+    # contributes local rows of the global batch
+    # (jax.make_array_from_process_local_data); pure-TP meshes fall back to
+    # identical replicated feeding on every host
+    replicated_feed = multihost.needs_replicated_feed(mesh)
+    local_batch_size = config.batch_size
+    if n_proc > 1 and not replicated_feed:
+        if config.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by "
+                f"{n_proc} processes"
+            )
+        local_batch_size = config.batch_size // n_proc
+        train_ds = multihost.ShardedDataset(train_ds, n_proc, jax.process_index())
+    put_batch = (
+        multihost.make_replicated_batch
+        if replicated_feed
+        else multihost.make_global_batch
+    )
     batches = Prefetcher(
-        batch_iterator(train_ds, model_pack.collator, config.batch_size)
+        batch_iterator(train_ds, model_pack.collator, local_batch_size)
     )
 
     # -- loop -------------------------------------------------------------------
-    metrics_logger = MetricsLogger(config)
+    metrics_logger = MetricsLogger(config) if is_global_master() else None
     opt_steps = config.max_steps * config.grad_accum_steps
     final_metrics: Dict[str, float] = {}
     step = int(state.step)
@@ -260,9 +292,7 @@ def train(config: TrainConfig) -> Dict[str, float]:
         for batch in batches:
             if step >= opt_steps:
                 break
-            jb = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
-            )
+            jb = put_batch(batch, mesh)
             state, metrics = step_fn(state, jb)
             step = int(state.step)
             if step % config.logging_steps == 0 or step == 1:
@@ -270,25 +300,37 @@ def train(config: TrainConfig) -> Dict[str, float]:
                 host_metrics["samples_per_s"] = (
                     step * config.batch_size / (time.time() - t_start)
                 )
-                metrics_logger.log(step, host_metrics)
+                if metrics_logger is not None:
+                    metrics_logger.log(step, host_metrics)
                 final_metrics = host_metrics
             if config.save_steps and step % config.save_steps == 0:
-                path = ckpt_lib.save_checkpoint(config.output_dir, state)
+                path = save_checkpoint_multihost(config.output_dir, state)
                 logger.info("saved checkpoint %s", path)
             if config.val_steps and step % config.val_steps == 0 and config.val_sets:
                 val = validate(config, model_pack, state, template, mesh)
-                metrics_logger.log(step, val)
+                if metrics_logger is not None:
+                    metrics_logger.log(step, val)
     except BaseException:
         logger.exception("training failed at step %d", step)
         raise
     finally:
-        metrics_logger.close()
+        if metrics_logger is not None:
+            metrics_logger.close()
 
     # final artifacts
-    ckpt_lib.save_checkpoint(config.output_dir, state)
-    ckpt_lib.export_safetensors(
-        state, os.path.join(config.output_dir, "model.safetensors")
-    )
+    save_checkpoint_multihost(config.output_dir, state)
+    if n_proc > 1:
+        host_state = multihost.gather_tree_to_host(state)
+        if is_global_master():
+            ckpt_lib.export_safetensors(
+                host_state,
+                os.path.join(config.output_dir, "model.safetensors"),
+            )
+        sync_hosts("export")
+    else:
+        ckpt_lib.export_safetensors(
+            state, os.path.join(config.output_dir, "model.safetensors")
+        )
 
     # post-train in-process eval (reference: train.py:343-382 merges LoRA and
     # runs LocalInference over the eval sets)
@@ -298,6 +340,13 @@ def train(config: TrainConfig) -> Dict[str, float]:
         )
     logger.info("training done in %.1fs", time.time() - t_start)
     return final_metrics
+
+
+def save_checkpoint_multihost(output_dir: str, state) -> Optional[str]:
+    """Checkpoint write for (possibly) cross-host sharded state. Orbax is
+    multihost-aware — every process must participate in the save (it runs its
+    own global syncs internally), assuming a shared filesystem."""
+    return ckpt_lib.save_checkpoint(output_dir, state)
 
 
 def post_train_eval(config, model_pack, state, template) -> Dict[str, float]:
@@ -328,19 +377,29 @@ def post_train_eval(config, model_pack, state, template) -> Dict[str, float]:
 
 def validate(config, model_pack, state, template, mesh) -> Dict[str, float]:
     """Weighted val loss over the configured val sets (reference:
-    evaluation/validate.py semantics)."""
+    evaluation/validate.py semantics). Multi-process runs feed the val set
+    replicated (identical on every host) — val sets are small and capped by
+    ``val_num_samples``."""
     eval_fn = jax.jit(
         ts.make_eval_step(model_pack.config, config.loss_config, template)
     )
     out: Dict[str, float] = {}
     args = data_types.ValDatasetArgs()
+    put_batch = (
+        multihost.make_replicated_batch
+        if jax.process_count() > 1
+        else multihost.make_global_batch
+    )
     for name in config.val_sets:
-        ds = prepare_dataset(config, model_pack, [name], args, num_samples=64)
+        ds = prepare_dataset(
+            config, model_pack, [name], args,
+            num_samples=config.val_num_samples,
+        )
         total, count = 0.0, 0
         for batch in batch_iterator(
             ds, model_pack.collator, config.batch_size, infinite=False
         ):
-            jb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            jb = put_batch(batch, mesh)
             s, c = eval_fn(state, jb)
             total += float(s)
             count += int(c)
