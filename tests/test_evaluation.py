@@ -148,3 +148,27 @@ def test_infer_dataset_pops_assistant():
     assert len(samples) == 3
     assert all(s.expected_answer for s in samples)
     assert all(m.messages[-1]["role"] == "user" for m in captured)
+
+
+def test_english_normalizer_number_canonicalisation():
+    """Whisper EnglishTextNormalizer parity: number words, currency,
+    ordinals, spelling (VERDICT r1 missing #7)."""
+    from ultravox_tpu.evaluation import string_metrics as sm
+
+    n = sm.english_normalize
+    assert n("twenty-five") == "25"
+    assert n("It costs twenty-five dollars and thirty-three cents") \
+        == "it costs $25.33"
+    assert n("the one hundred and twenty-first time") == "the 121st time"
+    assert n("on May third nineteen eighty-four") == "on may 3rd 1984"
+    assert n("fifty percent") == "50%"
+    assert n("my favourite colour is grey") == "my favorite color is gray"
+
+    # spoken-number hypotheses score WER 0 against digit references
+    refs = ["it costs $25.33", "the 121st time", "50% done"]
+    hyps = [
+        "It costs twenty-five dollars and thirty-three cents!",
+        "The one hundred and twenty-first time.",
+        "fifty percent done",
+    ]
+    assert sm.wer(refs, hyps, language="en") == 0.0

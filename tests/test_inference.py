@@ -214,3 +214,64 @@ def test_infer_stream_surfaces_engine_errors(uv_setup):
     sample = VoiceSample.from_prompt("a long enough prompt that overflows")
     with pytest.raises(ValueError, match="max_cache_len"):
         list(inference.infer_stream(sample, max_tokens=64))
+
+
+def test_fused_sampled_matches_per_step(tiny_llm):
+    """Temperature sampling inside the fused decode scan reproduces the
+    per-step generate() path exactly for the same rng key (same split
+    order on device)."""
+    import jax
+
+    _, dec_cfg, params = tiny_llm
+    from ultravox_tpu.models.config import UltravoxConfig
+
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    engine = _engine(cfg, params)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, V, (2, 9)).astype(np.int32)
+    batch = {
+        "input_ids": prompt,
+        "attention_mask": np.ones_like(prompt),
+    }
+    key = jax.random.key(42)
+    step = engine.generate(
+        batch, max_new_tokens=16, temperature=0.8, top_k=20, rng=key
+    )
+    fused = engine.generate_fused(
+        batch, max_new_tokens=16, temperature=0.8, top_k=20, rng=key
+    )
+    assert step.token_ids == fused.token_ids
+
+    # and greedy fused still matches greedy per-step
+    step_g = engine.generate(batch, max_new_tokens=16)
+    fused_g = engine.generate_fused(batch, max_new_tokens=16)
+    assert step_g.token_ids == fused_g.token_ids
+
+
+def test_fused_matches_per_step_gemma3_features(tiny_llm):
+    """Segmented fused decode handles the Gemma-3 feature set (sliding
+    window + local rope + qk-norm + post-norms + softcap + embed scaling)
+    identically to the per-step unified-cache path."""
+    import jax
+
+    from ultravox_tpu.models import decoder as decoder_lib
+    from ultravox_tpu.models.config import DecoderConfig, UltravoxConfig
+
+    cfg_g = DecoderConfig(
+        arch="gemma3", vocab_size=V, hidden_size=48, intermediate_size=96,
+        num_layers=3, num_heads=4, num_kv_heads=2, head_dim=12,
+        sliding_window=8, sliding_window_pattern=2, qk_norm=True,
+        use_post_norms=True, scale_embeddings=True,
+        final_logit_softcapping=30.0, rope_local_base_freq=10000.0,
+        rope_theta=1000000.0, hidden_act="gelu_pytorch_tanh",
+        tie_word_embeddings=True,
+    )
+    params = decoder_lib.init_params(cfg_g, jax.random.key(5))
+    cfg = UltravoxConfig(text_config=cfg_g, llm_only_training=True)
+    engine = _engine(cfg, {"language_model": params})
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(1, V, (2, 11)).astype(np.int32)
+    batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
+    step = engine.generate(batch, max_new_tokens=16)
+    fused = engine.generate_fused(batch, max_new_tokens=16)
+    assert step.token_ids == fused.token_ids

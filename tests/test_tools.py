@@ -165,3 +165,131 @@ def test_openai_client_payload():
     parts = messages[0]["content"]
     assert [p["type"] for p in parts] == ["text", "input_audio", "text"]
     assert parts[1]["input_audio"]["format"] == "wav"
+
+
+def test_audiomix_task():
+    """audiomix surrounds each sample with volume-matched pool audio and
+    drops rows over max_length (reference: tasks/audio_mix_task.py)."""
+    import datasets as hf_datasets
+    import numpy as np
+
+    from ultravox_tpu.tools.ds_tool.ds_tool import AudioMixTask
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    pool = [
+        {"audio": {"array": rng.standard_normal(sr).astype(np.float32),
+                   "sampling_rate": sr}}
+        for _ in range(3)
+    ]
+    rows = {
+        "audio": [
+            {"array": (np.ones(sr, np.float32) * 0.3), "sampling_rate": sr},
+            # too long: dropped at max_length=2.0
+            {"array": np.zeros(3 * sr, np.float32), "sampling_rate": sr},
+        ],
+        "text": ["short", "long"],
+    }
+    ds = hf_datasets.Dataset.from_dict(rows)
+    task = AudioMixTask(mix_rows=pool, max_length=2.0, seed=1)
+    out = task.map_split(ds)
+    assert len(out) == 1
+    mixed = np.asarray(out[0]["audio"]["array"], np.float32)
+    assert len(mixed) >= sr  # original plus mix prefix/suffix
+    assert len(mixed) <= int(2.0 * sr) + 2
+    assert np.max(np.abs(mixed)) <= 1.0 + 1e-6
+    # the original audio appears contiguously inside the mix
+    target = np.ones(sr, np.float32) * 0.3
+    found = any(
+        np.allclose(mixed[i : i + sr], target)
+        for i in range(len(mixed) - sr + 1)
+    )
+    assert found
+
+
+def test_timestamp_task_with_fake_aligner(tmp_path):
+    """timestamp writes a corpus, invokes the aligner, and parses TextGrid
+    word tiers (reference: tasks/timestamp_gen_task.py)."""
+    import os
+
+    import datasets as hf_datasets
+    import numpy as np
+
+    from ultravox_tpu.tools.ds_tool.ds_tool import TimestampTask
+
+    TEXTGRID = '''File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.25
+            text = "hello"
+        intervals [2]:
+            xmin = 0.25
+            xmax = 0.5
+            text = ""
+        intervals [3]:
+            xmin = 0.5
+            xmax = 0.9
+            text = "world"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 1
+        intervals [1]:
+            xmin = 0.0
+            xmax = 1.0
+            text = "HH"
+'''
+
+    def fake_aligner(corpus_dir, out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        wavs = [f for f in os.listdir(corpus_dir) if f.endswith(".wav")]
+        txts = [f for f in os.listdir(corpus_dir) if f.endswith(".txt")]
+        assert len(wavs) == len(txts) == 2
+        for w in wavs:
+            base = w[:-4]
+            with open(os.path.join(out_dir, base + ".TextGrid"), "w") as f:
+                f.write(TEXTGRID)
+
+    sr = 16000
+    ds = hf_datasets.Dataset.from_dict(
+        {
+            "audio": [
+                {"array": np.zeros(sr, np.float32), "sampling_rate": sr},
+                {"array": np.zeros(sr, np.float32), "sampling_rate": sr},
+            ],
+            "text": ["hello world", "hello world"],
+        }
+    )
+    task = TimestampTask(template="{{ text }}", aligner=fake_aligner)
+    out = task.map_split(ds)
+    ts = out[0]["timestamps"]
+    assert ts == [
+        {"start": 0.0, "end": 0.25, "text": "hello"},
+        {"start": 0.5, "end": 0.9, "text": "world"},
+    ]
+
+
+def test_timestamp_task_requires_mfa(monkeypatch):
+    import shutil
+
+    import pytest as _pytest
+
+    from ultravox_tpu.tools.ds_tool.ds_tool import TimestampTask
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    with _pytest.raises(RuntimeError, match="mfa"):
+        TimestampTask()

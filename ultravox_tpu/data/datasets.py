@@ -151,12 +151,40 @@ class VoiceDataset(SizedIterableDataset):
             ds = ds.shuffle(seed=self._args.shuffle_seed)
         return ds
 
+    def _load_mds_dataset(
+        self,
+        path: str,
+        *,
+        split: Optional[str] = None,
+        batch_size: int = 1,
+    ):
+        """MosaicML-MDS loading (reference: datasets.py:159-182): local dirs
+        read through the in-repo shard reader; gs://, s3:// need the
+        mosaicml-streaming package."""
+        from ultravox_tpu.data import mds
+
+        return mds.load_mds_dataset(
+            path,
+            split=split,
+            shuffle=self._args.shuffle,
+            shuffle_seed=self._args.shuffle_seed,
+            batch_size=batch_size,
+        )
+
     def _get_audio(
         self, row: Dict[str, Any], column: Optional[str] = "audio"
     ) -> Optional[np.ndarray]:
         if column is None or column not in row:
             return None
         audio = row[column]
+        if isinstance(audio, (bytes, bytearray)):  # MDS rows store WAV bytes
+            from ultravox_tpu.data.sample import audio_from_wav_bytes
+            from ultravox_tpu.utils.audio import resample
+
+            arr, sr = audio_from_wav_bytes(bytes(audio))
+            if sr != SAMPLE_RATE:
+                arr = resample(arr, sr, SAMPLE_RATE)
+            return arr
         if isinstance(audio, dict):  # HF Audio feature
             arr = audio.get("array")
             sr = audio.get("sampling_rate", SAMPLE_RATE)
@@ -188,6 +216,12 @@ class GenericDataset(VoiceDataset):
         self._init_dataset(_chain(datasets), config.name, total)
 
     def _load_split(self, config: types.DatasetConfig, split_cfg):
+        if config.use_mds:
+            return self._load_mds_dataset(
+                config.path,
+                split=split_cfg.name,
+                batch_size=config.mds_batch_size or 1,
+            )
         return self._load_hf_dataset(
             config.path,
             config.subset,

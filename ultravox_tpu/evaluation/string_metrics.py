@@ -75,12 +75,92 @@ def basic_normalize(text: str) -> str:
     return re.sub(r"\s+", " ", "".join(out)).strip()
 
 
+# British -> American spelling canonicalisation: the most common ASR-relevant
+# subset of Whisper's english.json mapping (the full ~1.7k-entry file ships
+# with the whisper_normalizer package, unavailable offline; reference:
+# string_metrics.py:20-64 relies on it via EnglishTextNormalizer).
+_SPELLING_GB_US = {
+    "accessorise": "accessorize", "acknowledgement": "acknowledgment",
+    "aeroplane": "airplane", "ageing": "aging", "aluminium": "aluminum",
+    "amortise": "amortize", "analogue": "analog", "analyse": "analyze",
+    "apologise": "apologize", "arbour": "arbor", "ardour": "ardor",
+    "armour": "armor", "authorise": "authorize", "behaviour": "behavior",
+    "calibre": "caliber", "cancelled": "canceled", "capitalise": "capitalize",
+    "catalogue": "catalog", "categorise": "categorize", "centre": "center",
+    "characterise": "characterize", "cheque": "check", "civilise": "civilize",
+    "colour": "color", "colourful": "colorful", "colours": "colors",
+    "cosy": "cozy", "counselling": "counseling", "criticise": "criticize",
+    "defence": "defense", "dialogue": "dialog", "dramatise": "dramatize",
+    "emphasise": "emphasize", "endeavour": "endeavor", "energise": "energize",
+    "equalise": "equalize", "favour": "favor", "favourable": "favorable",
+    "favourite": "favorite", "fibre": "fiber", "finalise": "finalize",
+    "flavour": "flavor", "fuelled": "fueled", "fulfil": "fulfill",
+    "generalise": "generalize", "glamour": "glamor", "grey": "gray",
+    "harbour": "harbor", "harmonise": "harmonize", "honour": "honor",
+    "honourable": "honorable", "humour": "humor", "idealise": "idealize",
+    "instalment": "installment", "italicise": "italicize",
+    "jewellery": "jewelry", "judgement": "judgment", "kilometre": "kilometer",
+    "labelled": "labeled", "labour": "labor", "legalise": "legalize",
+    "licence": "license", "litre": "liter", "localise": "localize",
+    "manoeuvre": "maneuver", "marvellous": "marvelous",
+    "maximise": "maximize", "memorise": "memorize", "metre": "meter",
+    "minimise": "minimize", "mobilise": "mobilize", "modelling": "modeling",
+    "modernise": "modernize", "mould": "mold", "neighbour": "neighbor",
+    "neighbourhood": "neighborhood", "neighbours": "neighbors",
+    "normalise": "normalize", "odour": "odor", "offence": "offense",
+    "optimise": "optimize", "organise": "organize",
+    "organisation": "organization", "oxidise": "oxidize",
+    "paralyse": "paralyze", "parlour": "parlor", "penalise": "penalize",
+    "personalise": "personalize", "plough": "plow", "practise": "practice",
+    "pretence": "pretense", "prioritise": "prioritize",
+    "privatise": "privatize", "programme": "program", "publicise": "publicize",
+    "pyjamas": "pajamas", "realise": "realize", "recognise": "recognize",
+    "rumour": "rumor", "sabre": "saber", "saviour": "savior",
+    "savour": "savor", "sceptical": "skeptical", "signalling": "signaling",
+    "socialise": "socialize", "specialise": "specialize",
+    "splendour": "splendor", "stabilise": "stabilize",
+    "standardise": "standardize", "summarise": "summarize",
+    "symbolise": "symbolize", "sympathise": "sympathize",
+    "theatre": "theater", "travelled": "traveled", "traveller": "traveler",
+    "travelling": "traveling", "tyre": "tire", "utilise": "utilize",
+    "valour": "valor", "vapour": "vapor", "vigour": "vigor",
+    "visualise": "visualize",
+}
+
+_HF_ENGLISH_NORMALIZER = None
+
+
+def _hf_english_normalizer():
+    """Whisper's EnglishTextNormalizer as vendored by transformers — the same
+    OpenAI implementation the reference uses through the whisper_normalizer
+    package, including number-word/currency/ordinal canonicalisation
+    ("twenty-five dollars" -> "$25")."""
+    global _HF_ENGLISH_NORMALIZER
+    if _HF_ENGLISH_NORMALIZER is None:
+        try:
+            from transformers.models.whisper.english_normalizer import (
+                EnglishTextNormalizer,
+            )
+
+            _HF_ENGLISH_NORMALIZER = EnglishTextNormalizer(_SPELLING_GB_US)
+        except Exception:  # pragma: no cover — transformers always present
+            _HF_ENGLISH_NORMALIZER = False
+    return _HF_ENGLISH_NORMALIZER or None
+
+
 def english_normalize(text: str) -> str:
-    """Whisper EnglishTextNormalizer-style: lowercase, strip annotations,
-    expand common contractions, drop punctuation, collapse whitespace.
-    (Number-word canonicalisation and the British-American spelling table are
-    intentionally omitted; scores differ <0.5% absolute on LibriSpeech-style
-    references.)"""
+    """Whisper EnglishTextNormalizer semantics (reference:
+    string_metrics.py:20-64): annotation stripping, contraction expansion,
+    number-word/currency/ordinal canonicalisation, British->American
+    spelling, punctuation removal. Uses transformers' vendored OpenAI
+    implementation; falls back to a regex approximation without it."""
+    normalizer = _hf_english_normalizer()
+    if normalizer is not None:
+        return normalizer(text)
+    return _english_normalize_fallback(text)
+
+
+def _english_normalize_fallback(text: str) -> str:
     text = text.lower()
     text = re.sub(r"[<\[][^>\]]*[>\]]", "", text)
     text = re.sub(r"\(([^)]+?)\)", "", text)

@@ -133,12 +133,15 @@ class LocalInference(base.VoiceInference):
         else:
             feats = [self._dataproc(s) for s in samples]
             batch = self.collator(feats)
-            if self.fused_greedy_decode and not temperature:
+            if self.fused_greedy_decode:
                 # fused decode loop: one dispatch per call; always runs
                 # max_new_tokens steps, so best when dispatch latency
-                # dominates (remote-attached devices) or answers are long
-                result = self.engine.generate_greedy_fused(
-                    batch, max_new_tokens=max_tokens or MAX_NEW_TOKENS
+                # dominates (remote-attached devices) or answers are long.
+                # Sampling happens on device, so temperature works here too.
+                result = self.engine.generate_fused(
+                    batch,
+                    max_new_tokens=max_tokens or MAX_NEW_TOKENS,
+                    temperature=temperature or 0.0,
                 )
             else:
                 result = self.engine.generate(

@@ -25,10 +25,15 @@ logger = logging.getLogger(__name__)
 def resolve_checkpoint(path: str) -> str:
     """Resolve a checkpoint reference to a local directory.
 
-    Supports local paths and ``hf://repo`` (downloads when the environment
-    has egress — reference: model/file_utils.py:5-21; wandb:// artifact
-    resolution is not supported on the TPU build).
+    Supports local paths, ``hf://repo``, and
+    ``wandb://entity/project/artifact:vN`` (downloads when the environment
+    has egress + credentials — reference: model/file_utils.py:5-21,
+    wandb_utils.py:10-52).
     """
+    from ultravox_tpu.utils import wandb_utils
+
+    if wandb_utils.is_wandb_url(path):
+        return wandb_utils.download_model_from_wandb(path)
     if path.startswith("hf://"):
         from huggingface_hub import snapshot_download
 

@@ -125,13 +125,13 @@ def _decoder_layer(
     cfg: DecoderConfig,
     x: jax.Array,  # (B, T, D)
     p: Params,  # one layer's params (leading L axis removed)
+    layer_idx: Optional[jax.Array],  # scalar int32 (cache mode only)
     cos_g, sin_g, cos_l, sin_l,  # rope tables (B, T, Dh)
     bias_global, bias_local,  # additive (B, 1, T, S) or None
     layer_is_local: jax.Array,  # scalar bool
-    cache_k: Optional[jax.Array],  # (B, S_max, Hkv, Dh) or None
+    cache_k: Optional[jax.Array],  # FULL (L, B, S_max, Hkv, Dh) or None
     cache_v: Optional[jax.Array],
     write_pos: Optional[jax.Array],  # (B,) int32 write offset into cache
-    return_kv: bool = False,
     decode_kernel: bool = False,
     decode_lengths: Optional[jax.Array] = None,  # (B,) valid cache entries
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
@@ -157,22 +157,27 @@ def _decoder_layer(
     k = apply_rope(k, cos, sin)
 
     if cache_k is not None:
-        # Write this step's k/v into the cache at per-sequence offsets, then
-        # attend over the whole (masked) cache.
-        def write(cache, new):
-            return jax.vmap(
-                lambda c, n, i: jax.lax.dynamic_update_slice(
-                    c, n.astype(c.dtype), (i, 0, 0)
-                )
-            )(cache, new, write_pos)
-
-        cache_k = write(cache_k, k)
-        cache_v = write(cache_v, v)
-        k_all, v_all = cache_k, cache_v
+        # Scatter ONLY the new tokens into the full (carried, donated) cache
+        # at per-sequence offsets, then attend over this layer's slab.
+        # Writing just T slots (instead of copying the whole slab through a
+        # dynamic_update_slice) keeps the decode step's HBM traffic at one
+        # cache read — the dominant cost at long contexts.
+        bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        tpos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+        cache_k = cache_k.at[layer_idx, bidx, tpos].set(
+            k.astype(cache_k.dtype), mode="drop", unique_indices=True
+        )
+        cache_v = cache_v.at[layer_idx, bidx, tpos].set(
+            v.astype(cache_v.dtype), mode="drop", unique_indices=True
+        )
+        k_all = jax.lax.dynamic_index_in_dim(
+            cache_k, layer_idx, 0, keepdims=False
+        )
+        v_all = jax.lax.dynamic_index_in_dim(
+            cache_v, layer_idx, 0, keepdims=False
+        )
     else:
         k_all, v_all = k, v
-        if return_kv:
-            cache_k, cache_v = k, v
 
     if bias_local is not None:
         bias = jnp.where(layer_is_local, bias_local, bias_global)
@@ -247,16 +252,13 @@ def decoder_forward(
     write_pos: Optional[jax.Array] = None,  # (B,) cache write offset
     remat: bool = False,
     return_hidden: bool = False,
-    return_kv: bool = False,
     decode_kernel: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Run the decoder. Returns (logits (B, T, V) fp32, updated cache).
+    """Run the decoder. Returns (logits (B, T, V) fp32, updated cache);
+    with ``return_hidden``, (final hidden states (B, T, D), updated cache).
 
-    With ``cache``: attends over the full cache (after writing the current
+    With ``cache``: attends over the full cache (after scattering the current
     k/v at ``write_pos``); without: self-attention over the T inputs.
-    ``return_kv`` (cache-less mode) additionally returns the per-layer k/v
-    computed for these tokens as a KVCache of shape (L, B, T, Hkv, Dh) — used
-    by the serving engine to prefill into an external slot cache.
     """
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
@@ -287,43 +289,254 @@ def decoder_forward(
         decode_kernel and cache is not None and x.shape[1] == 1
     )
 
-    def layer_fn(carry, xs):
-        h = carry
-        p, is_loc, ck, cv = xs
-        h, ck, cv = _decoder_layer(
-            cfg, h, p, cos_g, sin_g, cos_l, sin_l,
-            bias_global, bias_local, is_loc, ck, cv, write_pos,
-            return_kv=return_kv,
-            decode_kernel=use_decode_kernel,
-            decode_lengths=kv_valid_len,
+    if cache is not None and x.shape[1] == 1:
+        # DECODE: unroll the layer loop. Each layer scatters its single new
+        # k/v token into the (donated) full cache at a STATIC layer index and
+        # reads its slab once — XLA chains the scatters in place, so the
+        # step's cache traffic is exactly one cache read. A lax.scan here
+        # ping-pongs the carried cache between two buffers, adding full
+        # cache copies per step (measured 3-4x the HBM traffic).
+        ck, cv = cache.k, cache.v
+        for l in range(cfg.num_layers):
+            p_l = jax.tree.map(lambda a: a[l], params["layers"])
+            x, ck, cv = _decoder_layer(
+                cfg, x, p_l, l, cos_g, sin_g, cos_l, sin_l,
+                bias_global, bias_local, local_flags[l], ck, cv, write_pos,
+                decode_kernel=use_decode_kernel,
+                decode_lengths=kv_valid_len,
+            )
+        new_cache = KVCache(k=ck, v=cv)
+    elif cache is not None:
+        # PREFILL into a cache: per-layer T-token scatters; the cache rides
+        # the scan carry (one write of the prompt region per layer).
+        def layer_fn(carry, xs):
+            h, ck, cv = carry
+            p, is_loc, l = xs
+            h, ck, cv = _decoder_layer(
+                cfg, h, p, l, cos_g, sin_g, cos_l, sin_l,
+                bias_global, bias_local, is_loc, ck, cv, write_pos,
+                decode_kernel=False,
+                decode_lengths=kv_valid_len,
+            )
+            return (h, ck, cv), None
+
+        if remat:
+            layer_fn = jax.checkpoint(layer_fn)
+        xs = (
+            params["layers"],
+            local_flags,
+            jnp.arange(cfg.num_layers, dtype=jnp.int32),
         )
-        return h, (ck, cv)
-
-    if remat:
-        layer_fn = jax.checkpoint(layer_fn)
-
-    if cache is not None:
-        xs = (params["layers"], local_flags, cache.k, cache.v)
+        (x, new_k, new_v), _ = jax.lax.scan(
+            layer_fn, (x, cache.k, cache.v), xs
+        )
+        new_cache = KVCache(k=new_k, v=new_v)
     else:
-        xs = (params["layers"], local_flags, None, None)
 
-    x, (new_k, new_v) = jax.lax.scan(layer_fn, x, xs)
+        def layer_fn(carry, xs):
+            h = carry
+            p, is_loc = xs
+            h, _, _ = _decoder_layer(
+                cfg, h, p, None, cos_g, sin_g, cos_l, sin_l,
+                bias_global, bias_local, is_loc, None, None, None,
+            )
+            return h, None
+
+        if remat:
+            layer_fn = jax.checkpoint(layer_fn)
+        x, _ = jax.lax.scan(layer_fn, x, (params["layers"], local_flags))
+        new_cache = None
+
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, plus_one=cfg.arch == "gemma3")
     if return_hidden:
-        return x, None
+        return x, new_cache
 
+    logits = compute_logits(params, cfg, x)
+    return logits, new_cache
+
+
+def compute_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax.Array:
+    """LM head: hidden (..., D) -> fp32 logits (..., V), with Gemma
+    softcapping. Callers that only need one position (prefill TTFT) pass the
+    gathered hidden state — computing the full (B, T, V) logits for a long
+    prompt wastes ~V×T×D FLOPs and O(GB) of HBM."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        logits = x @ params["embed_tokens"].T
+        logits = hidden @ params["embed_tokens"].T
     else:
-        logits = x @ params["lm_head"]["kernel"]
+        logits = hidden @ params["lm_head"]["kernel"]
     logits = logits.astype(jnp.float32)
     if cfg.final_logit_softcapping:
         cap = cfg.final_logit_softcapping
         logits = jnp.tanh(logits / cap) * cap
+    return logits
 
-    new_cache = (
-        KVCache(k=new_k, v=new_v)
-        if (cache is not None or return_kv)
-        else None
+
+# --------------------------------------------------------------------------
+# Segmented fused decode (read-only prompt cache + small carried tail)
+# --------------------------------------------------------------------------
+
+
+def _merged_attention(q, kp, vp, bias_p, kt, vt, bias_t, scale):
+    """Attention over two KV segments without concatenating them.
+
+    ``kp/vp`` is the (large, read-only) prompt cache segment; ``kt/vt`` the
+    (small) decode tail. Logits for both segments are computed separately,
+    softmaxed jointly, and the value matmuls summed — the prompt cache is
+    only ever READ, never copied or concatenated.
+    q (B, 1, H, D); kp (B, S, Hkv, D); kt (B, Ts, Hkv, D);
+    bias_* broadcastable to (B, 1, 1, S*).
+    """
+    B, T, H, D = q.shape
+    Hkv = kp.shape[2]
+    group = H // Hkv
+    qf = (q * scale).reshape(B, T, Hkv, group, D)
+    # biases arrive as (B|1, 1, S*) -> (B|1, 1, 1, 1, S*) for (B,Hkv,g,T,S*)
+    lp = jnp.einsum(
+        "bthgd,bshd->bhgts", qf, kp, preferred_element_type=jnp.float32
+    ) + bias_p[:, None, None].astype(jnp.float32)
+    lt = jnp.einsum(
+        "bthgd,bshd->bhgts", qf, kt, preferred_element_type=jnp.float32
+    ) + bias_t[:, None, None].astype(jnp.float32)
+    probs = jax.nn.softmax(jnp.concatenate([lp, lt], axis=-1), axis=-1)
+    S = kp.shape[1]
+    pp = probs[..., :S].astype(vp.dtype)
+    pt = probs[..., S:].astype(vt.dtype)
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", pp, vp, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bhgts,bshd->bthgd", pt, vt, preferred_element_type=jnp.float32
     )
-    return logits, new_cache
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def segmented_decode_scan(
+    params: Params,
+    cfg: DecoderConfig,
+    prompt_cache: KVCache,  # (L, B, S, Hkv, Dh) — read-only during the scan
+    prompt_lens: jax.Array,  # (B,) valid prompt positions in the cache
+    first_tokens: jax.Array,  # (B,) int32
+    rng: jax.Array,
+    *,
+    n_steps: int,
+    sample_fn,  # (logits (B, V), key) -> (B,) int32
+) -> jax.Array:
+    """Fused n-step greedy/sampled decode with segmented KV.
+
+    A ``lax.scan`` that carries the big KV cache double-buffers it — one full
+    cache copy per token (measured ~4x the ideal HBM traffic). Here the
+    prompt cache enters as a closure constant (XLA never copies it) and new
+    tokens write into an (L, B, n_steps, Hkv, Dh) tail that IS carried — but
+    it is max_new_tokens slots, so its copies are noise. Decode-step cache
+    traffic = one read of the prompt cache + tail, the bandwidth minimum.
+
+    Returns the (B, n_steps) sampled tokens (including the first step's
+    token, which is ``first_tokens`` — already sampled from prefill logits).
+    """
+    L, B, S, Hkv, Dh = prompt_cache.k.shape
+    plus_one = cfg.arch == "gemma3"
+    local_flags = is_local_layer(cfg)
+
+    inv_freq_g = jnp.asarray(
+        rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    )
+    inv_freq_l = (
+        jnp.asarray(rope_frequencies(cfg.head_dim, cfg.rope_local_base_freq))
+        if cfg.rope_local_base_freq is not None
+        else inv_freq_g
+    )
+
+    kpos = jnp.arange(S, dtype=jnp.int32)[None]  # (1, S)
+    tail_shape = (L, B, n_steps, Hkv, Dh)
+    tail_k0 = jnp.zeros(tail_shape, prompt_cache.k.dtype)
+    tail_v0 = jnp.zeros(tail_shape, prompt_cache.v.dtype)
+    tpos = jnp.arange(n_steps, dtype=jnp.int32)[None]  # (1, Ts)
+
+    def step(carry, step_idx):
+        tok, tail_k, tail_v, key = carry
+        x = jnp.take(params["embed_tokens"], tok, axis=0)[:, None]  # (B,1,D)
+        if cfg.scale_embeddings:
+            x = x * jnp.asarray(cfg.hidden_size**0.5, dtype=x.dtype)
+        positions = (prompt_lens + step_idx)[:, None]  # (B, 1)
+        cos_g, sin_g = rope_cos_sin(positions, inv_freq_g)
+        cos_l, sin_l = rope_cos_sin(positions, inv_freq_l)
+
+        # prompt-segment bias: key j visible iff j < prompt_len (B,1,S)
+        ok_p = kpos < prompt_lens[:, None]
+        # tail-segment bias: tail slot t visible iff t <= step (1, Ts)
+        ok_t = tpos <= step_idx
+        if cfg.sliding_window is not None:
+            w = cfg.sliding_window
+            # absolute distance: prompt key j -> q at prompt_len + step
+            ok_p_loc = ok_p & (
+                prompt_lens[:, None] + step_idx - kpos < w
+            )
+            ok_t_loc = ok_t & ((step_idx - tpos) < w)
+        biases = {}
+        for name, ok in (("p", ok_p), ("t", ok_t)):
+            biases[name] = jnp.where(ok, 0.0, NEG_INF)[:, None]
+        if cfg.sliding_window is not None:
+            biases["p_loc"] = jnp.where(ok_p_loc, 0.0, NEG_INF)[:, None]
+            biases["t_loc"] = jnp.where(ok_t_loc, 0.0, NEG_INF)[:, None]
+
+        for l in range(L):
+            p = jax.tree.map(lambda a: a[l], params["layers"])
+            is_loc = bool(local_flags[l])
+            h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps, plus_one=plus_one)
+            q = _proj(h, p["q_proj"]).reshape(B, 1, cfg.num_heads, Dh)
+            k = _proj(h, p["k_proj"]).reshape(B, 1, Hkv, Dh)
+            v = _proj(h, p["v_proj"]).reshape(B, 1, Hkv, Dh)
+            if cfg.qk_norm:
+                q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, plus_one=plus_one)
+                k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, plus_one=plus_one)
+            cos, sin = (cos_l, sin_l) if (
+                is_loc and cfg.rope_local_base_freq is not None
+            ) else (cos_g, sin_g)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            # tail write at a uniform (per-step) slot — dynamic_update_slice,
+            # no per-row scatter needed
+            tail_k = jax.lax.dynamic_update_slice(
+                tail_k, k.astype(tail_k.dtype)[None], (l, 0, step_idx, 0, 0)
+            )
+            tail_v = jax.lax.dynamic_update_slice(
+                tail_v, v.astype(tail_v.dtype)[None], (l, 0, step_idx, 0, 0)
+            )
+            bias_p = biases["p_loc"] if (is_loc and cfg.sliding_window) else biases["p"]
+            bias_t = biases["t_loc"] if (is_loc and cfg.sliding_window) else biases["t"]
+            attn = _merged_attention(
+                q, prompt_cache.k[l], prompt_cache.v[l], bias_p,
+                tail_k[l], tail_v[l], bias_t, cfg.attn_scale,
+            )
+            attn = _proj(attn.reshape(B, 1, cfg.num_heads * Dh), p["o_proj"])
+            if cfg.use_post_norms:
+                attn = rms_norm(attn, p["post_attn_ln"], cfg.rms_norm_eps,
+                                plus_one=plus_one)
+                x = x + attn
+                h = rms_norm(x, p["pre_ffn_ln"], cfg.rms_norm_eps,
+                             plus_one=plus_one)
+            else:
+                x = x + attn
+                h = rms_norm(x, p["post_attn_ln"], cfg.rms_norm_eps,
+                             plus_one=plus_one)
+            mlp = _proj(
+                _act(cfg, _proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
+                p["down_proj"],
+            )
+            if cfg.use_post_norms:
+                mlp = rms_norm(mlp, p["post_ffn_ln"], cfg.rms_norm_eps,
+                               plus_one=plus_one)
+            x = x + mlp
+
+        x = rms_norm(x, params["norm"], cfg.rms_norm_eps, plus_one=plus_one)
+        logits = compute_logits(params, cfg, x[:, 0])
+        key, step_key = jax.random.split(key)
+        nxt = sample_fn(logits, step_key)
+        return (nxt, tail_k, tail_v, key), nxt
+
+    (_, _, _, _), toks = jax.lax.scan(
+        step,
+        (first_tokens, tail_k0, tail_v0, rng),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    # (B, n_steps + 1): first_tokens followed by the n_steps sampled tokens
+    return jnp.concatenate([first_tokens[:, None], jnp.transpose(toks)], axis=1)

@@ -49,11 +49,15 @@ def mha(
             q, k, v, bias=bias, scale=scale, is_causal=is_causal
         )
 
-    qf = q.astype(jnp.float32) * scale
-    qf = qf.reshape(B, T, Hkv, group, D)
+    # keep k/v in their storage dtype (bf16 caches stay bf16 in HBM — an
+    # explicit fp32 cast would double the cache read traffic with a
+    # materialized copy); the MXU accumulates in fp32 via
+    # preferred_element_type, and the softmax runs in fp32
+    qf = (q * scale).reshape(B, T, Hkv, group, D)
     # (B, Hkv, group, T, S)
     logits = jnp.einsum(
-        "bthgd,bshd->bhgts", qf, k.astype(jnp.float32), optimize=True
+        "bthgd,bshd->bhgts", qf, k,
+        preferred_element_type=jnp.float32, optimize=True,
     )
     if is_causal:
         causal = jnp.tril(jnp.ones((T, S), dtype=bool), k=S - T)
@@ -63,7 +67,8 @@ def mha(
         logits = logits + b.reshape(B, Hkv, group, T, S).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhgts,bshd->bthgd", probs, v.astype(jnp.float32), optimize=True
+        "bhgts,bshd->bthgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32, optimize=True,
     )
     return out.reshape(B, T, H, D).astype(q.dtype)
 

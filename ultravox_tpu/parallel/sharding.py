@@ -9,6 +9,7 @@ TP = shard heads/FFN over ``tensor``.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Any, Dict, List, Sequence, Tuple
 
@@ -67,9 +68,18 @@ def spec_for_path(path_str: str, rules: Sequence[Tuple[str, P]]) -> P:
     return P()
 
 
-def _shrink_spec(spec: P, shape: Tuple[int, ...], mesh: jax.sharding.Mesh) -> P:
+def _shrink_spec(
+    spec: P,
+    shape: Tuple[int, ...],
+    mesh: jax.sharding.Mesh,
+    path: str = "",
+) -> P:
     """Drop mesh axes that don't divide the corresponding dim (tiny test
-    models, odd vocab sizes) — mirrors XLA's requirement of even sharding."""
+    models, odd vocab sizes) — mirrors XLA's requirement of even sharding.
+
+    Dropping an axis silently replicates the parameter, which on a large
+    model burns HBM on every device — so it logs loudly (once per param)
+    when a non-trivially-sized dim loses its sharding."""
     out = []
     for i, axis in enumerate(spec):
         if axis is None:
@@ -82,6 +92,13 @@ def _shrink_spec(spec: P, shape: Tuple[int, ...], mesh: jax.sharding.Mesh) -> P:
             out.append(axis)
         else:
             out.append(None)
+            if size > 1 and i < len(shape) and shape[i] >= 1024:
+                logging.warning(
+                    "sharding rule dropped: %s dim %d (size %d) is not "
+                    "divisible by mesh axis %r (size %d) — parameter will be "
+                    "REPLICATED on that axis, costing HBM on every device",
+                    path or "<param>", i, shape[i], axis, size,
+                )
     return P(*out)
 
 
@@ -93,9 +110,10 @@ def param_pspecs(
     """PartitionSpec pytree matching ``params`` (arrays or ShapeDtypeStructs)."""
 
     def leaf_spec(path, leaf):
-        spec = spec_for_path(_path_str(path), rules)
+        path_str = _path_str(path)
+        spec = spec_for_path(path_str, rules)
         if mesh is not None:
-            spec = _shrink_spec(spec, tuple(leaf.shape), mesh)
+            spec = _shrink_spec(spec, tuple(leaf.shape), mesh, path_str)
         return spec
 
     return jax.tree_util.tree_map_with_path(leaf_spec, params)

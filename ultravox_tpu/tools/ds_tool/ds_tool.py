@@ -230,6 +230,220 @@ class VoiceDsGenTask:
         return dataset.map(generate)
 
 
+@dataclasses.dataclass
+class AudioMixTask:
+    """Mix background audio (noise/music pool) around each sample's audio
+    (reference: tasks/audio_mix_task.py): a random-length slice of pool audio
+    is volume-matched to a fraction of the sample's RMS and split into a
+    prefix + suffix around the original audio; rows longer than
+    ``max_length`` seconds are dropped.
+
+    ``mix_rows`` is the pool: any iterable of rows whose ``mix_audio_field``
+    holds an HF-Audio-style dict (tests inject it directly; the CLI loads
+    ``mix_dataset``)."""
+
+    mix_dataset: Optional[str] = None
+    mix_subset: Optional[str] = None
+    mix_split: str = "train"
+    audio_field: str = "audio"
+    mix_audio_field: str = "audio"
+    max_length: float = 15.0
+    min_volume_ratio: float = 0.2
+    max_volume_ratio: float = 0.5
+    normalize: bool = True
+    seed: int = 42
+    mix_rows: Any = None  # injectable pool (list of rows)
+
+    def _pool_segments(self):
+        """Infinite stream of pool audio arrays at 16 kHz float32."""
+        import numpy as np
+
+        from ultravox_tpu.utils.audio import resample
+
+        if self.mix_rows is None:
+            import datasets as hf_datasets
+
+            self.mix_rows = hf_datasets.load_dataset(
+                self.mix_dataset, self.mix_subset, split=self.mix_split
+            )
+        while True:
+            for row in self.mix_rows:
+                entry = row[self.mix_audio_field]
+                arr = np.asarray(entry["array"], dtype=np.float32)
+                sr = entry.get("sampling_rate", 16000)
+                yield arr, sr
+
+    def _take(self, gen, n_samples: int, sr: int):
+        import numpy as np
+
+        from ultravox_tpu.utils.audio import resample
+
+        out = np.zeros(0, np.float32)
+        while len(out) < n_samples:
+            arr, pool_sr = next(gen)
+            if pool_sr != sr:
+                arr = resample(arr, pool_sr, sr)
+            out = np.concatenate([out, arr])
+        return out[:n_samples]
+
+    def map_split(self, dataset, num_proc: int = 1):
+        import random
+
+        import numpy as np
+
+        rng = random.Random(self.seed)
+        pool = self._pool_segments()
+
+        def keep(row):
+            entry = row[self.audio_field]
+            sr = entry.get("sampling_rate", 16000)
+            return len(entry["array"]) / sr < self.max_length
+
+        def mix(row):
+            entry = dict(row[self.audio_field])
+            audio = np.asarray(entry["array"], dtype=np.float32)
+            sr = entry.get("sampling_rate", 16000)
+            available = max(0.0, self.max_length - len(audio) / sr)
+            mix_secs = rng.uniform(available * 0.25, available)
+            mix_arr = self._take(pool, int(mix_secs * sr), sr)
+            if self.normalize and len(mix_arr):
+                def rms(x):
+                    return float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
+
+                src, tgt = rms(mix_arr), rms(audio)
+                if src > 0 and tgt > 0:
+                    ratio = rng.uniform(
+                        self.min_volume_ratio, self.max_volume_ratio
+                    )
+                    mix_arr = mix_arr * (tgt / src * ratio)
+            split = rng.randint(0, len(mix_arr)) if len(mix_arr) else 0
+            mixed = np.concatenate([mix_arr[:split], audio, mix_arr[split:]])
+            peak = np.max(np.abs(mixed)) if len(mixed) else 0.0
+            if peak > 1.0:
+                mixed = mixed / peak
+            entry["array"] = mixed
+            row[self.audio_field] = entry
+            return row
+
+        return dataset.filter(keep).map(mix)
+
+
+@dataclasses.dataclass
+class TimestampTask:
+    """Word-level timestamp generation via the Montreal Forced Aligner
+    (reference: tasks/timestamp_gen_task.py): writes audio/text pairs to a
+    temp corpus, shells out to ``mfa align``, parses the TextGrid word tier
+    into ``[{start, end, text}, ...]`` per row. The ``aligner`` callable is
+    injectable for offline tests; without MFA installed the task raises a
+    clear error at construction."""
+
+    template: str = "{{ text }}"
+    mfa_acoustic_model: str = "english_mfa"
+    mfa_dictionary: Optional[str] = None
+    audio_field: str = "audio"
+    timestamp_column: str = "timestamps"
+    aligned_ratio_check: float = 0.95
+    aligner: Any = None  # callable(corpus_dir, out_dir) -> None
+
+    def __post_init__(self):
+        if self.mfa_dictionary is None:
+            self.mfa_dictionary = self.mfa_acoustic_model
+        if self.aligner is None:
+            import shutil
+
+            if shutil.which("mfa") is None:
+                raise RuntimeError(
+                    "TimestampTask needs the Montreal Forced Aligner "
+                    "('mfa' binary on PATH) or an injected aligner callable"
+                )
+            self.aligner = self._mfa_align
+
+    def _mfa_align(self, corpus_dir: str, out_dir: str) -> None:
+        import subprocess
+
+        subprocess.run(
+            [
+                "mfa", "align", corpus_dir,
+                self.mfa_dictionary, self.mfa_acoustic_model, out_dir,
+                "--clean", "--use_mp",
+            ],
+            check=True,
+        )
+
+    @staticmethod
+    def parse_textgrid_words(path: str):
+        """Minimal TextGrid parser: the 'words' tier's non-empty intervals
+        as [{start, end, text}]."""
+        import re
+
+        with open(path) as f:
+            content = f.read()
+        words = []
+        # find the words tier, then its intervals
+        tiers = re.split(r'item\s*\[\d+\]:', content)
+        for tier in tiers:
+            if '"words"' not in tier:
+                continue
+            for m in re.finditer(
+                r"xmin\s*=\s*([\d.]+)\s*\n\s*xmax\s*=\s*([\d.]+)\s*\n\s*"
+                r'text\s*=\s*"([^"]*)"',
+                tier,
+            ):
+                text = m.group(3).strip()
+                if text:
+                    words.append(
+                        {
+                            "start": float(m.group(1)),
+                            "end": float(m.group(2)),
+                            "text": text,
+                        }
+                    )
+        return words
+
+    def map_split(self, dataset, num_proc: int = 1):
+        import tempfile
+
+        import jinja2
+        import numpy as np
+
+        tmpl = jinja2.Template(self.template)
+        with tempfile.TemporaryDirectory() as tmp:
+            corpus = os.path.join(tmp, "corpus")
+            aligned = os.path.join(tmp, "aligned")
+            os.makedirs(corpus)
+            from ultravox_tpu.data.sample import audio_to_wav_bytes
+
+            rows = list(dataset)
+            for i, row in enumerate(rows):
+                entry = row[self.audio_field]
+                arr = np.asarray(entry["array"], dtype=np.float32)
+                sr = int(entry.get("sampling_rate", 16000))
+                with open(os.path.join(corpus, f"utt{i:06d}.wav"), "wb") as f:
+                    f.write(audio_to_wav_bytes(arr, sr))
+                with open(os.path.join(corpus, f"utt{i:06d}.txt"), "w") as f:
+                    f.write(tmpl.render(**row))
+            self.aligner(corpus, aligned)
+
+            n_aligned = 0
+            for i, row in enumerate(rows):
+                tg = os.path.join(aligned, f"utt{i:06d}.TextGrid")
+                if os.path.exists(tg):
+                    row[self.timestamp_column] = self.parse_textgrid_words(tg)
+                    n_aligned += 1
+                else:
+                    row[self.timestamp_column] = None
+            if n_aligned < self.aligned_ratio_check * len(rows):
+                raise RuntimeError(
+                    f"only {n_aligned}/{len(rows)} rows aligned "
+                    f"(< {self.aligned_ratio_check:.0%})"
+                )
+        import datasets as hf_datasets
+
+        if isinstance(dataset, hf_datasets.Dataset):
+            return hf_datasets.Dataset.from_list(rows)
+        return rows
+
+
 TASKS = {
     "textgen": TextGenerationTask,
     "tts": TtsTask,
@@ -238,6 +452,8 @@ TASKS = {
     "asr": AsrTask,
     "audiosplit": AudioSplitTask,
     "voice_ds_gen": VoiceDsGenTask,
+    "audiomix": AudioMixTask,
+    "timestamp": TimestampTask,
 }
 
 

@@ -134,6 +134,18 @@ class MetricsLogger:
             " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
         )
 
+    def log_checkpoint(self, path: Optional[str]):
+        """Log a checkpoint dir as a W&B model artifact when
+        WANDB_LOG_MODEL is set (reference: train.py WANDB_LOG_MODEL flow)."""
+        if (
+            self._wandb is not None
+            and path
+            and os.environ.get("WANDB_LOG_MODEL")
+        ):
+            from ultravox_tpu.utils.wandb_utils import log_checkpoint_artifact
+
+            log_checkpoint_artifact(self._wandb.run, path)
+
     def close(self):
         if self._tb is not None:
             self._tb.close()
@@ -306,6 +318,8 @@ def train(config: TrainConfig) -> Dict[str, float]:
             if config.save_steps and step % config.save_steps == 0:
                 path = save_checkpoint_multihost(config.output_dir, state)
                 logger.info("saved checkpoint %s", path)
+                if metrics_logger is not None:
+                    metrics_logger.log_checkpoint(path)
             if config.val_steps and step % config.val_steps == 0 and config.val_sets:
                 val = validate(config, model_pack, state, template, mesh)
                 if metrics_logger is not None:
