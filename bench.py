@@ -74,7 +74,8 @@ def main():
     rtfx = audio_seconds / dt
     baseline_rtfx = 30.0  # north-star: >30x real time per chip
 
-    ttft_ms, decode_tps = _flagship_metrics()
+    ttft_ms, decode_tps, decode_tps_2k = _flagship_metrics()
+    m8 = _8b_metrics()
     print(
         json.dumps(
             {
@@ -87,6 +88,8 @@ def main():
                 "wall_s_per_iter": round(dt / iters, 4),
                 "ttft_ms_p50_10s_audio_1b": ttft_ms,
                 "decode_tok_s_batch8_1b": decode_tps,
+                "decode_tok_s_batch8_1b_2k_ctx": decode_tps_2k,
+                **m8,
                 "device": str(jax.devices()[0]),
             }
         )
@@ -120,6 +123,19 @@ def _flagship_metrics():
         engine.generate_greedy_fused(batch, max_new_tokens=64)
     decode_tps = B * 64 * iters / (time.perf_counter() - t0)
 
+    # serving-realistic long context: decode at ~2K tokens in the cache
+    engine2k = GenerationEngine(params, cfg, max_cache_len=2048)
+    prompt2k = np.full((B, 1980), 7, np.int32)
+    batch2k = {"input_ids": prompt2k, "attention_mask": np.ones_like(prompt2k)}
+    engine2k.generate_greedy_fused(batch2k, max_new_tokens=64)  # compile
+    t0 = time.perf_counter()
+    r = engine2k.generate_greedy_fused(batch2k, max_new_tokens=64)
+    t_total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    engine2k.generate(batch2k, max_new_tokens=1)  # prefill + 1 token
+    t_prefill = time.perf_counter() - t0
+    decode_tps_2k = B * 63 / max(t_total - t_prefill, 1e-6)
+
     n_tok = -(-1000 // cfg.audio_token_compression)
     abatch = {
         "input_ids": prompt[:1],
@@ -143,7 +159,128 @@ def _flagship_metrics():
 
     ttft_once()  # compile
     times = sorted(ttft_once() for _ in range(10))
-    return round(times[5] * 1000, 1), round(decode_tps, 1)
+    return round(times[5] * 1000, 1), round(decode_tps, 1), round(decode_tps_2k, 1)
+
+
+def _8b_metrics():
+    """Llama-3.1-8B-dims perf story (BASELINE north star: TTFT <200 ms for
+    Ultravox-8B on v5p-8). 16 GB of bf16 weights don't fit one 16 GB v5e
+    chip, so this measures layer-sliced models at the exact 8B layer dims
+    (4096 hidden / 14336 ffn / 32q+8kv heads / 128 head_dim / 128256 vocab)
+    and extrapolates: per-layer cost = (t(8 layers) - t(4 layers)) / 4,
+    fixed cost (embed + LM head + sampling) = t(4) - 4x per-layer. The
+    '1chip_equiv' numbers are the 32-layer extrapolation on ONE chip; the
+    v5e-8 TTFT estimate divides the layer-parallelizable part by 8 chips
+    (weights sharded over tensor/fsdp axes, ICI collective overhead not
+    modeled) and adds the measured 10 s-audio encoder time."""
+    import time
+
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.models import DecoderConfig, UltravoxConfig
+
+    B = 8
+    results = {}
+    times_decode = {}
+    times_prefill = {}
+    for n_layers in (4, 8):
+        cfg = UltravoxConfig(
+            text_config=DecoderConfig(
+                arch="llama", vocab_size=128256, hidden_size=4096,
+                intermediate_size=14336, num_layers=n_layers, num_heads=32,
+                num_kv_heads=8, head_dim=128, rope_theta=500000.0,
+                max_position_embeddings=8192,
+            ),
+            llm_only_training=True,
+        )
+        from ultravox_tpu.models import decoder as decoder_lib
+
+        params = {
+            "language_model": decoder_lib.init_params(
+                cfg.text_config, jax.random.key(0), jnp.bfloat16
+            )
+        }
+        engine = GenerationEngine(params, cfg, max_cache_len=512)
+        prompt = np.full((B, 192), 7, np.int32)  # ~128 text + 63 audio tokens
+        batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
+        engine.generate_greedy_fused(batch, max_new_tokens=32)  # compile
+        t0 = time.perf_counter()
+        engine.generate_greedy_fused(batch, max_new_tokens=32)
+        t_total = time.perf_counter() - t0
+
+        import ultravox_tpu.models.decoder as dl
+
+        cache = dl.KVCache.zeros(cfg.text_config, B, 256, jnp.bfloat16)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def pf():
+            out, _, _ = engine._prefill(
+                engine.params, jb, cache, jnp.asarray(0, jnp.int32)
+            )
+            return float(jnp.sum(out))
+
+        pf()  # compile
+        t0 = time.perf_counter()
+        pf()
+        times_prefill[n_layers] = time.perf_counter() - t0
+        times_decode[n_layers] = (t_total - times_prefill[n_layers]) / 32
+
+    per_layer_decode = (times_decode[8] - times_decode[4]) / 4
+    fixed_decode = times_decode[4] - 4 * per_layer_decode
+    per_layer_prefill = (times_prefill[8] - times_prefill[4]) / 4
+    fixed_prefill = times_prefill[4] - 4 * per_layer_prefill
+
+    decode_32 = fixed_decode + 32 * per_layer_decode
+    prefill_32 = fixed_prefill + 32 * per_layer_prefill
+    # v5e-8 plan: 32 layers' weights sharded 8-way (fsdp x tensor); the
+    # per-layer work parallelizes, the fixed (embed/head/sample) part is
+    # also sharded over tensor but kept unscaled here as margin
+    prefill_32_8chip = fixed_prefill + 32 * per_layer_prefill / 8
+    # measured 10s-audio encode (large-v3-turbo class) — reuse the headline
+    # encoder number: 10 s / rtfx; a single chunk at batch 1 is bounded by
+    # ~2x the per-chunk batch-8 time, so measure directly instead
+    enc_ttft_s = _encoder_10s_once()
+    ttft_8b_est = (enc_ttft_s + prefill_32_8chip) * 1000
+
+    return {
+        "8b_dims_decode_ms_per_step_batch8_1chip_equiv": round(decode_32 * 1e3, 2),
+        "8b_dims_decode_tok_s_batch8_1chip_equiv": round(B / decode_32, 1),
+        "8b_dims_prefill_192tok_ms_1chip_equiv": round(prefill_32 * 1e3, 1),
+        "8b_dims_ttft_ms_est_10s_audio_v5e8": round(ttft_8b_est, 1),
+        "8b_ttft_vs_200ms_target": round(200.0 / max(ttft_8b_est, 1e-9), 2),
+    }
+
+
+def _encoder_10s_once() -> float:
+    """Measured single-chunk (10 s audio, batch 1) encode + mel time."""
+    import time
+
+    from ultravox_tpu.models import WhisperEncoderConfig, whisper_encoder
+    from ultravox_tpu.ops import mel as mel_lib
+
+    cfg = WhisperEncoderConfig(
+        num_mel_bins=128, d_model=1280, num_layers=32, num_heads=20,
+        ffn_dim=5120, max_source_positions=1500,
+    )
+    params = whisper_encoder.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 160000)).astype(np.float32)
+    )
+    lens = jnp.full((1,), 1000, jnp.int32)
+
+    @jax.jit
+    def enc(params, audio, lens):
+        mel = mel_lib.log_mel_spectrogram(audio, num_mel_filters=cfg.num_mel_bins)
+        # XLA attention here: avoids a second Pallas compile variant through
+        # the remote relay per bench run; slightly conservative for TTFT
+        out = whisper_encoder.encoder_forward(
+            params, cfg, mel.astype(jnp.bfloat16), lens, attn_impl="xla"
+        )
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(enc(params, audio, lens))  # compile
+    t0 = time.perf_counter()
+    float(enc(params, audio, lens))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

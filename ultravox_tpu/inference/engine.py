@@ -73,7 +73,12 @@ class GenerationEngine:
         encoder_attn_impl: str = "xla",
         decode_attn_impl: str = "xla",  # "kernel" = flash-decoding pallas
     ):
-        self.params = params
+        # inference-optimised decoder weights (fused qkv / gate-up matmuls;
+        # no-op for LoRA'd or multi-device-sharded params)
+        self.params = dict(params)
+        self.params["language_model"] = decoder_lib.fuse_inference_params(
+            params["language_model"], cfg.text_config
+        )
         self.cfg = cfg
         self.max_cache_len = max_cache_len
         self.batch_buckets = batch_buckets

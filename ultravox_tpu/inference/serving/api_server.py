@@ -143,6 +143,82 @@ class ServingAPI:
         }
 
 
+    # -- real-time voice (reference: tools/gradio_voice.py — WebRTC + VAD
+    # ReplyOnPause; here: WebSocket PCM16 + in-repo energy VAD) -------------
+
+    def handle_voice_ws(self, conn, *, max_tokens: int = 200) -> None:
+        """Conversation loop over a WebSocket: binary frames carry PCM16
+        mono @16 kHz mic audio; when the speaker pauses, the utterance plus
+        the running conversation is submitted to the engine and token deltas
+        stream back as JSON text frames."""
+        from ultravox_tpu.inference.serving.websocket import OP_TEXT
+        from ultravox_tpu.utils.vad import ReplyOnPause
+
+        vad = ReplyOnPause()
+        messages: List[Dict[str, str]] = []
+        audios: List[np.ndarray] = []
+        conn.send_text(json.dumps({"type": "ready"}))
+        while True:
+            msg = conn.recv()
+            utterance = None
+            if msg is None:
+                return
+            op, payload = msg
+            if op == OP_TEXT:
+                ctl = json.loads(payload.decode("utf-8"))
+                if ctl.get("type") == "flush":
+                    utterance = vad.flush()
+                elif ctl.get("type") == "reset":
+                    messages, audios = [], []
+                    vad.reset()
+                    conn.send_text(json.dumps({"type": "ready"}))
+                    continue
+                else:
+                    continue
+            else:
+                pcm = np.frombuffer(payload, np.int16).astype(np.float32)
+                utterance = vad.process(pcm / 32768.0)
+            if utterance is None or not len(utterance):
+                continue
+
+            conn.send_text(json.dumps(
+                {"type": "utterance", "seconds": len(utterance) / 16000.0}
+            ))
+            messages.append({"role": "user", "content": "<|audio|>"})
+            audios.append(utterance)
+            text = self.tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True
+            )
+            features = self.processor(text=text, audios=audios)
+            batch = self.collator([features])
+            req = self.engine.submit(
+                batch,
+                max_tokens=max_tokens,
+                stop_token_ids=(self.tokenizer.eos_token_id,),
+            )
+            token_ids: List[int] = []
+            emitted = 0
+            ttft = None
+            for event in self.engine.stream(req):
+                if event.token_id is None:
+                    ttft = event.ttft_s
+                    break
+                token_ids.append(event.token_id)
+                full = self.tokenizer.decode(
+                    token_ids, skip_special_tokens=True
+                )
+                if not full.endswith("�") and len(full) > emitted:
+                    conn.send_text(json.dumps(
+                        {"type": "token", "text": full[emitted:]}
+                    ))
+                    emitted = len(full)
+            reply = self.tokenizer.decode(token_ids, skip_special_tokens=True)
+            messages.append({"role": "assistant", "content": reply})
+            conn.send_text(json.dumps(
+                {"type": "turn_end", "text": reply, "ttft_s": ttft}
+            ))
+
+
 def _sse_chunk(rid, created, model, delta_text, finish=None):
     delta = {} if delta_text is None else {"content": delta_text}
     chunk = {
@@ -170,6 +246,31 @@ def make_handler(api: ServingAPI):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            elif self.path == "/voice":
+                from ultravox_tpu.inference.serving.demo_page import VOICE_HTML
+
+                data = VOICE_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path == "/ws/voice":
+                from ultravox_tpu.inference.serving.websocket import (
+                    WebSocketConnection,
+                    perform_handshake,
+                )
+
+                if not perform_handshake(self):
+                    return
+                conn = WebSocketConnection(self)
+                try:
+                    api.handle_voice_ws(conn)
+                except (ConnectionError, BrokenPipeError):
+                    pass
+                finally:
+                    conn.close()
+                self.close_connection = True
             elif self.path in ("/health", "/v1/health"):
                 self._json(200, {"status": "ok"})
             elif self.path == "/v1/models":

@@ -100,3 +100,113 @@ document.getElementById('send').onclick = async () => {
 </body>
 </html>
 """
+
+
+VOICE_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>ultravox-tpu voice</title>
+<style>
+  body { font-family: system-ui, sans-serif; max-width: 720px; margin: 2rem auto; padding: 0 1rem; background: #101418; color: #e6e6e6; }
+  h1 { font-size: 1.2rem; }
+  #chat { border: 1px solid #2a3340; border-radius: 8px; padding: 1rem; min-height: 280px; }
+  .msg { margin: .5rem 0; white-space: pre-wrap; }
+  .user { color: #8ec7ff; }
+  .assistant { color: #b5f1c2; }
+  .meta { color: #8a93a0; font-size: .8rem; }
+  button { padding: .6rem 1.2rem; background: #2d5f8a; color: white; border: 0; border-radius: 6px; cursor: pointer; margin-top: 1rem; }
+  #level { height: 6px; background: #1a222c; border-radius: 3px; margin-top: .6rem; }
+  #level > div { height: 100%; width: 0%; background: #3fae6a; border-radius: 3px; }
+</style>
+</head>
+<body>
+<h1>ultravox-tpu — real-time voice (VAD reply-on-pause)</h1>
+<p class="meta">Talk, then pause; the model replies. Mic audio streams as
+16 kHz PCM over a WebSocket; the server's energy VAD segments utterances.</p>
+<div id="chat"></div>
+<div id="level"><div></div></div>
+<button id="mic">start microphone</button>
+<button id="reset">reset conversation</button>
+<script>
+const chat = document.getElementById('chat');
+const levelBar = document.querySelector('#level > div');
+let ws = null, ctx = null, stream = null, node = null, running = false;
+let current = null;
+
+function add(cls, text) {
+  const d = document.createElement('div');
+  d.className = 'msg ' + cls;
+  d.textContent = (cls === 'user' ? 'you: ' : 'model: ') + text;
+  chat.appendChild(d);
+  chat.scrollTop = chat.scrollHeight;
+  return d;
+}
+
+function connect() {
+  const proto = location.protocol === 'https:' ? 'wss://' : 'ws://';
+  ws = new WebSocket(proto + location.host + '/ws/voice');
+  ws.binaryType = 'arraybuffer';
+  ws.onmessage = (ev) => {
+    const m = JSON.parse(ev.data);
+    if (m.type === 'utterance') {
+      add('user', '[' + m.seconds.toFixed(1) + 's of speech]');
+      current = add('assistant', '');
+    } else if (m.type === 'token' && current) {
+      current.textContent += m.text;
+    } else if (m.type === 'turn_end' && current) {
+      if (m.ttft_s) {
+        const meta = document.createElement('span');
+        meta.className = 'meta';
+        meta.textContent = '  (ttft ' + (m.ttft_s * 1000).toFixed(0) + ' ms)';
+        current.appendChild(meta);
+      }
+      current = null;
+    }
+  };
+}
+
+async function startMic() {
+  connect();
+  stream = await navigator.mediaDevices.getUserMedia({audio: {channelCount: 1}});
+  ctx = new AudioContext();
+  const source = ctx.createMediaStreamSource(stream);
+  node = ctx.createScriptProcessor(4096, 1, 1);
+  const ratio = ctx.sampleRate / 16000;
+  node.onaudioprocess = (e) => {
+    const input = e.inputBuffer.getChannelData(0);
+    let peak = 0;
+    const n = Math.floor(input.length / ratio);
+    const pcm = new Int16Array(n);
+    for (let i = 0; i < n; i++) {
+      const v = input[Math.floor(i * ratio)];
+      peak = Math.max(peak, Math.abs(v));
+      pcm[i] = Math.max(-32768, Math.min(32767, v * 32768));
+    }
+    levelBar.style.width = Math.min(100, peak * 300) + '%';
+    if (ws && ws.readyState === 1) ws.send(pcm.buffer);
+  };
+  source.connect(node);
+  node.connect(ctx.destination);
+  running = true;
+  document.getElementById('mic').textContent = 'stop microphone';
+}
+
+document.getElementById('mic').onclick = async () => {
+  if (!running) { await startMic(); }
+  else {
+    if (node) node.disconnect();
+    if (stream) stream.getTracks().forEach(t => t.stop());
+    if (ws) { ws.send(JSON.stringify({type: 'flush'})); }
+    running = false;
+    document.getElementById('mic').textContent = 'start microphone';
+  }
+};
+document.getElementById('reset').onclick = () => {
+  if (ws && ws.readyState === 1) ws.send(JSON.stringify({type: 'reset'}));
+  chat.innerHTML = '';
+};
+</script>
+</body>
+</html>
+"""

@@ -108,7 +108,11 @@ class ServingEngine:
         """``mesh``: serve a sharded model — params should already be placed
         via ``parallel.shard_params``; the KV cache shards its head axis over
         ``tensor`` and its slot axis over ``(data, fsdp)``."""
-        self.params = params
+        self.params = dict(params)
+        if mesh is None:  # fused matmuls don't compose with TP sharding
+            self.params["language_model"] = decoder_lib.fuse_inference_params(
+                params["language_model"], cfg.text_config
+            )
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len

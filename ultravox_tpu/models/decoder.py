@@ -140,9 +140,7 @@ def _decoder_layer(
     plus_one = cfg.arch == "gemma3"
 
     h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps, plus_one=plus_one)
-    q = _proj(h, p["q_proj"]).reshape(B, T, Hq, Dh)
-    k = _proj(h, p["k_proj"]).reshape(B, T, Hkv, Dh)
-    v = _proj(h, p["v_proj"]).reshape(B, T, Hkv, Dh)
+    q, k, v = _qkv(cfg, h, p)
 
     if cfg.qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, plus_one=plus_one)
@@ -208,10 +206,7 @@ def _decoder_layer(
         x = x + attn
         h = rms_norm(x, p["post_attn_ln"], cfg.rms_norm_eps, plus_one=plus_one)
 
-    mlp = _proj(
-        _act(cfg, _proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
-        p["down_proj"],
-    )
+    mlp = _mlp(cfg, h, p)
     if cfg.use_post_norms:
         mlp = rms_norm(mlp, p["post_ffn_ln"], cfg.rms_norm_eps, plus_one=plus_one)
     x = x + mlp
@@ -482,9 +477,7 @@ def segmented_decode_scan(
             p = jax.tree.map(lambda a: a[l], params["layers"])
             is_loc = bool(local_flags[l])
             h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps, plus_one=plus_one)
-            q = _proj(h, p["q_proj"]).reshape(B, 1, cfg.num_heads, Dh)
-            k = _proj(h, p["k_proj"]).reshape(B, 1, Hkv, Dh)
-            v = _proj(h, p["v_proj"]).reshape(B, 1, Hkv, Dh)
+            q, k, v = _qkv(cfg, h, p)
             if cfg.qk_norm:
                 q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, plus_one=plus_one)
                 k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, plus_one=plus_one)
@@ -518,10 +511,7 @@ def segmented_decode_scan(
                 x = x + attn
                 h = rms_norm(x, p["post_attn_ln"], cfg.rms_norm_eps,
                              plus_one=plus_one)
-            mlp = _proj(
-                _act(cfg, _proj(h, p["gate_proj"])) * _proj(h, p["up_proj"]),
-                p["down_proj"],
-            )
+            mlp = _mlp(cfg, h, p)
             if cfg.use_post_norms:
                 mlp = rms_norm(mlp, p["post_ffn_ln"], cfg.rms_norm_eps,
                                plus_one=plus_one)
@@ -540,3 +530,72 @@ def segmented_decode_scan(
     )
     # (B, n_steps + 1): first_tokens followed by the n_steps sampled tokens
     return jnp.concatenate([first_tokens[:, None], jnp.transpose(toks)], axis=1)
+
+
+def fuse_inference_params(params: Params, cfg: DecoderConfig) -> Params:
+    """Derive an inference-optimised decoder tree with q/k/v and gate/up
+    kernels concatenated into single matmuls ("qkv_proj", "gateup_proj").
+
+    Decode steps at small batch are HBM-bound AND launch-bound: 7 skinny
+    matmuls per layer each pay kernel-launch overhead and underutilise the
+    HBM pipeline. Fusing cuts that to 4. One-time HBM copy at engine
+    construction; the canonical (trainable / exportable / shardable) layout
+    is untouched. No-op (returns the input) when LoRA adapters are present
+    or the params are sharded over multiple devices."""
+    ly = params["layers"]
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        if "lora_a" in ly.get(name, {}):
+            return params
+    leaf = ly["q_proj"]["kernel"]
+    if isinstance(leaf, jax.Array) and len(leaf.sharding.device_set) > 1:
+        return params
+
+    new_layers = dict(ly)
+    qkv = {"kernel": jnp.concatenate(
+        [ly["q_proj"]["kernel"], ly["k_proj"]["kernel"], ly["v_proj"]["kernel"]],
+        axis=-1,
+    )}
+    if "bias" in ly["q_proj"]:
+        qkv["bias"] = jnp.concatenate(
+            [ly["q_proj"]["bias"], ly["k_proj"]["bias"], ly["v_proj"]["bias"]],
+            axis=-1,
+        )
+    new_layers["qkv_proj"] = qkv
+    new_layers["gateup_proj"] = {"kernel": jnp.concatenate(
+        [ly["gate_proj"]["kernel"], ly["up_proj"]["kernel"]], axis=-1
+    )}
+    for name in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        del new_layers[name]
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def _qkv(cfg: DecoderConfig, h: jax.Array, p: Params):
+    """(q, k, v) heads from either the fused or the canonical projections."""
+    B, T, _ = h.shape
+    Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "qkv_proj" in p:
+        qkv = _proj(h, p["qkv_proj"])
+        q = qkv[..., : Hq * Dh]
+        k = qkv[..., Hq * Dh: (Hq + Hkv) * Dh]
+        v = qkv[..., (Hq + Hkv) * Dh:]
+    else:
+        q = _proj(h, p["q_proj"])
+        k = _proj(h, p["k_proj"])
+        v = _proj(h, p["v_proj"])
+    return (
+        q.reshape(B, T, Hq, Dh),
+        k.reshape(B, T, Hkv, Dh),
+        v.reshape(B, T, Hkv, Dh),
+    )
+
+
+def _mlp(cfg: DecoderConfig, h: jax.Array, p: Params) -> jax.Array:
+    if "gateup_proj" in p:
+        gu = _proj(h, p["gateup_proj"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate = _proj(h, p["gate_proj"])
+        up = _proj(h, p["up_proj"])
+    return _proj(_act(cfg, gate) * up, p["down_proj"])
