@@ -79,18 +79,12 @@ def load_ultravox_checkpoint(
             have_lm = True
     if cfg.audio_model_id and os.path.isdir(cfg.audio_model_id):
         sub_sd = weights_lib.load_safetensors_dir(cfg.audio_model_id)
-        for prefix in ("model.encoder.", "encoder.", ""):
-            sub = {
-                k[len(prefix):]: v
-                for k, v in sub_sd.items()
-                if k.startswith(prefix)
-            }
-            if "conv1.weight" in sub:
-                params["audio_tower"] = weights_lib.convert_whisper_encoder(
-                    sub, cfg.audio_config, dtype
-                )
-                have_enc = True
-                break
+        tower = weights_lib.convert_audio_tower_checkpoint(
+            sub_sd, cfg.audio_config, dtype
+        )
+        if tower is not None:
+            params["audio_tower"] = tower
+            have_enc = True
 
     # 2) the checkpoint itself, LAST (wins over the bases)
     sd = weights_lib.load_safetensors_dir(model_dir)
@@ -154,8 +148,12 @@ class UltravoxInference(LocalInference):
             tokenizer.pad_token = tokenizer.eos_token
         processor = UltravoxProcessor(
             tokenizer,
-            num_mel_bins=cfg.audio_config.num_mel_bins,
+            num_mel_bins=getattr(cfg.audio_config, "num_mel_bins", 80),
             stack_factor=cfg.stack_factor,
+            audio_arch=cfg.audio_arch,
+            wav2vec2_config=(
+                cfg.audio_config if cfg.audio_arch == "wav2vec2" else None
+            ),
         )
         super().__init__(
             params,

@@ -262,6 +262,18 @@ class DecoderConfig:
         )
 
 
+def make_audio_config(d: Dict[str, Any]):
+    """Audio-tower config from an HF config dict: Whisper (mel) or the
+    Wav2Vec2 family (raw waveform) — reference: ultravox_model.py:440-497
+    dispatches on the audio model id/type."""
+    model_type = (d.get("model_type") or "whisper").lower()
+    if "wav2vec2" in model_type:
+        from ultravox_tpu.models.wav2vec2_encoder import Wav2Vec2EncoderConfig
+
+        return Wav2Vec2EncoderConfig.from_hf_dict(d)
+    return WhisperEncoderConfig.from_hf_dict(d)
+
+
 @dataclasses.dataclass(frozen=True)
 class UltravoxConfig:
     """Composite speech-LLM config (reference: ultravox_config.py:114-187).
@@ -299,13 +311,22 @@ class UltravoxConfig:
         """Mel frames consumed per LLM token: encoder downsample × stack."""
         return self.audio_config.downsample_factor * self.stack_factor
 
+    @property
+    def audio_arch(self) -> str:
+        """'whisper' (mel tower) or 'wav2vec2' (raw-waveform tower)."""
+        return (
+            "wav2vec2"
+            if type(self.audio_config).__name__ == "Wav2Vec2EncoderConfig"
+            else "whisper"
+        )
+
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "UltravoxConfig":
         """Build from a fixie-ai HF ``config.json`` dict."""
         audio_cfg = d.get("audio_config") or {}
         text_cfg = d.get("text_config") or {}
         return cls(
-            audio_config=WhisperEncoderConfig.from_hf_dict(audio_cfg),
+            audio_config=make_audio_config(audio_cfg),
             text_config=DecoderConfig.from_hf_dict(text_cfg),
             audio_model_id=d.get("audio_model_id"),
             text_model_id=d.get("text_model_id"),

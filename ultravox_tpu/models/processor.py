@@ -32,6 +32,29 @@ AUDIO_PLACEHOLDER = "<|audio|>"
 
 
 @dataclasses.dataclass
+class RawAudioFeatureExtractor:
+    """Wav2Vec2-style raw-waveform 'features': right-padded waveforms shaped
+    (B, 1, T_samples) so the chunking/collation path treats them like mel
+    features; lens are sample counts. Optional per-utterance zero-mean /
+    unit-variance normalisation (HF Wav2Vec2FeatureExtractor do_normalize)."""
+
+    sampling_rate: int = 16000
+    hop_length: int = 1  # samples are the time unit
+    normalize: bool = True
+
+    def __call__(self, audios: Sequence[np.ndarray]):
+        lens = [len(a) for a in audios]
+        max_len = max(lens)
+        feats = []
+        for a in audios:
+            a = np.asarray(a, dtype=np.float32)
+            if self.normalize and len(a):
+                a = (a - a.mean()) / np.sqrt(a.var() + 1e-7)
+            feats.append(np.pad(a, (0, max_len - len(a)))[None])  # (1, T)
+        return np.stack(feats), np.asarray(lens, dtype=np.int64)
+
+
+@dataclasses.dataclass
 class AudioFeatureExtractor:
     """WhisperFeatureExtractor-equivalent built on ``ultravox_tpu.ops.mel``.
 
@@ -78,10 +101,30 @@ class UltravoxProcessor:
         stack_factor: int = 8,
         audio_placeholder: str = AUDIO_PLACEHOLDER,
         audio_context_size: Optional[int] = 3000,
+        audio_arch: str = "whisper",
+        wav2vec2_config=None,  # Wav2Vec2EncoderConfig when audio_arch=wav2vec2
+        normalize_audio: bool = True,  # wav2vec2: per-utterance zero-mean/unit-var
     ):
         assert tokenizer.eos_token is not None, "tokenizer has no EOS token"
         self.tokenizer = tokenizer
-        self.feature_extractor = AudioFeatureExtractor(num_mel_bins=num_mel_bins)
+        self.audio_arch = audio_arch
+        self.wav2vec2_config = wav2vec2_config
+        self.normalize_audio = normalize_audio
+        if audio_arch == "wav2vec2":
+            assert wav2vec2_config is not None, (
+                "wav2vec2 processing needs the tower config for the conv "
+                "length formula"
+            )
+            self.feature_extractor = RawAudioFeatureExtractor(
+                normalize=normalize_audio
+            )
+            # 30 s of raw samples per encoder window
+            if audio_context_size == 3000:  # whisper default -> samples
+                audio_context_size = 30 * 16000
+        else:
+            self.feature_extractor = AudioFeatureExtractor(
+                num_mel_bins=num_mel_bins
+            )
         self.encoder_ds_factor = encoder_ds_factor
         self.stack_factor = stack_factor
         self.audio_placeholder = audio_placeholder
@@ -94,6 +137,20 @@ class UltravoxProcessor:
     @property
     def token_compression(self) -> int:
         return self.encoder_ds_factor * self.stack_factor
+
+    def _num_audio_tokens(self, lens: np.ndarray) -> np.ndarray:
+        """LLM tokens per audio chunk: whisper = ceil(frames / (ds*stack));
+        wav2vec2 = ceil(conv_out(samples) / stack)."""
+        if self.audio_arch == "wav2vec2":
+            frames = self.wav2vec2_config.feature_lengths(
+                np.asarray(lens, dtype=np.int64)
+            )
+            return np.ceil(
+                np.maximum(frames, 1) / self.stack_factor
+            ).astype(np.int32)
+        return np.ceil(np.asarray(lens) / self.token_compression).astype(
+            np.int32
+        )
 
     def _chunk_and_pad_audio(self, audio_values: np.ndarray, audio_lens: np.ndarray):
         """Split each item into ≤context_size windows (reference:
@@ -148,16 +205,19 @@ class UltravoxProcessor:
         audio_is_continuation = np.zeros(0, dtype=bool)
         if len(audios) > 0:
             hop = self.feature_extractor.hop_length
+            min_len = (
+                self.wav2vec2_config.min_samples
+                if self.audio_arch == "wav2vec2"
+                else 2 * hop
+            )
             audios = [
-                np.pad(x, (0, 2 * hop - len(x))) if len(x) < 2 * hop else np.asarray(x)
+                np.pad(x, (0, min_len - len(x))) if len(x) < min_len else np.asarray(x)
                 for x in audios
             ]
             feats, frame_lens = self.feature_extractor(audios)
             data.update(self._chunk_and_pad_audio(feats, frame_lens))
             audio_is_continuation = data.pop("audio_is_continuation")
-            data["audio_token_len"] = np.ceil(
-                data["audio_lens"] / self.token_compression
-            ).astype(np.int32)
+            data["audio_token_len"] = self._num_audio_tokens(data["audio_lens"])
 
         if text is not None:
             if not isinstance(text, str):

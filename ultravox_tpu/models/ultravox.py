@@ -35,7 +35,16 @@ def init_params(cfg: UltravoxConfig, rng: jax.Array, dtype=jnp.float32) -> Param
         "language_model": decoder_lib.init_params(cfg.text_config, k3, dtype),
     }
     if not cfg.llm_only_training:
-        params["audio_tower"] = encoder_lib.init_params(cfg.audio_config, k1, dtype)
+        if cfg.audio_arch == "wav2vec2":
+            from ultravox_tpu.models import wav2vec2_encoder as w2v_lib
+
+            params["audio_tower"] = w2v_lib.init_params(
+                cfg.audio_config, k1, dtype
+            )
+        else:
+            params["audio_tower"] = encoder_lib.init_params(
+                cfg.audio_config, k1, dtype
+            )
         params["projector"] = projector_lib.init_params(cfg, k2, dtype)
     return params
 
@@ -88,15 +97,29 @@ def prepare_audio_embeds(
     encoder_attn_impl: str = "xla",
 ) -> jax.Array:
     """Audio tower + projector + splice (reference: ultravox_model.py:354-396)."""
-    enc = encoder_lib.encoder_forward(
-        params["audio_tower"],
-        cfg.audio_config,
-        audio_values.astype(inputs_embeds.dtype),
-        mel_lens=audio_lens,
-        latency_block_size=cfg.audio_latency_block_size,
-        remat=remat,
-        attn_impl=encoder_attn_impl,
-    )
+    if cfg.audio_arch == "wav2vec2":
+        # raw-waveform tower: audio_values (N, 1, T_samples), lens in samples
+        from ultravox_tpu.models import wav2vec2_encoder as w2v_lib
+
+        assert cfg.audio_latency_block_size in (None, 0), (
+            "only the whisper audio tower supports latency masking"
+        )
+        enc = w2v_lib.encoder_forward(
+            params["audio_tower"],
+            cfg.audio_config,
+            audio_values[:, 0, :].astype(inputs_embeds.dtype),
+            sample_lens=audio_lens,
+        )
+    else:
+        enc = encoder_lib.encoder_forward(
+            params["audio_tower"],
+            cfg.audio_config,
+            audio_values.astype(inputs_embeds.dtype),
+            mel_lens=audio_lens,
+            latency_block_size=cfg.audio_latency_block_size,
+            remat=remat,
+            attn_impl=encoder_attn_impl,
+        )
     audio_embeds = projector_lib.projector_forward(params["projector"], cfg, enc)
     return splice_audio_embeds(
         inputs_embeds,

@@ -139,6 +139,102 @@ def convert_whisper_encoder(
     }
 
 
+def convert_wav2vec2_encoder(sd: FlatDict, cfg, dtype=jnp.float32) -> Params:
+    """HF Wav2Vec2Model state dict (prefix stripped — keys like
+    ``feature_extractor.conv_layers.0.conv.weight``) -> wav2vec2 encoder
+    param tree (models/wav2vec2_encoder.py)."""
+    r = _Reader(sd, dtype)
+    L = cfg.num_layers
+
+    convs = []
+    for i in range(len(cfg.conv_dim)):
+        stem = f"feature_extractor.conv_layers.{i}"
+        conv: Params = {
+            # torch Conv1d (out, in, k) -> lax WIO (k, in, out)
+            "kernel": r(f"{stem}.conv.weight").transpose(2, 1, 0)
+        }
+        if f"{stem}.conv.bias" in sd:
+            conv["bias"] = r(f"{stem}.conv.bias")
+        if f"{stem}.layer_norm.weight" in sd:
+            conv["norm"] = {
+                "scale": r(f"{stem}.layer_norm.weight"),
+                "bias": r(f"{stem}.layer_norm.bias"),
+            }
+        convs.append(conv)
+
+    # weight-normalised positional conv: weight = g * v / ||v||_(dims 0,1)
+    # (torch weight_norm dim=2); keys are weight_g/weight_v or the newer
+    # parametrizations.weight.original0/original1
+    pc = "encoder.pos_conv_embed.conv"
+    if f"{pc}.weight_g" in sd:
+        g, v = sd[f"{pc}.weight_g"], sd[f"{pc}.weight_v"]
+    else:
+        g = sd[f"{pc}.parametrizations.weight.original0"]
+        v = sd[f"{pc}.parametrizations.weight.original1"]
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=(0, 1), keepdims=True))
+    pos_kernel = (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+
+    def ln(stem):
+        return {"scale": r.stack(stem + ".weight", L),
+                "bias": r.stack(stem + ".bias", L)}
+
+    def lin(stem):
+        return {"kernel": r.stack(stem + ".weight", L, transpose=True),
+                "bias": r.stack(stem + ".bias", L)}
+
+    return {
+        "feature_extractor": convs,
+        "feature_projection": {
+            "ln": {
+                "scale": r("feature_projection.layer_norm.weight"),
+                "bias": r("feature_projection.layer_norm.bias"),
+            },
+            "projection": {
+                "kernel": r("feature_projection.projection.weight", transpose=True),
+                "bias": r("feature_projection.projection.bias"),
+            },
+        },
+        "pos_conv": {
+            "kernel": jnp.asarray(pos_kernel.transpose(2, 1, 0), dtype),
+            "bias": r(f"{pc}.bias"),
+        },
+        "encoder_ln": {
+            "scale": r("encoder.layer_norm.weight"),
+            "bias": r("encoder.layer_norm.bias"),
+        },
+        "layers": {
+            "attn_ln": ln("encoder.layers.{i}.layer_norm"),
+            "q_proj": lin("encoder.layers.{i}.attention.q_proj"),
+            "k_proj": lin("encoder.layers.{i}.attention.k_proj"),
+            "v_proj": lin("encoder.layers.{i}.attention.v_proj"),
+            "out_proj": lin("encoder.layers.{i}.attention.out_proj"),
+            "final_ln": ln("encoder.layers.{i}.final_layer_norm"),
+            "fc1": lin("encoder.layers.{i}.feed_forward.intermediate_dense"),
+            "fc2": lin("encoder.layers.{i}.feed_forward.output_dense"),
+        },
+    }
+
+
+def convert_audio_tower_checkpoint(
+    sd: FlatDict, audio_cfg, dtype=jnp.float32
+) -> Optional[Params]:
+    """Standalone audio-model checkpoint -> tower params, handling the
+    common key prefixes (WhisperModel nests the encoder under
+    ``model.encoder.``; Wav2Vec2ForCTC under ``wav2vec2.``). Returns None
+    when the state dict doesn't look like the configured tower."""
+    if type(audio_cfg).__name__ == "Wav2Vec2EncoderConfig":
+        for prefix in ("wav2vec2.", ""):
+            sub = _strip_prefix(sd, prefix) if prefix else sd
+            if "feature_extractor.conv_layers.0.conv.weight" in sub:
+                return convert_wav2vec2_encoder(sub, audio_cfg, dtype)
+        return None
+    for prefix in ("model.encoder.", "encoder.", ""):
+        sub = _strip_prefix(sd, prefix) if prefix else sd
+        if "conv1.weight" in sub:
+            return convert_whisper_encoder(sub, audio_cfg, dtype)
+    return None
+
+
 def convert_decoder(
     sd: FlatDict, cfg: DecoderConfig, dtype=jnp.float32
 ) -> Params:
@@ -229,8 +325,10 @@ def convert_ultravox(
     audio_sd = _strip_prefix(sd, "audio_tower.")
     if audio_sd:
         if _covers_encoder(audio_sd, cfg.audio_config):
-            params["audio_tower"] = convert_whisper_encoder(
-                audio_sd, cfg.audio_config, dtype
+            params["audio_tower"] = (
+                convert_wav2vec2_encoder(audio_sd, cfg.audio_config, dtype)
+                if cfg.audio_arch == "wav2vec2"
+                else convert_whisper_encoder(audio_sd, cfg.audio_config, dtype)
             )
         elif "audio_tower" in params:
             params["audio_tower"] = _overlay_encoder(
@@ -396,7 +494,12 @@ def _overlay_encoder(
     return _overlay_tower(base, sd, _encoder_key_to_path, "encoder")
 
 
-def _covers_encoder(sd: FlatDict, cfg: WhisperEncoderConfig) -> bool:
+def _covers_encoder(sd: FlatDict, cfg) -> bool:
+    if type(cfg).__name__ == "Wav2Vec2EncoderConfig":
+        return all(
+            f"encoder.layers.{i}.attention.q_proj.weight" in sd
+            for i in range(cfg.num_layers)
+        )
     return all(
         f"layers.{i}.self_attn.q_proj.weight" in sd for i in range(cfg.num_layers)
     )

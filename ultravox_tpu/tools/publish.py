@@ -24,6 +24,40 @@ from ultravox_tpu.models.config import UltravoxConfig
 def config_to_hf_dict(cfg: UltravoxConfig) -> dict:
     audio = cfg.audio_config
     text = cfg.text_config
+    if cfg.audio_arch == "wav2vec2":
+        audio_dict = {
+            "model_type": "wav2vec2",
+            "_name_or_path": cfg.audio_model_id or "wav2vec2-encoder",
+            "hidden_size": audio.hidden_size,
+            "num_hidden_layers": audio.num_layers,
+            "num_attention_heads": audio.num_heads,
+            "intermediate_size": audio.ffn_dim,
+            "conv_dim": list(audio.conv_dim),
+            "conv_kernel": list(audio.conv_kernel),
+            "conv_stride": list(audio.conv_stride),
+            "conv_bias": audio.conv_bias,
+            "feat_extract_norm": audio.feat_extract_norm,
+            "do_stable_layer_norm": audio.do_stable_layer_norm,
+            "num_conv_pos_embeddings": audio.num_conv_pos_embeddings,
+            "num_conv_pos_embedding_groups": audio.num_conv_pos_embedding_groups,
+            "layer_norm_eps": audio.layer_norm_eps,
+        }
+        return {
+            "model_type": "ultravox",
+            "audio_model_id": cfg.audio_model_id,
+            "text_model_id": cfg.text_model_id,
+            "ignore_index": cfg.ignore_index,
+            "audio_token_index": cfg.audio_token_index,
+            "hidden_size": cfg.hidden_size,
+            "stack_factor": cfg.stack_factor,
+            "norm_init": cfg.norm_init,
+            "projector_act": cfg.projector_act,
+            "projector_ln_mid": cfg.projector_ln_mid,
+            "audio_latency_block_size": cfg.audio_latency_block_size,
+            "llm_only_training": cfg.llm_only_training,
+            "audio_config": audio_dict,
+            "text_config": _text_config_to_hf(text),
+        }
     return {
         "model_type": "ultravox",
         "audio_model_id": cfg.audio_model_id,
@@ -135,7 +169,10 @@ def save_pretrained(
             ).items():
                 sd[f"language_model.{k}"] = v
         if "audio_tower" in params:
-            for k, v in _encoder_to_hf(params["audio_tower"], cfg).items():
+            enc_to_hf = (
+                _wav2vec2_to_hf if cfg.audio_arch == "wav2vec2" else _encoder_to_hf
+            )
+            for k, v in enc_to_hf(params["audio_tower"], cfg).items():
                 sd[f"audio_tower.{k}"] = v
     sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
     safetensors.numpy.save_file(sd, os.path.join(out_dir, "model.safetensors"))
@@ -178,6 +215,66 @@ def _encoder_to_hf(params: Any, cfg: UltravoxConfig) -> dict:
     ]:
         unstack("layers.{i}." + hf + ".weight", ly[mine]["scale"])
         unstack("layers.{i}." + hf + ".bias", ly[mine]["bias"])
+    return out
+
+
+def _wav2vec2_to_hf(params: Any, cfg: UltravoxConfig) -> dict:
+    """Reverse of weights.convert_wav2vec2_encoder (HF Wav2Vec2Model naming).
+    The weight-normalised pos-conv is exported as weight_v = kernel,
+    weight_g = ||kernel|| so g·v/||v|| reproduces the kernel exactly."""
+    audio = cfg.audio_config
+    out: dict = {}
+    for i, conv in enumerate(params["feature_extractor"]):
+        stem = f"feature_extractor.conv_layers.{i}"
+        out[f"{stem}.conv.weight"] = np.asarray(
+            conv["kernel"], np.float32
+        ).transpose(2, 1, 0)
+        if "bias" in conv:
+            out[f"{stem}.conv.bias"] = np.asarray(conv["bias"], np.float32)
+        if "norm" in conv:
+            out[f"{stem}.layer_norm.weight"] = np.asarray(
+                conv["norm"]["scale"], np.float32
+            )
+            out[f"{stem}.layer_norm.bias"] = np.asarray(
+                conv["norm"]["bias"], np.float32
+            )
+    fp = params["feature_projection"]
+    out["feature_projection.layer_norm.weight"] = np.asarray(fp["ln"]["scale"], np.float32)
+    out["feature_projection.layer_norm.bias"] = np.asarray(fp["ln"]["bias"], np.float32)
+    out["feature_projection.projection.weight"] = np.asarray(
+        fp["projection"]["kernel"], np.float32
+    ).T
+    out["feature_projection.projection.bias"] = np.asarray(
+        fp["projection"]["bias"], np.float32
+    )
+    pos_kernel = np.asarray(params["pos_conv"]["kernel"], np.float32).transpose(2, 1, 0)
+    norm = np.sqrt((pos_kernel**2).sum(axis=(0, 1), keepdims=True))
+    out["encoder.pos_conv_embed.conv.weight_v"] = pos_kernel
+    out["encoder.pos_conv_embed.conv.weight_g"] = norm
+    out["encoder.pos_conv_embed.conv.bias"] = np.asarray(
+        params["pos_conv"]["bias"], np.float32
+    )
+    out["encoder.layer_norm.weight"] = np.asarray(params["encoder_ln"]["scale"], np.float32)
+    out["encoder.layer_norm.bias"] = np.asarray(params["encoder_ln"]["bias"], np.float32)
+    ly = params["layers"]
+    L = audio.num_layers
+
+    def unstack(pattern, arr, transpose=False):
+        a = np.asarray(jax.device_get(arr), np.float32)
+        for i in range(L):
+            out[pattern.format(i=i)] = a[i].T if transpose else a[i]
+
+    for hf, mine in [
+        ("attention.q_proj", "q_proj"), ("attention.k_proj", "k_proj"),
+        ("attention.v_proj", "v_proj"), ("attention.out_proj", "out_proj"),
+        ("feed_forward.intermediate_dense", "fc1"),
+        ("feed_forward.output_dense", "fc2"),
+    ]:
+        unstack("encoder.layers.{i}." + hf + ".weight", ly[mine]["kernel"], True)
+        unstack("encoder.layers.{i}." + hf + ".bias", ly[mine]["bias"])
+    for hf, mine in [("layer_norm", "attn_ln"), ("final_layer_norm", "final_ln")]:
+        unstack("encoder.layers.{i}." + hf + ".weight", ly[mine]["scale"])
+        unstack("encoder.layers.{i}." + hf + ".bias", ly[mine]["bias"])
     return out
 
 

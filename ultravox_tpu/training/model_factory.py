@@ -23,6 +23,7 @@ from ultravox_tpu.models.config import (
     DecoderConfig,
     UltravoxConfig,
     WhisperEncoderConfig,
+    make_audio_config,
 )
 from ultravox_tpu.models.data_proc import UltravoxDataproc
 from ultravox_tpu.models.processor import DataCollatorWithAudio, UltravoxProcessor
@@ -86,7 +87,7 @@ def create_model_pack(config: TrainConfig) -> ModelPack:
                 "cannot resolve audio model config; provide audio_model "
                 "(local dir) or audio_model_config (dict)"
             )
-        audio_cfg = WhisperEncoderConfig.from_hf_dict(audio_dict)
+        audio_cfg = make_audio_config(audio_dict)
 
     uv_cfg = UltravoxConfig(
         audio_config=audio_cfg or WhisperEncoderConfig(),
@@ -116,21 +117,14 @@ def create_model_pack(config: TrainConfig) -> ModelPack:
     ):
         sd = weights_lib.load_safetensors_dir(config.audio_model)
         if sd:
-            # whisper checkpoints store the encoder under "model.encoder."
-            for prefix in ("model.encoder.", "encoder.", ""):
-                sub = {
-                    k[len(prefix):]: v
-                    for k, v in sd.items()
-                    if k.startswith(prefix)
-                }
-                if "conv1.weight" in sub:
-                    params["audio_tower"] = weights_lib.convert_whisper_encoder(
-                        sub, audio_cfg, dtype
-                    )
-                    logger.info(
-                        "loaded audio tower weights from %s", config.audio_model
-                    )
-                    break
+            params_tower = weights_lib.convert_audio_tower_checkpoint(
+                sd, audio_cfg, dtype
+            )
+            if params_tower is not None:
+                params["audio_tower"] = params_tower
+                logger.info(
+                    "loaded audio tower weights from %s", config.audio_model
+                )
 
     # LoRA adapters (reference: apply_lora / LoraConfigSimplified)
     from ultravox_tpu.models.config import LoraConfig
@@ -172,8 +166,12 @@ def create_model_pack(config: TrainConfig) -> ModelPack:
         tokenizer.pad_token = tokenizer.eos_token
     processor = UltravoxProcessor(
         tokenizer,
-        num_mel_bins=uv_cfg.audio_config.num_mel_bins,
+        num_mel_bins=getattr(uv_cfg.audio_config, "num_mel_bins", 80),
         stack_factor=config.stack_factor,
+        audio_arch=uv_cfg.audio_arch,
+        wav2vec2_config=(
+            uv_cfg.audio_config if uv_cfg.audio_arch == "wav2vec2" else None
+        ),
     )
     collator = DataCollatorWithAudio(
         pad_token_id=tokenizer.pad_token_id,
