@@ -26,3 +26,15 @@ train-test:
 	JAX_PLATFORMS=cpu python -m ultravox_tpu.training.train \
 	  --config_path ultravox_tpu/training/configs/test_train.yaml \
 	  --output_dir /tmp/uvtpu-train-test --text_model ""
+
+lint:
+	python -m ruff check ultravox_tpu/ tests/ || true
+
+serve:
+	python -m ultravox_tpu.inference.serving.api_server --model $(MODEL)
+
+multihost-smoke:
+	$(PYTEST) tests/test_multihost.py -q
+
+docker:
+	docker build -f docker/Dockerfile -t ultravox-tpu .

@@ -111,7 +111,7 @@ def _flagship_metrics():
 
     cfg = graft._flagship_config()
     params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
-    engine = GenerationEngine(params, cfg, max_cache_len=1024)
+    engine = GenerationEngine(params, cfg, max_cache_len=1024, prefill_attn_impl="fused")
 
     B = 8
     prompt = np.full((B, 128), 7, np.int32)
@@ -124,7 +124,7 @@ def _flagship_metrics():
     decode_tps = B * 64 * iters / (time.perf_counter() - t0)
 
     # serving-realistic long context: decode at ~2K tokens in the cache
-    engine2k = GenerationEngine(params, cfg, max_cache_len=2048)
+    engine2k = GenerationEngine(params, cfg, max_cache_len=2048, prefill_attn_impl="fused")
     prompt2k = np.full((B, 1980), 7, np.int32)
     batch2k = {"input_ids": prompt2k, "attention_mask": np.ones_like(prompt2k)}
     engine2k.generate_greedy_fused(batch2k, max_new_tokens=64)  # compile
@@ -199,7 +199,7 @@ def _8b_metrics():
                 cfg.text_config, jax.random.key(0), jnp.bfloat16
             )
         }
-        engine = GenerationEngine(params, cfg, max_cache_len=512)
+        engine = GenerationEngine(params, cfg, max_cache_len=512, prefill_attn_impl="fused")
         prompt = np.full((B, 192), 7, np.int32)  # ~128 text + 63 audio tokens
         batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
         engine.generate_greedy_fused(batch, max_new_tokens=32)  # compile

@@ -275,3 +275,39 @@ def test_fused_matches_per_step_gemma3_features(tiny_llm):
     step = engine.generate(batch, max_new_tokens=16)
     fused = engine.generate_fused(batch, max_new_tokens=16)
     assert step.token_ids == fused.token_ids
+
+
+def test_prefill_kernel_matches_xla(tiny_llm):
+    """Pallas causal-prefill attention (in-kernel masks incl. absolute
+    position offsets) produces the same generations as the XLA path,
+    including conversation prefills at a nonzero cache offset."""
+    _, dec_cfg, params = tiny_llm
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    xla = _engine(cfg, params)
+    fused = _engine(cfg, params, prefill_attn_impl="fused")
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(1, V, (2, 17)).astype(np.int32)
+    mask = np.ones_like(prompt)
+    mask[1, 12:] = 0  # ragged lengths
+    batch = {"input_ids": prompt, "attention_mask": mask}
+    a = xla.generate(batch, max_new_tokens=10)
+    b = fused.generate(batch, max_new_tokens=10)
+    assert a.token_ids == b.token_ids
+
+    # conversation continuation: prefill at start_pos > 0
+    r1 = fused.generate(batch, max_new_tokens=4, return_cache=True)
+    suffix = rng.integers(1, V, (2, 5)).astype(np.int32)
+    sbatch = {"input_ids": suffix, "attention_mask": np.ones_like(suffix)}
+    r1x = xla.generate(batch, max_new_tokens=4, return_cache=True)
+    # feed identical caches forward on both engines
+    import jax.numpy as _jnp
+
+    out_f = fused.generate(
+        sbatch, max_new_tokens=6, cache=r1.cache,
+        start_pos=int(r1.cache_lens.max()),
+    )
+    out_x = xla.generate(
+        sbatch, max_new_tokens=6, cache=r1x.cache,
+        start_pos=int(r1x.cache_lens.max()),
+    )
+    assert out_f.token_ids == out_x.token_ids

@@ -329,3 +329,94 @@ def test_vectorized_temperature_sampling(setup):
     # at temperature 5 on a random tiny model, matching all 12 greedy tokens
     # is vanishingly unlikely
     assert ids_h != greedy_ids
+
+
+def test_serving_conversation_prefix_reuse(setup):
+    """A follow-up request whose prompt extends a finished request's
+    conversation reuses the retained slot cache (prefill starts at the
+    matched prefix) and still produces identical tokens."""
+    cfg, params, processor, collator = setup
+    tok = processor.tokenizer
+
+    def turn_batch(messages):
+        text = tok.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        return collator([processor(text=text)])
+
+    msgs1 = [{"role": "user", "content": "the quick brown fox jumps"}]
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(turn_batch(msgs1), max_tokens=6)
+        ids1, _ = _drain(serving, r1)
+        reply = tok.decode(ids1, skip_special_tokens=True)
+        msgs2 = msgs1 + [
+            {"role": "assistant", "content": reply},
+            {"role": "user", "content": "hello world how are you"},
+        ]
+        r2 = serving.submit(turn_batch(msgs2), max_tokens=6)
+        ids2, _ = _drain(serving, r2)
+        assert r2.reused_prefix >= serving.min_reuse_tokens
+        assert serving.reused_prefix_tokens >= r2.reused_prefix
+    finally:
+        serving.stop()
+
+    # correctness: a fresh engine (no retained cache) produces the same ids
+    fresh = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    fresh.start()
+    try:
+        rf = fresh.submit(turn_batch(msgs2), max_tokens=6)
+        ids_fresh, _ = _drain(fresh, rf)
+        assert rf.reused_prefix == 0
+    finally:
+        fresh.stop()
+    assert ids2 == ids_fresh
+
+
+def test_serving_no_false_reuse_across_different_audio(setup):
+    """Identical token ids with DIFFERENT audio content must not match
+    (placeholder tokens are identical repeats; fingerprints gate reuse)."""
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(0)
+    a1 = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    a2 = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+
+    serving = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    serving.min_reuse_tokens = 1
+    serving.start()
+    try:
+        b1 = _mini_batch(processor, collator, "transcribe <|audio|> please", a1)
+        r1 = serving.submit(b1, max_tokens=4)
+        _drain(serving, r1)
+        b2 = _mini_batch(processor, collator, "transcribe <|audio|> please", a2)
+        r2 = serving.submit(b2, max_tokens=4)
+        ids2, _ = _drain(serving, r2)
+        # prefix reuse allowed only up to the audio start, not across it
+        assert r2.reused_prefix <= int(b2["audio_token_start_idx"][0])
+    finally:
+        serving.stop()
+
+    fresh = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    fresh.start()
+    try:
+        rf = fresh.submit(
+            _mini_batch(processor, collator, "transcribe <|audio|> please", a2),
+            max_tokens=4,
+        )
+        ids_fresh, _ = _drain(fresh, rf)
+    finally:
+        fresh.stop()
+    assert ids2 == ids_fresh

@@ -293,3 +293,51 @@ def test_timestamp_task_requires_mfa(monkeypatch):
     monkeypatch.setattr(shutil, "which", lambda name: None)
     with _pytest.raises(RuntimeError, match="mfa"):
         TimestampTask()
+
+
+def test_pipeline_surface(tmp_path):
+    """ultravox_tpu.pipeline() loads a checkpoint and answers a dict input
+    (reference: ultravox_pipeline.py contract)."""
+    import jax
+    import numpy as np
+
+    import ultravox_tpu
+    from tests.helpers import make_tiny_tokenizer
+    from ultravox_tpu.models import (
+        DecoderConfig,
+        UltravoxConfig,
+        WhisperEncoderConfig,
+    )
+    from ultravox_tpu.models import ultravox as uv
+    from ultravox_tpu.tools.publish import save_pretrained
+
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=32, num_layers=1, num_heads=2, ffn_dim=64
+        ),
+        text_config=DecoderConfig(
+            vocab_size=384, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+        ),
+        hidden_size=64,
+    )
+    params = uv.init_params(cfg, jax.random.key(3))
+    ckpt = save_pretrained(
+        params, cfg, str(tmp_path / "pipe_ckpt"), make_tiny_tokenizer()
+    )
+    import jax.numpy as jnp
+
+    pipe = ultravox_tpu.pipeline(ckpt, dtype=jnp.float32, max_cache_len=256)
+    rng = np.random.default_rng(0)
+    # int16 audio + no placeholder prompt: pipeline normalises + appends
+    audio16 = (rng.standard_normal(8000) * 3000).astype(np.int16)
+    text = pipe(
+        {"audio": audio16, "sampling_rate": 16000, "prompt": "transcribe"},
+        max_new_tokens=5,
+    )
+    assert isinstance(text, str)
+    # text-only turns also work
+    text2 = pipe(
+        {"turns": [{"role": "user", "content": "hello"}]}, max_new_tokens=5
+    )
+    assert isinstance(text2, str)

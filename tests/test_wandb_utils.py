@@ -85,3 +85,35 @@ def test_metrics_logger_checkpoint_hook(fake_wandb, tmp_path, monkeypatch):
     logger.log_checkpoint(str(ckpt_dir))
     mod.Artifact.assert_called_once()
     logger.close()
+
+
+def test_eval_wandb_table(fake_wandb, tmp_path):
+    """eval logs per-sample tables + files to an active W&B run
+    (reference: eval.py:268-291)."""
+    import sys
+    from unittest import mock as _mock
+
+    from ultravox_tpu.evaluation.eval import _log_wandb_table
+    from ultravox_tpu.evaluation.metrics import EvalSample
+
+    mod = sys.modules["wandb"]
+    mod.run = _mock.MagicMock()
+    mod.Table = _mock.MagicMock()
+    mod.log = _mock.MagicMock()
+    mod.save = _mock.MagicMock()
+    samples = [
+        EvalSample(index=0, question="q", expected_answer="a",
+                   generated_answer="b", transcript=None)
+    ]
+    out = tmp_path / "x.json"
+    out.write_text("{}")
+    _log_wandb_table("ds1", "wer", 12.5, samples, str(out))
+    mod.Table.assert_called_once()
+    mod.log.assert_called_once()
+    mod.save.assert_called_once_with(str(out))
+
+    # absent run -> no-op
+    mod.run = None
+    mod.log.reset_mock()
+    _log_wandb_table("ds1", "wer", 12.5, samples, str(out))
+    mod.log.assert_not_called()

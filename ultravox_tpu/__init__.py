@@ -22,3 +22,12 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def pipeline(model: str, **kwargs):
+    """One-call speech+text inference (reference: the "ultravox-pipeline" HF
+    pipeline registration, model/ultravox_pipeline.py). Lazy import so that
+    ``import ultravox_tpu`` stays dependency-light."""
+    from ultravox_tpu.pipeline import pipeline as _pipeline
+
+    return _pipeline(model, **kwargs)

@@ -113,6 +113,27 @@ def infer_dataset(
     return [s for _, s in gathered]
 
 
+def _log_wandb_table(tag, metric, score, samples, out_path) -> None:
+    """Upload per-sample results + the JSON file to an active W&B run
+    (reference: eval.py:268-291). No-op without wandb / an active run."""
+    try:
+        import wandb
+    except ImportError:
+        return
+    if wandb.run is None:
+        return
+    table = wandb.Table(
+        columns=["index", "question", "expected", "generated", "transcript"],
+        data=[
+            [s.index, s.question, s.expected_answer, s.generated_answer,
+             s.transcript]
+            for s in samples
+        ],
+    )
+    wandb.log({f"eval/{tag}": score, f"eval_table/{tag}": table})
+    wandb.save(out_path)
+
+
 def eval_datasets(
     inference, config: EvalConfig
 ) -> Dict[str, Dict[str, Any]]:
@@ -156,9 +177,8 @@ def eval_datasets(
                 "num_samples": len(samples),
             }
             logger.info("%s: %s = %.4f", tag, metric, result["score"])
-            with open(
-                os.path.join(config.output_dir, f"{tag}.json"), "w"
-            ) as f:
+            out_path = os.path.join(config.output_dir, f"{tag}.json")
+            with open(out_path, "w") as f:
                 json.dump(
                     {
                         **scores[tag],
@@ -167,6 +187,7 @@ def eval_datasets(
                     f,
                     indent=2,
                 )
+            _log_wandb_table(tag, metric, result["score"], samples, out_path)
     if collectives.is_global_master():
         with open(os.path.join(config.output_dir, "summary.json"), "w") as f:
             json.dump(scores, f, indent=2)

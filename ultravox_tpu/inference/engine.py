@@ -72,6 +72,7 @@ class GenerationEngine:
         stop_token_ids: Tuple[int, ...] = (),
         encoder_attn_impl: str = "xla",
         decode_attn_impl: str = "xla",  # "kernel" = flash-decoding pallas
+        prefill_attn_impl: str = "xla",  # "fused" = pallas causal prefill
     ):
         # inference-optimised decoder weights (fused qkv / gate-up matmuls;
         # no-op for LoRA'd or multi-device-sharded params)
@@ -89,7 +90,8 @@ class GenerationEngine:
 
         self._prefill = jax.jit(
             functools.partial(
-                _prefill_impl, cfg=cfg, encoder_attn_impl=encoder_attn_impl
+                _prefill_impl, cfg=cfg, encoder_attn_impl=encoder_attn_impl,
+                prefill_kernel=prefill_attn_impl == "fused",
             )
         )
         use_kernel = decode_attn_impl == "kernel"
@@ -335,7 +337,7 @@ def _decode_scan_segmented(
 
 def _prefill_impl(
     params, batch, cache, start_pos, *, cfg: UltravoxConfig,
-    encoder_attn_impl: str = "xla",
+    encoder_attn_impl: str = "xla", prefill_kernel: bool = False,
 ):
     """Prefill (optionally at a nonzero cache offset for conversation KV
     reuse). ``start_pos`` is a scalar: tokens land at absolute positions
@@ -362,6 +364,7 @@ def _prefill_impl(
         cache=cache,
         write_pos=jnp.full((B,), start_pos, jnp.int32),
         return_hidden=True,
+        prefill_kernel=prefill_kernel,
     )
     last_hidden = jnp.take_along_axis(
         hidden,

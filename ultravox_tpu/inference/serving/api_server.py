@@ -359,6 +359,10 @@ def main():
         "--decode-attn", default="kernel", choices=["xla", "kernel"],
         help="kernel = flash-decoding Pallas kernel (reads only valid cache)",
     )
+    parser.add_argument(
+        "--prefill-attn", default="fused", choices=["xla", "fused"],
+        help="fused = Pallas causal prefill (no HBM logits tensor)",
+    )
     args = parser.parse_args()
 
     import transformers
@@ -383,6 +387,7 @@ def main():
         max_seq_len=args.max_seq_len,
         encoder_attn_impl=args.encoder_attn,
         decode_attn_impl=args.decode_attn,
+        prefill_attn_impl=args.prefill_attn,
     )
     serve(
         ServingAPI(engine, processor, collator),

@@ -61,6 +61,21 @@ class Request:
     prompt_len: int = 0
     generated: int = 0
     first_token_time: Optional[float] = None
+    emitted_ids: List[int] = dataclasses.field(default_factory=list)
+    reused_prefix: int = 0  # tokens served from a retained slot cache
+    token_ids: Any = None  # (prompt_len,) np.int32 — filled at admit
+    audio_spans: Tuple = ()
+
+
+@dataclasses.dataclass
+class RetainedCache:
+    """A finished request's slot cache, kept for conversation-prefix reuse
+    (the serving-engine counterpart of LocalInference's conversation KV,
+    infer.py prefix matching)."""
+
+    token_ids: np.ndarray  # tokens whose k/v live in the slot cache
+    # audio chunks inside those tokens: (start_idx, token_len, sha1-hex)
+    audio_spans: Tuple[Tuple[int, int, str], ...]
 
 
 @dataclasses.dataclass
@@ -77,8 +92,49 @@ class PrefillJob:
 
     req: Request
     embeds: Any  # (1, T_padded, D) prompt embeddings (audio spliced in)
-    chunk: int  # chunk size (T_padded is a multiple of it)
-    pos: int = 0  # tokens prefilled so far
+    chunk: int  # chunk size ((T_padded - start) is a multiple of it)
+    pos: int = 0  # next position to prefill (starts at the reused prefix)
+
+
+def _request_tokens_and_spans(batch: Dict[str, np.ndarray]):
+    """Valid prompt token ids + audio-chunk fingerprints
+    (start_idx, token_len, sha1) for prefix matching."""
+    import hashlib
+
+    ids = np.asarray(batch["input_ids"]).reshape(-1)
+    n = int(np.asarray(batch["attention_mask"]).sum())
+    ids = np.ascontiguousarray(ids[:n])
+    spans = []
+    if batch.get("audio_values") is not None:
+        vals = np.asarray(batch["audio_values"])
+        starts = np.asarray(batch["audio_token_start_idx"]).reshape(-1)
+        lens = np.asarray(batch["audio_token_len"]).reshape(-1)
+        for i in range(vals.shape[0]):
+            sha = hashlib.sha1(
+                np.ascontiguousarray(vals[i]).tobytes()
+            ).hexdigest()
+            spans.append((int(starts[i]), int(lens[i]), sha))
+    return ids, tuple(spans)
+
+
+def _match_prefix(tokens, spans, retained: "RetainedCache") -> int:
+    """Longest reusable prefix: common token ids, never splitting or
+    mismatching an audio chunk on either side (audio placeholder tokens are
+    identical repeats — token equality alone would false-match different
+    audio, hence the content fingerprints)."""
+    a, b = tokens, retained.token_ids
+    lim = min(len(a), len(b))
+    neq = np.nonzero(a[:lim] != b[:lim])[0]
+    m = int(neq[0]) if len(neq) else lim
+    both = set(spans) & set(retained.audio_spans)
+    changed = True
+    while changed and m > 0:
+        changed = False
+        for s, l, sha in tuple(spans) + tuple(retained.audio_spans):
+            if s < m and ((s, l, sha) not in both or s + l > m):
+                m = s
+                changed = True
+    return m
 
 
 def _bucket(n: int, buckets) -> int:
@@ -103,6 +159,7 @@ class ServingEngine:
         prefill_chunk_tokens: int = 256,
         encoder_attn_impl: str = "xla",
         decode_attn_impl: str = "xla",
+        prefill_attn_impl: str = "xla",  # "fused" = pallas causal prefill
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -153,7 +210,10 @@ class ServingEngine:
             )
         )
         self._prefill_chunk = jax.jit(
-            functools.partial(_prefill_chunk_impl, cfg=cfg),
+            functools.partial(
+                _prefill_chunk_impl, cfg=cfg,
+                prefill_kernel=prefill_attn_impl == "fused",
+            ),
             donate_argnums=(1,),
         )
         self._decode = jax.jit(
@@ -171,6 +231,11 @@ class ServingEngine:
         self._active: Dict[int, Request] = {}  # slot -> request
         self._prefilling: List[PrefillJob] = []  # chunked prefill queue
         self._free_slots = list(range(num_slots))
+        # conversation-prefix reuse: finished slots keep their cache rows
+        # until reallocated; min_reuse_tokens gates trivial matches
+        self._retained: Dict[int, RetainedCache] = {}
+        self.min_reuse_tokens = 8
+        self.reused_prefix_tokens = 0  # cumulative counter (observability)
         self._requests: Dict[int, Request] = {}
         self._id_counter = itertools.count()
         self._lock = threading.Lock()
@@ -324,27 +389,49 @@ class ServingEngine:
             )
             self._requests.pop(req.request_id, None)
             return
-        slot = self._free_slots.pop()
+        # conversation-prefix reuse: prefer a retained slot whose cache
+        # already holds a long prefix of this prompt
+        req.token_ids, req.audio_spans = _request_tokens_and_spans(req.batch)
+        best_slot, best_m = None, 0
+        for slot_r, entry in self._retained.items():
+            if slot_r not in self._free_slots:
+                continue
+            m = _match_prefix(req.token_ids, req.audio_spans, entry)
+            if m > best_m:
+                best_m, best_slot = m, slot_r
+        start = 0
+        if best_slot is not None and best_m >= self.min_reuse_tokens:
+            slot = best_slot
+            self._free_slots.remove(slot)
+            # at least one suffix token must prefill to produce logits
+            start = min(best_m, prompt_len - 1)
+        else:
+            slot = self._free_slots.pop()
+        self._retained.pop(slot, None)  # rows get overwritten now
         try:
             req.slot = slot
             req.prompt_len = prompt_len
+            req.reused_prefix = start
+            self.reused_prefix_tokens += start
             padded = self._pad_request(req.batch)
             jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
             # ONE device call embeds the whole prompt (audio tower +
             # projector + splice); the LLM prefill then proceeds in chunks
             embeds = self._embed(self.params, jbatch)
             T_padded = embeds.shape[1]
-            # short prompts take their (power-of-two) bucket as a single
-            # chunk; longer ones chunk at prefill_chunk_tokens
-            chunk = min(self.prefill_chunk_tokens, T_padded)
-            if T_padded % chunk:
-                Tp = -(-T_padded // chunk) * chunk
+            # short suffixes take a single chunk; longer ones chunk at
+            # prefill_chunk_tokens
+            chunk = min(self.prefill_chunk_tokens, T_padded - start)
+            if (T_padded - start) % chunk:
+                Tp = start + (-(-(T_padded - start) // chunk)) * chunk
                 embeds = jnp.pad(embeds, ((0, 0), (0, Tp - T_padded), (0, 0)))
         except Exception:
             self._free_slots.append(slot)  # the slot must not leak
             req.slot = -1
             raise
-        self._prefilling.append(PrefillJob(req=req, embeds=embeds, chunk=chunk))
+        self._prefilling.append(
+            PrefillJob(req=req, embeds=embeds, chunk=chunk, pos=start)
+        )
 
     def _prefill_one_chunk(self, job: PrefillJob) -> bool:
         """Run one prompt chunk through the LLM into the job's cache row.
@@ -408,6 +495,7 @@ class ServingEngine:
             finish = "stop"
         else:
             req.generated += 1
+            req.emitted_ids.append(token_id)
             req.out_queue.put(StreamEvent(token_id=token_id))
             if req.generated >= req.max_tokens:
                 finish = "length"
@@ -427,6 +515,24 @@ class ServingEngine:
                 del self._active[req.slot]
                 self._free_slots.append(req.slot)
                 self.cache_lens = self.cache_lens.at[req.slot].set(0)
+                # retain the slot's cache for conversation-prefix reuse.
+                # Cache rows hold: prompt + all emitted tokens on "stop"
+                # (the stop token was sampled but never written), else
+                # prompt + emitted[:-1] (the final emitted token was
+                # sampled at the last step, not yet written).
+                if req.token_ids is not None:
+                    kept = (
+                        req.emitted_ids
+                        if finish == "stop"
+                        else req.emitted_ids[:-1]
+                    )
+                    self._retained[req.slot] = RetainedCache(
+                        token_ids=np.concatenate(
+                            [req.token_ids,
+                             np.asarray(kept, req.token_ids.dtype)]
+                        ),
+                        audio_spans=req.audio_spans,
+                    )
             self._requests.pop(req.request_id, None)
 
 
@@ -440,7 +546,8 @@ def _embed_prompt(params, batch, *, cfg: UltravoxConfig, encoder_attn_impl="xla"
 
 
 def _prefill_chunk_impl(
-    params, cache, embeds_chunk, slot, start_pos, prompt_len, *, cfg
+    params, cache, embeds_chunk, slot, start_pos, prompt_len, *, cfg,
+    prefill_kernel: bool = False,
 ):
     """Prefill one chunk of prompt embeddings into a single cache row.
 
@@ -467,6 +574,7 @@ def _prefill_chunk_impl(
         cache=row,
         write_pos=start_pos[None],
         return_hidden=True,
+        prefill_kernel=prefill_kernel,
     )
     cache = decoder_lib.KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, row.k, (0, slot, 0, 0, 0)),

@@ -133,6 +133,7 @@ def _decoder_layer(
     cache_v: Optional[jax.Array],
     write_pos: Optional[jax.Array],  # (B,) int32 write offset into cache
     decode_kernel: bool = False,
+    prefill_kernel: bool = False,
     decode_lengths: Optional[jax.Array] = None,  # (B,) valid cache entries
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     B, T, D = x.shape
@@ -195,6 +196,16 @@ def _decoder_layer(
             q[:, 0], k_all, v_all, decode_lengths, window,
             scale=cfg.attn_scale,
         )[:, None]
+    elif prefill_kernel and T > 1 and cache_k is not None and bias_local is None:
+        # Pallas prefill: causal + valid-length + absolute-position masks
+        # computed in-kernel — the XLA path materialises a (B, H, T, S) fp32
+        # logits tensor in HBM (4.3 GB for a 2K batch-8 prefill)
+        from ultravox_tpu.ops.pallas.fused_attention import fused_attention
+
+        attn = fused_attention(
+            q, k_all, v_all, decode_lengths, write_pos,
+            causal=True, scale=cfg.attn_scale,
+        )
     else:
         attn = mha(q, k_all, v_all, bias=bias, scale=cfg.attn_scale)
     attn = _proj(attn.reshape(B, T, Hq * Dh), p["o_proj"])
@@ -248,6 +259,7 @@ def decoder_forward(
     remat: bool = False,
     return_hidden: bool = False,
     decode_kernel: bool = False,
+    prefill_kernel: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Returns (logits (B, T, V) fp32, updated cache);
     with ``return_hidden``, (final hidden states (B, T, D), updated cache).
@@ -283,6 +295,13 @@ def decoder_forward(
     use_decode_kernel = (
         decode_kernel and cache is not None and x.shape[1] == 1
     )
+    use_prefill_kernel = False
+    if prefill_kernel and cache is not None and x.shape[1] > 1 and (
+        cfg.sliding_window is None
+    ):
+        from ultravox_tpu.ops.pallas.fused_attention import supports_shape
+
+        use_prefill_kernel = supports_shape(cache.max_len, cfg.head_dim)
 
     if cache is not None and x.shape[1] == 1:
         # DECODE: unroll the layer loop. Each layer scatters its single new
@@ -311,6 +330,7 @@ def decoder_forward(
                 cfg, h, p, l, cos_g, sin_g, cos_l, sin_l,
                 bias_global, bias_local, is_loc, ck, cv, write_pos,
                 decode_kernel=False,
+                prefill_kernel=use_prefill_kernel,
                 decode_lengths=kv_valid_len,
             )
             return (h, ck, cv), None

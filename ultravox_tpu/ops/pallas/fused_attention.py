@@ -37,6 +37,8 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _attn_kernel(
     lengths_ref,  # SMEM (B,) or None-like (always passed; dummy when unused)
+    offsets_ref,  # SMEM (B,) absolute position of query row 0 (prefill at
+    # a nonzero cache offset — conversation suffixes, chunked prefill)
     q_ref,  # (1, 1, bq, D)
     k_ref,  # (1, 1, S, D)
     v_ref,  # (1, 1, S, D)
@@ -59,7 +61,8 @@ def _attn_kernel(
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (bq, S)
 
     rows = (
-        iq * block_q
+        offsets_ref[b]
+        + iq * block_q
         + jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 0)
     )
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 1)
@@ -81,15 +84,30 @@ def _attn_kernel(
     ).astype(o_ref.dtype)
 
 
+def fused_attention(
+    q, k, v, lengths=None, row_offsets=None, *, scale=None, causal=False,
+    latency_block=0, block_q=256, interpret=None,
+):
+    """Fused attention; ``interpret=None`` auto-selects interpret mode on the
+    CPU backend so the kernel path stays CPU-testable."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fused_attention(
+        q, k, v, lengths, row_offsets, scale=scale, causal=causal,
+        latency_block=latency_block, block_q=block_q, interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "latency_block", "block_q", "interpret"),
 )
-def fused_attention(
+def _fused_attention(
     q: jax.Array,  # (B, T, H, D)
     k: jax.Array,  # (B, S, Hkv, D)
     v: jax.Array,  # (B, S, Hkv, D)
     lengths: Optional[jax.Array] = None,  # (B,) int32 valid key length
+    row_offsets: Optional[jax.Array] = None,  # (B,) absolute pos of q row 0
     *,
     scale: Optional[float] = None,
     causal: bool = False,
@@ -97,7 +115,8 @@ def fused_attention(
     block_q: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention; returns (B, T, H, D) in q.dtype."""
+    # (see fused_attention wrapper) returns (B, T, H, D) in q.dtype
+
     B, T, H, D = q.shape
     S = k.shape[1]
     Hkv = k.shape[2]
@@ -118,6 +137,8 @@ def fused_attention(
     use_lengths = lengths is not None
     if lengths is None:
         lengths = jnp.full((B,), S, jnp.int32)
+    if row_offsets is None:
+        row_offsets = jnp.zeros((B,), jnp.int32)
 
     grid = (B, H, T_pad // block_q)
     kernel = functools.partial(
@@ -132,7 +153,7 @@ def fused_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -147,7 +168,7 @@ def fused_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, T_pad, D), q.dtype),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), qt, kt, vt)
+    )(lengths.astype(jnp.int32), row_offsets.astype(jnp.int32), qt, kt, vt)
 
     out = jnp.transpose(out, (0, 2, 1, 3))
     if T_pad != T:
