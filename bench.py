@@ -76,6 +76,7 @@ def main():
 
     ttft_ms, decode_tps, decode_tps_2k = _flagship_metrics()
     m8 = _8b_metrics()
+    m8.update(_8b_int8_measured())
     print(
         json.dumps(
             {
@@ -281,6 +282,114 @@ def _encoder_10s_once() -> float:
     t0 = time.perf_counter()
     float(enc(params, audio, lens))
     return time.perf_counter() - t0
+
+
+
+
+def _init_8b_int8_fused(cfg, seed: int = 0):
+    """Random int8 weights in the fused inference layout, created ON DEVICE
+    (a bf16 8B tree would not fit 16 GB HBM to quantize from, and host->
+    device transfer of 8 GB through the tunnel is slow)."""
+    tc = cfg.text_config
+    L, D, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
+    Hq, Hkv, Dh = tc.num_heads, tc.num_kv_heads, tc.head_dim
+    V = tc.vocab_size
+    keys = iter(jax.random.split(jax.random.key(seed), 16))
+
+    def qk(*shape):
+        q = jax.random.randint(next(keys), shape, -127, 128, jnp.int8)
+        scale = jnp.full(shape[:-2] + (1, shape[-1]), 2e-4, jnp.bfloat16)
+        return {"kernel_q": q, "scale": scale}
+
+    layers = {
+        "input_ln": jnp.ones((L, D), jnp.bfloat16),
+        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+        "qkv_proj": qk(L, D, (Hq + 2 * Hkv) * Dh),
+        "o_proj": qk(L, Hq * Dh, D),
+        "gateup_proj": qk(L, D, 2 * I),
+        "down_proj": qk(L, I, D),
+    }
+    emb_q = jax.random.randint(next(keys), (V, D), -127, 128, jnp.int8)
+    return {
+        "language_model": {
+            "layers": layers,
+            "norm": jnp.ones(D, jnp.bfloat16),
+            "embed_tokens_q": emb_q,
+            "embed_scale": jnp.full((V,), 2e-4, jnp.bfloat16),
+            "lm_head": qk(D, V),
+        }
+    }
+
+
+def _8b_int8_measured():
+    """MEASURED single-chip 8B serving numbers with int8 weight-only
+    quantization: the full 32-layer Llama-3.1-8B-dims decoder (~8 GB of int8
+    weights) fits one 16 GB v5e chip. Random weights — throughput/latency
+    only."""
+    import time
+
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.models import DecoderConfig, UltravoxConfig
+
+    cfg = UltravoxConfig(
+        text_config=DecoderConfig(
+            arch="llama", vocab_size=128256, hidden_size=4096,
+            intermediate_size=14336, num_layers=32, num_heads=32,
+            num_kv_heads=8, head_dim=128, rope_theta=500000.0,
+            max_position_embeddings=8192,
+        ),
+        llm_only_training=True,
+    )
+    params = _init_8b_int8_fused(cfg)
+    engine = GenerationEngine(
+        params, cfg, max_cache_len=1024, prefill_attn_impl="fused"
+    )
+    B = 8
+    prompt = np.full((B, 192), 7, np.int32)  # ~128 text + 63 audio tokens
+    batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
+    engine.generate_greedy_fused(batch, max_new_tokens=64)  # compile
+    t0 = time.perf_counter()
+    engine.generate_greedy_fused(batch, max_new_tokens=64)
+    t_total = time.perf_counter() - t0
+
+    import ultravox_tpu.models.decoder as dl
+
+    cache = dl.KVCache.zeros(cfg.text_config, B, 256, jnp.bfloat16)
+    jb = {k: jnp.asarray(v) for k, v in engine.pad_batch(batch).items()}
+
+    def pf():
+        out, _, _ = engine._prefill(
+            engine.params, jb, cache, jnp.asarray(0, jnp.int32)
+        )
+        return float(jnp.sum(out))
+
+    pf()  # compile
+    t0 = time.perf_counter()
+    pf()
+    t_prefill = time.perf_counter() - t0
+    decode_ms = (t_total - t_prefill) / 64 * 1000
+    # single-request TTFT: batch-1 prefill of the 192-token prompt
+    jb1 = {k: v[:1] for k, v in jb.items()}
+    cache1 = dl.KVCache.zeros(cfg.text_config, 1, 256, jnp.bfloat16)
+
+    def pf1():
+        out, _, _ = engine._prefill(
+            engine.params, jb1, cache1, jnp.asarray(0, jnp.int32)
+        )
+        return float(jnp.sum(out))
+
+    pf1()
+    t0 = time.perf_counter()
+    pf1()
+    t_prefill1 = time.perf_counter() - t0
+    ttft = (_encoder_10s_once() + t_prefill1) * 1000
+    return {
+        "8b_int8_decode_tok_s_batch8_1chip_measured": round(
+            B / (decode_ms / 1000), 1
+        ),
+        "8b_int8_decode_ms_per_step_batch8_1chip_measured": round(decode_ms, 2),
+        "8b_int8_ttft_ms_10s_audio_1chip_measured": round(ttft, 1),
+    }
 
 
 if __name__ == "__main__":

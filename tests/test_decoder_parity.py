@@ -136,3 +136,57 @@ def test_kv_cache_decode_matches_full_forward(family):
             np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),
             atol=2e-4,
         )
+
+
+def test_gemma2_parity_and_decode():
+    """Gemma-2 family: attention logit softcapping + plus-one norms +
+    alternating sliding windows, fp32 parity vs transformers, and fused
+    decode matches the per-step path."""
+    import transformers
+
+    from ultravox_tpu.models.config import DecoderConfig, UltravoxConfig
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=V, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, max_position_embeddings=512,
+        sliding_window=16, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, query_pre_attn_scalar=12,
+        attn_implementation="eager",
+    )
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig.from_hf_dict(hf_cfg.to_dict())
+    assert cfg.arch == "gemma2"
+    params = weights_lib.convert_decoder(
+        weights_lib.from_torch_state_dict(model.state_dict()), cfg
+    )
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, V, (2, 24)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids).long()).logits.numpy()
+    positions = np.broadcast_to(np.arange(24, dtype=np.int32)[None], (2, 24))
+    ours, _ = decoder_lib.decoder_forward(
+        params, cfg,
+        input_ids=jnp.asarray(ids),
+        positions=jnp.asarray(positions),
+        kv_valid_len=jnp.full((2,), 24, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4)
+
+    # generation: per-step (XLA decode attention) == fused segmented scan
+    from ultravox_tpu.inference.engine import GenerationEngine
+
+    uv_cfg = UltravoxConfig(text_config=cfg, llm_only_training=True)
+    engine = GenerationEngine(
+        {"language_model": params}, uv_cfg,
+        max_cache_len=128, cache_dtype=jnp.float32,
+    )
+    batch = {
+        "input_ids": ids[:, :20],
+        "attention_mask": np.ones((2, 20), np.int32),
+    }
+    step = engine.generate(batch, max_new_tokens=12)
+    fused = engine.generate_fused(batch, max_new_tokens=12)
+    assert step.token_ids == fused.token_ids

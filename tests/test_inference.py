@@ -311,3 +311,55 @@ def test_prefill_kernel_matches_xla(tiny_llm):
         start_pos=int(r1x.cache_lens.max()),
     )
     assert out_f.token_ids == out_x.token_ids
+
+
+def test_int8_quantization_accuracy(tiny_llm):
+    """Weight-only int8 (w8a16): per-channel dequant error is bounded by
+    scale/2 and quantized generation stays close to the fp32 path."""
+    import jax
+
+    from ultravox_tpu.models import decoder as decoder_lib
+
+    _, dec_cfg, params = tiny_llm
+    qparams = decoder_lib.quantize_decoder_int8(params)
+    # dequant error bound on a representative kernel
+    w = np.asarray(params["layers"]["q_proj"]["kernel"], np.float32)
+    wq = np.asarray(qparams["layers"]["q_proj"]["kernel_q"], np.int8)
+    s = np.asarray(qparams["layers"]["q_proj"]["scale"], np.float32)
+    deq = wq.astype(np.float32) * s
+    # bound: half a quantization step + bf16 rounding of the stored scale
+    assert np.abs(deq - w).max() <= s.max() * 0.51 + np.abs(w).max() * 0.005
+    # embedding rows round-trip within per-row scale/2
+    emb = np.asarray(params["embed_tokens"], np.float32)
+    deq_emb = (
+        np.asarray(qparams["embed_tokens_q"], np.float32)
+        * np.asarray(qparams["embed_scale"], np.float32)[:, None]
+    )
+    assert np.abs(deq_emb - emb).max() <= float(
+        np.asarray(qparams["embed_scale"], np.float32).max()
+    ) * 0.51 + np.abs(emb).max() * 0.005
+
+    cfg = UltravoxConfig(text_config=dec_cfg, llm_only_training=True)
+    fp = _engine(cfg, params)
+    q8 = _engine(cfg, params, quantize="int8")
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, V, (2, 9)).astype(np.int32)
+    batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
+
+    # prefill logits stay highly correlated after quantization
+    import jax.numpy as _jnp
+    import ultravox_tpu.models.decoder as dl
+
+    jb = {k: _jnp.asarray(v) for k, v in fp.pad_batch(batch).items()}
+    c1 = dl.KVCache.zeros(cfg.text_config, 2, 128, _jnp.float32)
+    c2 = dl.KVCache.zeros(cfg.text_config, 2, 128, _jnp.float32)
+    l_fp, _, _ = fp._prefill(fp.params, jb, c1, _jnp.asarray(0, _jnp.int32))
+    l_q8, _, _ = q8._prefill(q8.params, jb, c2, _jnp.asarray(0, _jnp.int32))
+    a, b = np.asarray(l_fp).ravel(), np.asarray(l_q8).ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+    # both fused-scan and per-step paths run end to end quantized
+    g1 = q8.generate(batch, max_new_tokens=8)
+    g2 = q8.generate_fused(batch, max_new_tokens=8)
+    assert g1.token_ids == g2.token_ids

@@ -230,9 +230,24 @@ def test_gemma3_default_pattern_six():
     assert loc[:5].all() and loc[6:11].all()
 
 
-def test_gemma2_rejected():
-    with pytest.raises(ValueError, match="gemma2"):
-        DecoderConfig.from_hf_dict({"model_type": "gemma2"})
+def test_gemma2_config_parsing():
+    cfg = DecoderConfig.from_hf_dict({
+        "model_type": "gemma2",
+        "num_hidden_layers": 4,
+        "sliding_window": 512,
+        "attn_logit_softcapping": 50.0,
+        "final_logit_softcapping": 30.0,
+        "query_pre_attn_scalar": 224,
+    })
+    assert cfg.arch == "gemma2"
+    assert not cfg.qk_norm and cfg.use_post_norms and cfg.scale_embeddings
+    assert cfg.attn_logit_softcapping == 50.0
+    assert cfg.sliding_window_pattern == 2  # even layers sliding, odd global
+    from ultravox_tpu.models.decoder import is_local_layer
+
+    np.testing.assert_array_equal(
+        is_local_layer(cfg), [True, False, True, False]
+    )
 
 
 def test_layer_types_roundtrip_through_publish():

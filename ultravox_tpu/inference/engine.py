@@ -73,6 +73,7 @@ class GenerationEngine:
         encoder_attn_impl: str = "xla",
         decode_attn_impl: str = "xla",  # "kernel" = flash-decoding pallas
         prefill_attn_impl: str = "xla",  # "fused" = pallas causal prefill
+        quantize: Optional[str] = None,  # "int8" = weight-only w8a16
     ):
         # inference-optimised decoder weights (fused qkv / gate-up matmuls;
         # no-op for LoRA'd or multi-device-sharded params)
@@ -80,6 +81,12 @@ class GenerationEngine:
         self.params["language_model"] = decoder_lib.fuse_inference_params(
             params["language_model"], cfg.text_config
         )
+        if quantize == "int8":
+            self.params["language_model"] = decoder_lib.quantize_decoder_int8(
+                self.params["language_model"]
+            )
+        elif quantize:
+            raise ValueError(f"unsupported quantize={quantize!r}")
         self.cfg = cfg
         self.max_cache_len = max_cache_len
         self.batch_buckets = batch_buckets
@@ -384,9 +391,7 @@ def _decode_impl(
     """One decode step. ``tokens`` (B,) are the tokens just sampled; they get
     embedded, written at ``cache_pos``, and the next logits returned."""
     B = tokens.shape[0]
-    embeds = jnp.take(params["language_model"]["embed_tokens"], tokens, axis=0)[
-        :, None
-    ]
+    embeds = decoder_lib.embed_lookup(params["language_model"], tokens)[:, None]
     positions = cache_pos[:, None]
     logits, cache = decoder_lib.decoder_forward(
         params["language_model"],

@@ -160,6 +160,7 @@ class ServingEngine:
         encoder_attn_impl: str = "xla",
         decode_attn_impl: str = "xla",
         prefill_attn_impl: str = "xla",  # "fused" = pallas causal prefill
+        quantize: Optional[str] = None,  # "int8" = weight-only w8a16
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -170,6 +171,14 @@ class ServingEngine:
             self.params["language_model"] = decoder_lib.fuse_inference_params(
                 params["language_model"], cfg.text_config
             )
+            if quantize == "int8":
+                self.params["language_model"] = (
+                    decoder_lib.quantize_decoder_int8(
+                        self.params["language_model"]
+                    )
+                )
+            elif quantize:
+                raise ValueError(f"unsupported quantize={quantize!r}")
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
@@ -596,9 +605,7 @@ def _decode_all_slots(
     their last token; their logits are computed-but-ignored garbage
     (position clamps keep indices in range)."""
     B = tokens.shape[0]
-    embeds = jnp.take(params["language_model"]["embed_tokens"], tokens, axis=0)[
-        :, None
-    ]
+    embeds = decoder_lib.embed_lookup(params["language_model"], tokens)[:, None]
     positions = cache_lens[:, None]
     logits, cache = decoder_lib.decoder_forward(
         params["language_model"],

@@ -161,8 +161,9 @@ class DecoderConfig:
     scale_embeddings: bool = False
     # gemma uses extra pre/post feedforward layernorms + post attention norm
     use_post_norms: bool = False
-    # gemma2/3 logit softcap
+    # gemma2/3 final logit softcap; gemma2 also softcaps attention logits
     final_logit_softcapping: Optional[float] = None
+    attn_logit_softcapping: Optional[float] = None
     # gemma query scaling override (query_pre_attn_scalar)
     query_pre_attn_scalar: Optional[float] = None
     # gemma3 local rope theta for sliding-window layers
@@ -184,17 +185,10 @@ class DecoderConfig:
             inner.setdefault("model_type", model_type.replace("_text", ""))
             d = inner
             model_type = d.get("model_type", model_type)
-        if model_type == "gemma2":
-            # Gemma-2 has no QK-norm and uses attention logit softcapping,
-            # neither of which the gemma3 arch models — mapping it would
-            # silently produce wrong logits.
-            raise ValueError(
-                "model_type 'gemma2' is not supported (no qk_norm, uses "
-                "attn_logit_softcapping); use a gemma3-family checkpoint"
-            )
         arch = {
             "llama": "llama",
             "mistral": "mistral",
+            "gemma2": "gemma2",
             "gemma3": "gemma3",
             "gemma3_text": "gemma3",
             "qwen2": "qwen2",
@@ -220,6 +214,13 @@ class DecoderConfig:
             and sliding_window_pattern is None
         ):
             sliding_window_pattern = 6
+        elif (
+            arch == "gemma2"
+            and sliding_window is not None
+            and sliding_window_pattern is None
+        ):
+            # gemma2 alternates: even layers sliding, odd global
+            sliding_window_pattern = 2
 
         rope_scaling = None
         rs = d.get("rope_scaling")
@@ -248,16 +249,18 @@ class DecoderConfig:
                 d.get("attention_bias", False) or arch == "qwen2"
             ),
             qk_norm=arch in ("qwen3", "gemma3"),
+            attn_logit_softcapping=d.get("attn_logit_softcapping"),
             sliding_window=sliding_window,
             sliding_window_pattern=sliding_window_pattern,
             layer_is_local=layer_is_local,
-            scale_embeddings=arch == "gemma3",
-            use_post_norms=arch == "gemma3",
+            scale_embeddings=arch in ("gemma2", "gemma3"),
+            use_post_norms=arch in ("gemma2", "gemma3"),
             final_logit_softcapping=d.get("final_logit_softcapping"),
             query_pre_attn_scalar=d.get("query_pre_attn_scalar"),
             rope_local_base_freq=d.get("rope_local_base_freq"),
             hidden_act=d.get(
-                "hidden_act", "gelu_pytorch_tanh" if arch == "gemma3" else "silu"
+                "hidden_act",
+                "gelu_pytorch_tanh" if arch in ("gemma2", "gemma3") else "silu",
             ),
         )
 

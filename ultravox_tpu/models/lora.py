@@ -103,8 +103,13 @@ def apply_lora_to_model(
 
 
 def proj_apply(x: jax.Array, p: Params) -> jax.Array:
-    """Linear projection with optional bias and LoRA path."""
-    out = x @ p["kernel"]
+    """Linear projection with optional bias, LoRA path, or int8 weight-only
+    storage (kernel_q + per-out-channel scale; the int8->bf16 convert fuses
+    into the dot's operand stream, so HBM reads stay 1 byte/weight)."""
+    if "kernel_q" in p:
+        out = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        out = x @ p["kernel"]
     if "bias" in p:
         out = out + p["bias"]
     if "lora_a" in p:

@@ -140,8 +140,8 @@ def ultravox_embed(
     encoder_attn_impl: str = "xla",
 ) -> jax.Array:
     """Token embeddings with audio spliced in (if the batch carries audio)."""
-    inputs_embeds = jnp.take(
-        params["language_model"]["embed_tokens"], input_ids, axis=0
+    inputs_embeds = decoder_lib.embed_lookup(
+        params["language_model"], input_ids
     )
     if "audio_values" in batch and batch["audio_values"] is not None:
         inputs_embeds = prepare_audio_embeds(

@@ -27,6 +27,7 @@ def mha(
     bias: Optional[jax.Array] = None,  # broadcastable to (B, H, T, S), additive
     scale: Optional[float] = None,
     is_causal: bool = False,
+    softcap: Optional[float] = None,  # gemma2 attn logit softcapping
     impl: str = "xla",
 ) -> jax.Array:
     """Multi-head attention with grouped KV heads. Returns (B, T, H, D).
@@ -59,6 +60,9 @@ def mha(
         "bthgd,bshd->bhgts", qf, k,
         preferred_element_type=jnp.float32, optimize=True,
     )
+    if softcap is not None:
+        # gemma2: tanh(logits / cap) * cap BEFORE masking (HF order)
+        logits = jnp.tanh(logits / softcap) * softcap
     if is_causal:
         causal = jnp.tril(jnp.ones((T, S), dtype=bool), k=S - T)
         logits = jnp.where(causal[None, None, None], logits, NEG_INF)

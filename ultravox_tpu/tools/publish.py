@@ -124,6 +124,7 @@ def _text_config_to_hf(text) -> dict:
         "query_pre_attn_scalar": text.query_pre_attn_scalar,
         "rope_local_base_freq": text.rope_local_base_freq,
         "final_logit_softcapping": text.final_logit_softcapping,
+        "attn_logit_softcapping": text.attn_logit_softcapping,
     }
     if text.rope_scaling is not None:
         factor, low_ff, high_ff, orig_max = text.rope_scaling
