@@ -26,6 +26,13 @@ logger = logging.getLogger(__name__)
 def main():
     logging.basicConfig(level=logging.INFO)
     config = get_train_config()
+    # multi-host rendezvous BEFORE any device access (reference:
+    # validate.py initializes the process group the same way eval does)
+    from ultravox_tpu.parallel.mesh import initialize_multihost
+
+    initialize_multihost(
+        config.coordinator_address, config.num_processes, config.process_id
+    )
     mesh = make_mesh(
         MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor)
     )
@@ -33,7 +40,7 @@ def main():
     params = shard_params(model_pack.params, mesh)
     optimizer = ts.make_optimizer(config.lr)
     state, template = ts.init_train_state(
-        params, optimizer, config.trainable_params
+        params, optimizer, config.effective_trainable_patterns
     )
     results: Dict[str, float] = validate(config, model_pack, state, template, mesh)
     print(json.dumps(results, indent=2))
