@@ -287,51 +287,67 @@ def _encoder_10s_once() -> float:
 
 
 def _init_8b_int8_fused(cfg, seed: int = 0):
-    """Random int8 weights in the fused inference layout, created ON DEVICE
-    (a bf16 8B tree would not fit 16 GB HBM to quantize from, and host->
-    device transfer of 8 GB through the tunnel is slow)."""
+    """Random int8 weights in the fused inference layout, created inside ONE
+    jitted program: eager per-tensor creation fragments the 16 GB HBM (the
+    later multi-GB cache allocations then fail), and JAX PRNGs materialize
+    32-bit words per element, so layer-stacked tensors generate via lax.scan
+    (one layer's temporaries at a time)."""
     tc = cfg.text_config
     L, D, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
     Hq, Hkv, Dh = tc.num_heads, tc.num_kv_heads, tc.head_dim
     V = tc.vocab_size
-    keys = iter(jax.random.split(jax.random.key(seed), 16))
 
     def rand_i8(key, shape):
         bits = jax.random.bits(key, shape, jnp.uint8)
         return jax.lax.bitcast_convert_type(bits, jnp.int8)
 
-    def qk(*shape):
-        # JAX PRNGs materialize 32-bit words per element (15 GB of
-        # temporaries for the 3.8G-element gateup tensor), so stacked layer
-        # kernels are generated layer-by-layer to bound the peak
-        if len(shape) == 3:
-            ks = jax.random.split(next(keys), shape[0])
-            q = jnp.stack([rand_i8(ks[i], shape[1:]) for i in range(shape[0])])
-        else:
-            q = rand_i8(next(keys), shape)
-        scale = jnp.full(shape[:-2] + (1, shape[-1]), 2e-4, jnp.bfloat16)
-        return {"kernel_q": q, "scale": scale}
+    def stacked_i8(key, d_in, d_out):
+        def body(carry, k):
+            return carry, rand_i8(k, (d_in, d_out))
 
-    layers = {
-        "input_ln": jnp.ones((L, D), jnp.bfloat16),
-        "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
-        "qkv_proj": qk(L, D, (Hq + 2 * Hkv) * Dh),
-        "o_proj": qk(L, Hq * Dh, D),
-        "gateup_proj": qk(L, D, 2 * I),
-        "down_proj": qk(L, I, D),
-    }
-    emb_q = jnp.concatenate([
-        rand_i8(k, (V // 8, D)) for k in jax.random.split(next(keys), 8)
-    ])
-    return {
-        "language_model": {
+        _, out = jax.lax.scan(body, 0, jax.random.split(key, L))
+        return out
+
+    def scale_of(*shape):
+        return jnp.full(shape, 2e-4, jnp.bfloat16)
+
+    @jax.jit
+    def make(key):
+        ks = jax.random.split(key, 6)
+        layers = {
+            "input_ln": jnp.ones((L, D), jnp.bfloat16),
+            "post_attn_ln": jnp.ones((L, D), jnp.bfloat16),
+            "qkv_proj": {
+                "kernel_q": stacked_i8(ks[0], D, (Hq + 2 * Hkv) * Dh),
+                "scale": scale_of(L, 1, (Hq + 2 * Hkv) * Dh),
+            },
+            "o_proj": {
+                "kernel_q": stacked_i8(ks[1], Hq * Dh, D),
+                "scale": scale_of(L, 1, D),
+            },
+            "gateup_proj": {
+                "kernel_q": stacked_i8(ks[2], D, 2 * I),
+                "scale": scale_of(L, 1, 2 * I),
+            },
+            "down_proj": {
+                "kernel_q": stacked_i8(ks[3], I, D),
+                "scale": scale_of(L, 1, D),
+            },
+        }
+        return {
             "layers": layers,
             "norm": jnp.ones(D, jnp.bfloat16),
-            "embed_tokens_q": emb_q,
+            "embed_tokens_q": rand_i8(ks[4], (V, D)),
             "embed_scale": jnp.full((V,), 2e-4, jnp.bfloat16),
-            "lm_head": qk(D, V),
+            "lm_head": {
+                "kernel_q": rand_i8(ks[5], (D, V)),
+                "scale": scale_of(1, V),
+            },
         }
-    }
+
+    lm = make(jax.random.key(seed))
+    jax.tree.map(lambda x: x.block_until_ready(), lm)
+    return {"language_model": lm}
 
 
 def _8b_int8_measured_subprocess():
