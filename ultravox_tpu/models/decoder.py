@@ -381,17 +381,19 @@ def compute_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax
     prompt wastes ~V×T×D FLOPs and O(GB) of HBM."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
         if "embed_tokens_q" in params:
-            logits = (
-                hidden @ params["embed_tokens_q"].T.astype(hidden.dtype)
-            ).astype(jnp.float32) * params["embed_scale"].astype(jnp.float32)
+            logits = _proj(
+                hidden,
+                {
+                    "kernel_q": params["embed_tokens_q"].T,
+                    "scale": params["embed_scale"][None],
+                },
+            ).astype(jnp.float32)
         else:
             logits = (hidden @ params["embed_tokens"].T).astype(jnp.float32)
     else:
         head = params["lm_head"]
         if "kernel_q" in head:
-            logits = (
-                hidden @ head["kernel_q"].astype(hidden.dtype)
-            ).astype(jnp.float32) * head["scale"].astype(jnp.float32)
+            logits = _proj(hidden, head).astype(jnp.float32)
         else:
             logits = (hidden @ head["kernel"]).astype(jnp.float32)
     if cfg.final_logit_softcapping:
@@ -479,17 +481,6 @@ def segmented_decode_scan(
         else inv_freq_g
     )
 
-    # int8 weight-only params: the int8->bf16 dequant converts are loop-
-    # invariant, and XLA's LICM would hoist them OUT of the token scan —
-    # materializing the full bf16 weight tree (2x the int8 bytes, OOM for
-    # 8B on one chip). Tying each layer's weights to the loop counter via
-    # optimization_barrier keeps the dequant inside the loop, one layer's
-    # bf16 weights live at a time.
-    quantized = any(
-        getattr(leaf, "dtype", None) == jnp.int8
-        for leaf in jax.tree.leaves(params["layers"])
-    )
-
     kpos = jnp.arange(S, dtype=jnp.int32)[None]  # (1, S)
     tail_shape = (L, B, n_steps, Hkv, Dh)
     tail_k0 = jnp.zeros(tail_shape, prompt_cache.k.dtype)
@@ -525,16 +516,6 @@ def segmented_decode_scan(
 
         for l in range(L):
             p = jax.tree.map(lambda a: a[l], params["layers"])
-            if quantized:
-                # Tie this layer's (int8) weights to the CURRENT hidden
-                # state: the dequant convert then (a) stays inside the token
-                # loop (not LICM-hoisted — it would materialize the full
-                # bf16 weight tree) and (b) cannot be scheduled before the
-                # previous layer finishes, so only ONE layer's bf16 weights
-                # are ever live.
-                p = jax.tree.map(
-                    lambda a: jax.lax.optimization_barrier((a, x))[0], p
-                )
             is_loc = bool(local_flags[l])
             h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps, plus_one=plus_one)
             q, k, v = _qkv(cfg, h, p)
@@ -579,14 +560,7 @@ def segmented_decode_scan(
             x = x + mlp
 
         x = rms_norm(x, params["norm"], cfg.rms_norm_eps, plus_one=plus_one)
-        head_params = params
-        if quantized and "lm_head" in params:
-            head_params = dict(params)
-            head_params["lm_head"] = jax.tree.map(
-                lambda a: jax.lax.optimization_barrier((a, x))[0],
-                params["lm_head"],
-            )
-        logits = compute_logits(head_params, cfg, x[:, 0])
+        logits = compute_logits(params, cfg, x[:, 0])
         key, step_key = jax.random.split(key)
         nxt = sample_fn(logits, step_key)
         return (nxt, tail_k, tail_v, key), nxt

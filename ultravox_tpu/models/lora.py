@@ -103,11 +103,28 @@ def apply_lora_to_model(
 
 
 def proj_apply(x: jax.Array, p: Params) -> jax.Array:
-    """Linear projection with optional bias, LoRA path, or int8 weight-only
-    storage (kernel_q + per-out-channel scale; the int8->bf16 convert fuses
-    into the dot's operand stream, so HBM reads stay 1 byte/weight)."""
+    """Linear projection with optional bias, LoRA path, or int8 storage.
+
+    int8 path (kernel_q + per-out-channel weight scale): the activation is
+    dynamically quantized per row and the dot runs NATIVELY as
+    int8 x int8 -> int32 on the MXU — weights are never dequantized to
+    bf16 (a materialized convert would double the weight HBM traffic that
+    quantization exists to halve)."""
     if "kernel_q" in p:
-        out = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6
+        ) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq,
+            p["kernel_q"],
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (
+            acc.astype(jnp.float32) * sx * p["scale"].astype(jnp.float32)
+        ).astype(x.dtype)
     else:
         out = x @ p["kernel"]
     if "bias" in p:
