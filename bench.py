@@ -74,7 +74,7 @@ def main():
     rtfx = audio_seconds / dt
     baseline_rtfx = 30.0  # north-star: >30x real time per chip
 
-    ttft_ms, decode_tps, decode_tps_2k = _flagship_metrics()
+    ttft_ms, decode_tps, decode_tps_2k, decode_tps_q = _flagship_metrics()
     m8 = _8b_metrics()
     m8.update(_8b_int8_measured_subprocess())
     print(
@@ -90,6 +90,7 @@ def main():
                 "ttft_ms_p50_10s_audio_1b": ttft_ms,
                 "decode_tok_s_batch8_1b": decode_tps,
                 "decode_tok_s_batch8_1b_2k_ctx": decode_tps_2k,
+                "decode_tok_s_batch8_1b_int8": decode_tps_q,
                 **m8,
                 "device": str(jax.devices()[0]),
             }
@@ -123,6 +124,17 @@ def _flagship_metrics():
     for _ in range(iters):
         engine.generate_greedy_fused(batch, max_new_tokens=64)
     decode_tps = B * 64 * iters / (time.perf_counter() - t0)
+
+    # int8 (w8a8) variant of the same decode workload
+    engine_q = GenerationEngine(
+        params, cfg, max_cache_len=1024, prefill_attn_impl="fused",
+        quantize="int8",
+    )
+    engine_q.generate_greedy_fused(batch, max_new_tokens=64)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        engine_q.generate_greedy_fused(batch, max_new_tokens=64)
+    decode_tps_q = B * 64 * iters / (time.perf_counter() - t0)
 
     # serving-realistic long context: decode at ~2K tokens in the cache
     engine2k = GenerationEngine(params, cfg, max_cache_len=2048, prefill_attn_impl="fused")
@@ -160,7 +172,12 @@ def _flagship_metrics():
 
     ttft_once()  # compile
     times = sorted(ttft_once() for _ in range(10))
-    return round(times[5] * 1000, 1), round(decode_tps, 1), round(decode_tps_2k, 1)
+    return (
+        round(times[5] * 1000, 1),
+        round(decode_tps, 1),
+        round(decode_tps_2k, 1),
+        round(decode_tps_q, 1),
+    )
 
 
 def _8b_metrics():

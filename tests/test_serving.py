@@ -420,3 +420,27 @@ def test_serving_no_false_reuse_across_different_audio(setup):
     finally:
         fresh.stop()
     assert ids2 == ids_fresh
+
+
+def test_serving_int8_consistent_with_offline_int8(setup):
+    """quantize='int8' serving produces the same greedy tokens as the
+    offline engine under the same quantization (w8a8 changes logits, so the
+    comparison anchor is the quantized offline path, not fp32)."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "the quick brown fox")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32,
+        quantize="int8",
+    )
+    expected = offline.generate(batch, max_new_tokens=8).token_ids[0]
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,), quantize="int8",
+    )
+    serving.start()
+    try:
+        req = serving.submit(dict(batch), max_tokens=8)
+        ids, fin = _drain(serving, req)
+    finally:
+        serving.stop()
+    assert ids == expected and fin == "length"

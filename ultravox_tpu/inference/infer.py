@@ -53,6 +53,7 @@ class LocalInference(base.VoiceInference):
         extra_stop_tokens: tuple = (),
         cache_dtype=None,
         fused_greedy_decode: bool = False,
+        quantize: Optional[str] = None,
     ):
         import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ class LocalInference(base.VoiceInference):
             max_cache_len=max_cache_len,
             stop_token_ids=tuple(stop_ids),
             cache_dtype=cache_dtype or jnp.bfloat16,
+            quantize=quantize,
         )
         self.collator = DataCollatorWithAudio(
             pad_token_id=self.tokenizer.pad_token_id

@@ -363,6 +363,11 @@ def main():
         "--prefill-attn", default="fused", choices=["xla", "fused"],
         help="fused = Pallas causal prefill (no HBM logits tensor)",
     )
+    parser.add_argument(
+        "--quantize", default=None, choices=[None, "int8"],
+        help="int8 = w8a8 weight quantization (halves weight HBM traffic; "
+        "fits 8B-class models on one 16 GB v5e chip)",
+    )
     args = parser.parse_args()
 
     import transformers
@@ -388,6 +393,7 @@ def main():
         encoder_attn_impl=args.encoder_attn,
         decode_attn_impl=args.decode_attn,
         prefill_attn_impl=args.prefill_attn,
+        quantize=args.quantize,
     )
     serve(
         ServingAPI(engine, processor, collator),

@@ -130,6 +130,7 @@ class UltravoxInference(LocalInference):
         mesh=None,
         fused_greedy_decode: bool = False,
         strict: bool = True,
+        quantize: Optional[str] = None,
     ):
         import transformers
 
@@ -163,4 +164,5 @@ class UltravoxInference(LocalInference):
             conversation_mode=conversation_mode,
             cache_dtype=dtype,
             fused_greedy_decode=fused_greedy_decode,
+            quantize=quantize if mesh is None else None,
         )
