@@ -444,3 +444,94 @@ def test_serving_int8_consistent_with_offline_int8(setup):
     finally:
         serving.stop()
     assert ids == expected and fin == "length"
+
+
+def test_block_decode_matches_single_step(setup):
+    """decode_block_steps>1 (multi-step scheduling, one dispatch per K
+    tokens) emits exactly the same greedy tokens as single-step decoding,
+    including requests that stop mid-block."""
+    cfg, params, processor, collator = setup
+    batches = [
+        _mini_batch(processor, collator, "hello world how are you"),
+        _mini_batch(processor, collator, "the quick brown fox"),
+    ]
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = [
+        offline.generate(b, max_new_tokens=11).token_ids[0] for b in batches
+    ]
+    stop = expected[0][5]  # request 0 stops mid-block
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        decode_block_steps=4,
+    )
+    serving.start()
+    try:
+        r0 = serving.submit(
+            dict(batches[0]), max_tokens=11, stop_token_ids=(stop,)
+        )
+        r1 = serving.submit(dict(batches[1]), max_tokens=11)
+        ids0, fin0 = _drain(serving, r0)
+        ids1, fin1 = _drain(serving, r1)
+    finally:
+        serving.stop()
+    assert ids0 == expected[0][:5] and fin0 == "stop"
+    assert ids1 == expected[1] and fin1 == "length"
+
+
+def test_retained_cache_survives_other_slots_decoding(setup):
+    """Regression: while OTHER slots keep decoding after a request finishes,
+    the finished slot's retained cache must not be corrupted by inactive-slot
+    KV writes (freed slots' cache_len is 0 — unmasked writes would clobber
+    position 0 and silently break conversation-prefix reuse)."""
+    cfg, params, processor, collator = setup
+    tok = processor.tokenizer
+
+    def turn_batch(messages):
+        text = tok.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        return collator([processor(text=text)])
+
+    msgs1 = [{"role": "user", "content": "the quick brown fox jumps"}]
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        # finish the conversation request first
+        r1 = serving.submit(turn_batch(msgs1), max_tokens=6)
+        ids1, _ = _drain(serving, r1)
+        reply = tok.decode(ids1, skip_special_tokens=True)
+        # now keep the OTHER slot decoding for a while (this used to write
+        # garbage kv into the retained slot's position 0 every step)
+        filler = serving.submit(
+            _mini_batch(processor, collator, "hello world"), max_tokens=40
+        )
+        _drain(serving, filler)
+        # reuse the retained conversation prefix
+        msgs2 = msgs1 + [
+            {"role": "assistant", "content": reply},
+            {"role": "user", "content": "hello world how are you"},
+        ]
+        r2 = serving.submit(turn_batch(msgs2), max_tokens=6)
+        ids2, _ = _drain(serving, r2)
+        assert r2.reused_prefix >= serving.min_reuse_tokens
+    finally:
+        serving.stop()
+
+    fresh = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    fresh.start()
+    try:
+        rf = fresh.submit(turn_batch(msgs2), max_tokens=6)
+        ids_fresh, _ = _drain(fresh, rf)
+    finally:
+        fresh.stop()
+    assert ids2 == ids_fresh

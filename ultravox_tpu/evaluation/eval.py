@@ -33,7 +33,9 @@ class EvalConfig:
 
     model: str = ""  # checkpoint dir
     eval_sets: List[str] = dataclasses.field(default_factory=list)
-    num_samples: Optional[int] = 64
+    # None = the whole dataset (no silent cap; the reference caps only via
+    # explicit config)
+    num_samples: Optional[int] = None
     batch_size: int = 8
     max_tokens: int = 256
     temperature: float = 0.0

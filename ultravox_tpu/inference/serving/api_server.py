@@ -364,6 +364,13 @@ def main():
         help="fused = Pallas causal prefill (no HBM logits tensor)",
     )
     parser.add_argument(
+        "--decode-block", type=int, default=1,
+        help="decode steps per device dispatch (vLLM-style multi-step "
+        "scheduling; >1 amortizes host dispatch latency on remote-attached "
+        "devices at the cost of up to block-1 wasted steps per finished "
+        "request)",
+    )
+    parser.add_argument(
         "--quantize", default=None, choices=[None, "int8"],
         help="int8 = w8a8 weight quantization (halves weight HBM traffic; "
         "fits 8B-class models on one 16 GB v5e chip)",
@@ -394,6 +401,7 @@ def main():
         decode_attn_impl=args.decode_attn,
         prefill_attn_impl=args.prefill_attn,
         quantize=args.quantize,
+        decode_block_steps=args.decode_block,
     )
     serve(
         ServingAPI(engine, processor, collator),

@@ -157,6 +157,7 @@ class ServingEngine:
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
         prefill_chunk_tokens: int = 256,
+        decode_block_steps: int = 1,
         encoder_attn_impl: str = "xla",
         decode_attn_impl: str = "xla",
         prefill_attn_impl: str = "xla",  # "fused" = pallas causal prefill
@@ -234,6 +235,15 @@ class ServingEngine:
         )
         self._sample = jax.jit(
             sample_token, static_argnames=("temperature", "top_k", "top_p")
+        )
+        # multi-step decode: K decode steps per dispatch (vLLM-style
+        # multi-step scheduling) — amortizes host dispatch latency when no
+        # prefill work is queued; tokens still stream per step on emit
+        self.decode_block_steps = max(1, decode_block_steps)
+        self._decode_block = jax.jit(
+            functools.partial(_decode_block, cfg=cfg),
+            static_argnames=("n_steps",),
+            donate_argnums=(1,),
         )
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
@@ -328,7 +338,26 @@ class ServingEngine:
 
             if self._active:
                 try:
-                    self._decode_step()
+                    n_steps = 1
+                    if (
+                        self.decode_block_steps > 1
+                        and not self._prefilling
+                        and self._pending.empty()
+                    ):
+                        budget = min(
+                            r.max_tokens - r.generated
+                            for r in self._active.values()
+                        )
+                        cap = self.max_seq_len - 1 - max(
+                            r.prompt_len + r.generated
+                            for r in self._active.values()
+                        )
+                        # exactly 1 or the full block — every distinct
+                        # n_steps is its own compiled program, and a sweep of
+                        # intermediate sizes is a recompile storm
+                        if min(budget, cap) >= self.decode_block_steps:
+                            n_steps = self.decode_block_steps
+                    self._decode_step(n_steps)
                 except Exception:  # noqa: BLE001 — fail active requests, keep serving
                     logger.exception("decode step failed; failing active requests")
                     for slot, req in list(self._active.items()):
@@ -415,7 +444,13 @@ class ServingEngine:
             # at least one suffix token must prefill to produce logits
             start = min(best_m, prompt_len - 1)
         else:
-            slot = self._free_slots.pop()
+            # prefer slots with no retained conversation, so one unrelated
+            # request doesn't evict a reusable prefix
+            non_retained = [
+                s for s in self._free_slots if s not in self._retained
+            ]
+            slot = non_retained[-1] if non_retained else self._free_slots[-1]
+            self._free_slots.remove(slot)
         self._retained.pop(slot, None)  # rows get overwritten now
         try:
             req.slot = slot
@@ -475,7 +510,7 @@ class ServingEngine:
         self._emit(req, tok_i)
         return True
 
-    def _decode_step(self):
+    def _decode_step(self, n_steps: int = 1):
         slots = sorted(self._active)
         active_mask = np.zeros((self.num_slots,), bool)
         active_mask[slots] = True
@@ -483,20 +518,41 @@ class ServingEngine:
         for s in slots:
             temps[s] = self._active[s].temperature
         self._rng, rng = jax.random.split(self._rng)
-        # ONE device call: decode all slots AND sample with per-slot
-        # temperature (greedy where temperature == 0)
-        sampled, self.cache, self.cache_lens, self.last_tokens = self._decode(
-            self.params,
-            self.cache,
-            self.last_tokens,
-            self.cache_lens,
-            jnp.asarray(active_mask),
-            jnp.asarray(temps),
-            rng,
-        )
-        sampled_np = np.asarray(sampled)
+        if n_steps == 1:
+            # ONE device call: decode all slots AND sample with per-slot
+            # temperature (greedy where temperature == 0)
+            sampled, self.cache, self.cache_lens, self.last_tokens = (
+                self._decode(
+                    self.params,
+                    self.cache,
+                    self.last_tokens,
+                    self.cache_lens,
+                    jnp.asarray(active_mask),
+                    jnp.asarray(temps),
+                    rng,
+                )
+            )
+            sampled_np = np.asarray(sampled)[:, None]
+        else:
+            sampled, self.cache, self.cache_lens, self.last_tokens = (
+                self._decode_block(
+                    self.params,
+                    self.cache,
+                    self.last_tokens,
+                    self.cache_lens,
+                    jnp.asarray(active_mask),
+                    jnp.asarray(temps),
+                    rng,
+                    n_steps=n_steps,
+                )
+            )
+            sampled_np = np.asarray(sampled)
         for s in slots:
-            self._emit(self._active[s], int(sampled_np[s]))
+            req = self._active[s]
+            for j in range(sampled_np.shape[1]):
+                if req.slot not in self._active:
+                    break  # finished mid-block; later columns are dropped
+                self._emit(req, int(sampled_np[s, j]))
 
     def _emit(self, req: Request, token_id: int):
         finish = None
@@ -596,17 +652,77 @@ def _prefill_chunk_impl(
     return last, cache
 
 
+def _decode_block(
+    params, cache, tokens, cache_lens, active_mask, temps, rng, *, cfg,
+    n_steps: int,
+):
+    """``n_steps`` decode steps for every slot in ONE dispatch (vLLM-style
+    multi-step scheduling — amortizes host dispatch latency on
+    remote-attached devices). Runs the segmented fused scan against the slot
+    cache (read-only; new kv goes to a small tail) and scatters the tail
+    back at per-slot offsets afterwards; inactive slots' tail writes are
+    redirected out of bounds and dropped."""
+    tc = cfg.text_config
+
+    def sample_fn(logits, key):
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+        keys = jax.random.split(key, logits.shape[0])
+        drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+        return jnp.where(temps > 0, drawn, greedy)
+
+    toks, tail = decoder_lib.segmented_decode_scan(
+        params["language_model"],
+        tc,
+        cache,
+        cache_lens,
+        tokens,
+        rng,
+        n_steps=n_steps,
+        sample_fn=sample_fn,
+        return_tail=True,
+    )
+    B = tokens.shape[0]
+    S = cache.max_len
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    steps = jnp.arange(n_steps, dtype=jnp.int32)[None]
+    tpos = cache_lens[:, None] + steps
+    # inactive slots: DISTINCT out-of-bounds destinations (dropped; duplicate
+    # indices under unique_indices are undefined behaviour)
+    oob = S + bidx * n_steps + steps
+    tpos = jnp.where(active_mask[:, None], tpos, oob)
+    k = cache.k.at[:, bidx, tpos].set(
+        tail.k, mode="drop", unique_indices=True
+    )
+    v = cache.v.at[:, bidx, tpos].set(
+        tail.v, mode="drop", unique_indices=True
+    )
+    new_cache = decoder_lib.KVCache(k=k, v=v)
+    new_lens = jnp.where(active_mask, cache_lens + n_steps, cache_lens)
+    # toks: (B, n_steps + 1) where column 0 is the input tokens (already
+    # emitted); columns 1..n_steps are newly sampled
+    new_toks = toks[:, 1:]
+    new_last = jnp.where(active_mask, new_toks[:, -1], tokens)
+    return new_toks, new_cache, new_lens, new_last
+
+
 def _decode_all_slots(
     params, cache, tokens, cache_lens, active_mask, temps, rng, *, cfg,
     decode_kernel: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
     fused in (ONE device call per step). Inactive slots keep cache_len and
-    their last token; their logits are computed-but-ignored garbage
-    (position clamps keep indices in range)."""
+    their last token; their logits are computed-but-ignored garbage.
+
+    Inactive slots' KV writes are redirected OUT OF BOUNDS (scatter drops
+    them): a freed slot's cache_len is 0, so an unmasked write would corrupt
+    position 0 of its RETAINED cache on every step other slots decode —
+    silently breaking conversation-prefix reuse."""
     B = tokens.shape[0]
+    max_len = cache.max_len
     embeds = decoder_lib.embed_lookup(params["language_model"], tokens)[:, None]
     positions = cache_lens[:, None]
+    write_pos = jnp.where(active_mask, cache_lens, max_len)
     logits, cache = decoder_lib.decoder_forward(
         params["language_model"],
         cfg.text_config,
@@ -614,7 +730,7 @@ def _decode_all_slots(
         positions=positions,
         kv_valid_len=cache_lens + 1,
         cache=cache,
-        write_pos=cache_lens,
+        write_pos=write_pos,
         decode_kernel=decode_kernel,
     )
     logits = logits[:, 0]

@@ -455,7 +455,8 @@ def segmented_decode_scan(
     *,
     n_steps: int,
     sample_fn,  # (logits (B, V), key) -> (B,) int32
-) -> jax.Array:
+    return_tail: bool = False,
+):
     """Fused n-step greedy/sampled decode with segmented KV.
 
     A ``lax.scan`` that carries the big KV cache double-buffers it — one full
@@ -565,13 +566,21 @@ def segmented_decode_scan(
         nxt = sample_fn(logits, step_key)
         return (nxt, tail_k, tail_v, key), nxt
 
-    (_, _, _, _), toks = jax.lax.scan(
+    (_, tail_k, tail_v, _), toks = jax.lax.scan(
         step,
         (first_tokens, tail_k0, tail_v0, rng),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
     # (B, n_steps + 1): first_tokens followed by the n_steps sampled tokens
-    return jnp.concatenate([first_tokens[:, None], jnp.transpose(toks)], axis=1)
+    all_toks = jnp.concatenate(
+        [first_tokens[:, None], jnp.transpose(toks)], axis=1
+    )
+    if return_tail:
+        # tail (L, B, n_steps, Hkv, Dh): the kv of each PROCESSED token
+        # (first_tokens at slot 0, then each sampled token) — callers write
+        # it back into their persistent cache at [prompt_lens + t]
+        return all_toks, KVCache(k=tail_k, v=tail_v)
+    return all_toks
 
 
 def fuse_inference_params(params: Params, cfg: DecoderConfig) -> Params:
