@@ -78,10 +78,12 @@ def main():
 
     ttfts, gaps, totals = [], [], []
     lock = threading.Lock()
+    # numpy Generators are not thread-safe: build all batches up front
+    batches = [make_batch(i) for i in range(args.requests)]
 
     def run_one(i):
         t_submit = time.monotonic()
-        req = engine.submit(make_batch(i), max_tokens=args.max_tokens)
+        req = engine.submit(batches[i], max_tokens=args.max_tokens)
         t_first = None
         t_prev = None
         local_gaps = []

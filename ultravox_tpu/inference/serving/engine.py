@@ -240,6 +240,12 @@ class ServingEngine:
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
         self.decode_block_steps = max(1, decode_block_steps)
+        if self.decode_block_steps > 1 and decode_attn_impl == "kernel":
+            logger.warning(
+                "decode_block_steps>1 uses the segmented XLA attention for "
+                "block dispatches; the flash-decoding Pallas kernel only "
+                "runs on single-step dispatches"
+            )
         self._decode_block = jax.jit(
             functools.partial(_decode_block, cfg=cfg),
             static_argnames=("n_steps",),
@@ -339,23 +345,29 @@ class ServingEngine:
             if self._active:
                 try:
                     n_steps = 1
+                    # blocks engage only in pure steady-state decode (no
+                    # prefill work, nothing queued). Measured on the remote-
+                    # tunnel env: engaging them while requests queue delays
+                    # admissions/prefills by K steps per iteration and LOWERS
+                    # aggregate throughput under churn (161 vs 242 tok/s at
+                    # 32 req / 16 slots); in steady-state long decodes they
+                    # win 2.5x (525 vs 212 tok/s at 16 req / 16 slots).
                     if (
                         self.decode_block_steps > 1
                         and not self._prefilling
                         and self._pending.empty()
                     ):
-                        budget = min(
-                            r.max_tokens - r.generated
-                            for r in self._active.values()
-                        )
+                        # cache-capacity bound must hold for the whole block;
+                        # per-request token budgets need not (mid-block
+                        # stop/length finishes drop the leftover columns —
+                        # the same up-to-K-1-wasted-steps trade-off as stop
+                        # tokens). Exactly 1 or the full block: every
+                        # distinct n_steps is its own compiled program.
                         cap = self.max_seq_len - 1 - max(
                             r.prompt_len + r.generated
                             for r in self._active.values()
                         )
-                        # exactly 1 or the full block — every distinct
-                        # n_steps is its own compiled program, and a sweep of
-                        # intermediate sizes is a recompile storm
-                        if min(budget, cap) >= self.decode_block_steps:
+                        if cap >= self.decode_block_steps:
                             n_steps = self.decode_block_steps
                     self._decode_step(n_steps)
                 except Exception:  # noqa: BLE001 — fail active requests, keep serving
@@ -652,6 +664,16 @@ def _prefill_chunk_impl(
     return last, cache
 
 
+def _sample_slots(logits, temps, key):
+    """Per-slot sampling: greedy where temperature == 0, else categorical at
+    the slot's temperature. One device-side computation for all slots."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+    keys = jax.random.split(key, logits.shape[0])
+    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, drawn, greedy)
+
+
 def _decode_block(
     params, cache, tokens, cache_lens, active_mask, temps, rng, *, cfg,
     n_steps: int,
@@ -665,11 +687,7 @@ def _decode_block(
     tc = cfg.text_config
 
     def sample_fn(logits, key):
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
-        keys = jax.random.split(key, logits.shape[0])
-        drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
-        return jnp.where(temps > 0, drawn, greedy)
+        return _sample_slots(logits, temps, key)
 
     toks, tail = decoder_lib.segmented_decode_scan(
         params["language_model"],
@@ -734,11 +752,7 @@ def _decode_all_slots(
         decode_kernel=decode_kernel,
     )
     logits = logits[:, 0]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
-    keys = jax.random.split(rng, B)
-    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
-    sampled = jnp.where(temps > 0, drawn, greedy)
+    sampled = _sample_slots(logits, temps, rng)
     new_lens = jnp.where(active_mask, cache_lens + 1, cache_lens)
     new_last = jnp.where(active_mask, sampled, tokens)
     return sampled, cache, new_lens, new_last

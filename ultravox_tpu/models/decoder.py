@@ -466,8 +466,11 @@ def segmented_decode_scan(
     it is max_new_tokens slots, so its copies are noise. Decode-step cache
     traffic = one read of the prompt cache + tail, the bandwidth minimum.
 
-    Returns the (B, n_steps) sampled tokens (including the first step's
-    token, which is ``first_tokens`` — already sampled from prefill logits).
+    Returns the (B, n_steps + 1) token matrix: column 0 is ``first_tokens``
+    (already sampled from prefill logits) followed by the ``n_steps`` newly
+    sampled tokens; with ``return_tail`` also returns the (L, B, n_steps,
+    Hkv, Dh) tail KV of the PROCESSED tokens (toks column t's kv sits at
+    tail slot t).
     """
     L, B, S, Hkv, Dh = prompt_cache.k.shape
     plus_one = cfg.arch in ("gemma2", "gemma3")
