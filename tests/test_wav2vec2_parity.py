@@ -208,3 +208,74 @@ def test_composite_with_wav2vec2_tower(tmp_path):
         np.asarray(params["audio_tower"]["pos_conv"]["kernel"]),
         atol=1e-5,
     )
+
+
+def test_wav2vec2_mixed_length_batch_collation():
+    """Regression: the collator's whisper 3000-frame cap crashed np.stack on
+    mixed-length raw-sample (wav2vec2) batches."""
+    from tests.helpers import make_tiny_tokenizer
+    from ultravox_tpu.models.processor import (
+        DataCollatorWithAudio,
+        UltravoxProcessor,
+    )
+
+    _, w_cfg, _ = _make("group")
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(
+        tokenizer, audio_arch="wav2vec2", wav2vec2_config=w_cfg
+    )
+    rng = np.random.default_rng(0)
+    f1 = processor(
+        text="a <|audio|> b",
+        audio=(rng.standard_normal(16000) * 0.1).astype(np.float32),
+    )
+    f2 = processor(
+        text="c <|audio|> d",
+        audio=(rng.standard_normal(32000) * 0.1).astype(np.float32),
+    )
+    coll = DataCollatorWithAudio(
+        pad_token_id=tokenizer.pad_token_id,
+        max_audio_len=processor.audio_context_size,
+    )
+    batch = coll([f1, f2])
+    assert batch["audio_values"].shape[0] == 2
+    assert batch["audio_values"].shape[-1] >= 32000
+    np.testing.assert_array_equal(batch["audio_lens"], [16000, 32000])
+
+
+def test_wav2vec2_partial_overlay():
+    """Partial wav2vec2 diff state dicts overlay per-key (previously routed
+    through the whisper key map and silently applied 0 keys)."""
+    import jax
+
+    from ultravox_tpu.models import ultravox as uv
+    from ultravox_tpu.models.config import DecoderConfig, UltravoxConfig
+
+    _, w_cfg, w_params = _make("group")
+    cfg = UltravoxConfig(
+        audio_config=w_cfg,
+        text_config=DecoderConfig(
+            vocab_size=384, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+        ),
+        hidden_size=64,
+    )
+    base = uv.init_params(cfg, jax.random.key(0))
+    base["audio_tower"] = w_params
+    new_kernel = np.random.default_rng(1).standard_normal(
+        w_params["layers"]["q_proj"]["kernel"][1].shape
+    ).astype(np.float32)
+    sd = {
+        "audio_tower.encoder.layers.1.attention.q_proj.weight": new_kernel.T,
+        "audio_tower.encoder.layers.1.attention.q_proj.bias":
+            np.zeros(new_kernel.shape[1], np.float32),
+    }
+    merged = weights_lib.convert_ultravox(sd, cfg, jnp.float32, base=base)
+    np.testing.assert_allclose(
+        np.asarray(merged["audio_tower"]["layers"]["q_proj"]["kernel"][1]),
+        new_kernel, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged["audio_tower"]["layers"]["q_proj"]["kernel"][0]),
+        np.asarray(w_params["layers"]["q_proj"]["kernel"][0]), atol=1e-6,
+    )

@@ -11,8 +11,12 @@ implements the MDS v2 on-disk format directly:
 - ``shard.NNNNN.mds``: ``[uint32 n][uint32 offsets (n+1, absolute)][data]``;
   each sample is ``[uint32 sizes of variable-width columns][column bytes]``.
 
-Which is exactly what ``streaming.MDSWriter`` produces (no compression/
-hashing), so shards written here load with the real package and vice versa.
+Which is what ``streaming.MDSWriter`` produces (no compression/hashing), so
+shards written here load with the real package and vice versa for the
+standard encodings (str, bytes, int, uint32, float32/64, json, pkl, and
+fixed ``ndarray:<dtype>:<shape>``). The self-describing ``ndarray`` encoding
+uses a repo-specific JSON header and is NOT byte-compatible with
+mosaicml-streaming's binary ndarray header — use the fixed form for interop.
 Remote (gs://, s3://) paths use ``streaming.StreamingDataset`` when the
 package is importable and fail with a clear message otherwise; local
 directories always work through the in-repo reader.
@@ -57,10 +61,15 @@ def _encode(encoding: str, value: Any) -> bytes:
         return pickle.dumps(value)
     if encoding.startswith("ndarray:"):
         _, dtype, *shape = encoding.split(":")
+        if not shape:
+            raise ValueError(
+                "ndarray:<dtype> without a shape would silently flatten on "
+                "decode; use ndarray:<dtype>:<d0,d1,...> or the "
+                "self-describing 'ndarray' encoding"
+            )
         arr = np.ascontiguousarray(np.asarray(value, dtype=dtype))
-        if shape:
-            want = tuple(int(s) for s in shape[0].split(","))
-            assert arr.shape == want, (arr.shape, want)
+        want = tuple(int(s) for s in shape[0].split(","))
+        assert arr.shape == want, (arr.shape, want)
         return arr.tobytes()
     if encoding == "ndarray":
         arr = np.ascontiguousarray(np.asarray(value))
@@ -277,6 +286,7 @@ class LocalMDSDataset:
         self.shards = [_Shard(directory, m) for m in index["shards"]]
         self.shuffle = shuffle
         self.shuffle_seed = shuffle_seed
+        self._epoch = 0
         self._cum = np.cumsum([0] + [s.samples for s in self.shards])
 
     def __len__(self) -> int:
@@ -293,7 +303,11 @@ class LocalMDSDataset:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = list(range(len(self)))
         if self.shuffle:
-            random.Random(self.shuffle_seed).shuffle(order)
+            # fresh permutation per epoch (StreamingDataset semantics):
+            # fixed seed + epoch counter, so runs are reproducible but
+            # epochs differ
+            random.Random(self.shuffle_seed * 1_000_003 + self._epoch).shuffle(order)
+            self._epoch += 1
         for i in order:
             yield self[i]
 

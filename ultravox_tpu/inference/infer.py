@@ -74,7 +74,8 @@ class LocalInference(base.VoiceInference):
             quantize=quantize,
         )
         self.collator = DataCollatorWithAudio(
-            pad_token_id=self.tokenizer.pad_token_id
+            pad_token_id=self.tokenizer.pad_token_id,
+            max_audio_len=processor.audio_context_size or 3000,
         )
         if chat_template:
             self.tokenizer.chat_template = chat_template

@@ -233,6 +233,11 @@ def _sse_chunk(rid, created, model, delta_text, finish=None):
 
 def make_handler(api: ServingAPI):
     class Handler(BaseHTTPRequestHandler):
+        # browsers require an HTTP/1.1 response line on the WebSocket
+        # 101 handshake (they reject 'HTTP/1.0 101'); all handlers either
+        # set Content-Length or close the connection, so 1.1 is safe
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             logger.debug("http: " + fmt, *args)
 
@@ -304,6 +309,9 @@ def make_handler(api: ServingAPI):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
+                # no Content-Length under HTTP/1.1 -> delimit by close
+                self.send_header("Connection", "close")
+                self.close_connection = True
                 self.end_headers()
                 try:
                     for line in result:
@@ -391,7 +399,10 @@ def main():
         num_mel_bins=cfg.audio_config.num_mel_bins,
         stack_factor=cfg.stack_factor,
     )
-    collator = DataCollatorWithAudio(pad_token_id=tokenizer.pad_token_id)
+    collator = DataCollatorWithAudio(
+        pad_token_id=tokenizer.pad_token_id,
+        max_audio_len=processor.audio_context_size or 3000,
+    )
     engine = ServingEngine(
         params,
         cfg,

@@ -16,6 +16,10 @@ from typing import Optional, Tuple
 
 GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# frames larger than this close the connection (a hostile 2^63-byte length
+# header would otherwise OOM the server buffering it)
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+
 OP_CONT, OP_TEXT, OP_BIN, OP_CLOSE, OP_PING, OP_PONG = 0, 1, 2, 8, 9, 10
 
 
@@ -52,13 +56,15 @@ class WebSocketConnection:
     # -- receive -----------------------------------------------------------
 
     def _read_exact(self, n: int) -> bytes:
-        data = b""
-        while len(data) < n:
-            chunk = self.rfile.read(n - len(data))
+        parts = []
+        got = 0
+        while got < n:
+            chunk = self.rfile.read(n - got)
             if not chunk:
                 raise ConnectionError("websocket peer closed")
-            data += chunk
-        return data
+            parts.append(chunk)
+            got += len(chunk)
+        return b"".join(parts)
 
     def recv(self) -> Optional[Tuple[int, bytes]]:
         """Next complete message as (opcode, payload); None once closed.
@@ -77,6 +83,12 @@ class WebSocketConnection:
                 (length,) = struct.unpack("!H", self._read_exact(2))
             elif length == 127:
                 (length,) = struct.unpack("!Q", self._read_exact(8))
+            if length > MAX_FRAME_BYTES:
+                self.close()
+                raise ConnectionError(
+                    f"websocket frame of {length} bytes exceeds the "
+                    f"{MAX_FRAME_BYTES}-byte limit"
+                )
             mask = self._read_exact(4) if masked else None
             payload = self._read_exact(length)
             if mask:

@@ -286,6 +286,11 @@ class DataCollatorWithAudio:
     pad_multiple: int = 64
     mel_pad_multiple: int = 400  # 4 s of mel frames
     label_pad_value: int = -100
+    # cap on the padded audio time axis: the whisper encoder window is 3000
+    # mel frames; wav2vec2 raw-sample batches need the processor's
+    # audio_context_size (in samples) instead — a 3000 cap there yields
+    # ragged chunk lengths and np.stack crashes
+    max_audio_len: int = 3000
 
     def _collate_text(self, seqs: List[np.ndarray], pad_value) -> np.ndarray:
         max_len = max(s.shape[-1] for s in seqs)
@@ -336,7 +341,7 @@ class DataCollatorWithAudio:
         if audio_values:
             max_mel = max(v.shape[-1] for v in audio_values)
             max_mel = -(-max_mel // self.mel_pad_multiple) * self.mel_pad_multiple
-            max_mel = min(max_mel, 3000)
+            max_mel = min(max_mel, self.max_audio_len)
             batch["audio_values"] = np.stack(
                 [_pad_to(v, max(max_mel, v.shape[-1])) for v in audio_values]
             )

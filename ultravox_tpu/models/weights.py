@@ -64,15 +64,13 @@ def _strip_prefix(sd: FlatDict, prefix: str) -> FlatDict:
 
 
 class _Reader:
-    """Flat-dict reader that tracks which keys were consumed."""
+    """Flat-dict reader with dtype casting and layer stacking."""
 
     def __init__(self, sd: FlatDict, dtype):
         self.sd = sd
         self.dtype = dtype
-        self.used: set = set()
 
     def __call__(self, name: str, transpose: bool = False):
-        self.used.add(name)
         arr = self.sd[name]
         if transpose:
             arr = arr.T
@@ -84,9 +82,7 @@ class _Reader:
     def stack(self, pattern: str, num_layers: int, transpose: bool = False):
         arrs = []
         for i in range(num_layers):
-            name = pattern.format(i=i)
-            self.used.add(name)
-            a = self.sd[name]
+            a = self.sd[pattern.format(i=i)]
             arrs.append(a.T if transpose else a)
         return jnp.asarray(np.stack(arrs), dtype=self.dtype)
 
@@ -488,27 +484,86 @@ def _overlay_decoder(base: Params, sd: FlatDict, cfg: DecoderConfig, dtype) -> P
     return _overlay_tower(base, sd, _decoder_key_to_path, "decoder")
 
 
-def _overlay_encoder(
-    base: Params, sd: FlatDict, cfg: WhisperEncoderConfig, dtype
-) -> Params:
+_W2V_LIN = {
+    "attention.q_proj": "q_proj", "attention.k_proj": "k_proj",
+    "attention.v_proj": "v_proj", "attention.out_proj": "out_proj",
+    "feed_forward.intermediate_dense": "fc1",
+    "feed_forward.output_dense": "fc2",
+}
+_W2V_NORM = {"layer_norm": "attn_ln", "final_layer_norm": "final_ln"}
+
+
+def _wav2vec2_key_to_path(name: str):
+    """HF wav2vec2 key -> overlay path (weight-normalised pos-conv pieces and
+    conv-stack leaves are left to the full converter — they're never in
+    trainable diffs)."""
+    m = re.match(r"^feature_projection\.layer_norm\.(weight|bias)$", name)
+    if m:
+        return ("feature_projection", "ln",
+                "scale" if m.group(1) == "weight" else "bias"), None, None
+    m = re.match(r"^feature_projection\.projection\.(weight|bias)$", name)
+    if m:
+        leaf = "kernel" if m.group(1) == "weight" else "bias"
+        return (("feature_projection", "projection", leaf), None,
+                "T" if leaf == "kernel" else None)
+    m = re.match(r"^encoder\.layer_norm\.(weight|bias)$", name)
+    if m:
+        return ("encoder_ln",
+                "scale" if m.group(1) == "weight" else "bias"), None, None
+    m = re.match(r"^encoder\.layers\.(\d+)\.(.+)\.(weight|bias)$", name)
+    if not m:
+        return None
+    idx, stem, leaf = int(m.group(1)), m.group(2), m.group(3)
+    if stem in _W2V_NORM:
+        return ("layers", _W2V_NORM[stem],
+                "scale" if leaf == "weight" else "bias"), idx, None
+    if stem in _W2V_LIN:
+        sub = "kernel" if leaf == "weight" else "bias"
+        return (("layers", _W2V_LIN[stem], sub), idx,
+                "T" if leaf == "weight" else None)
+    return None
+
+
+def _overlay_encoder(base: Params, sd: FlatDict, cfg, dtype) -> Params:
+    if type(cfg).__name__ == "Wav2Vec2EncoderConfig":
+        return _overlay_tower(base, sd, _wav2vec2_key_to_path, "wav2vec2")
     return _overlay_tower(base, sd, _encoder_key_to_path, "encoder")
 
 
 def _covers_encoder(sd: FlatDict, cfg) -> bool:
+    """True only when the state dict holds EVERYTHING the full converter
+    reads — layer stacks AND the non-layer leaves (a diff checkpoint that
+    unfreezes every layer but not the conv stack must take the per-key
+    overlay path, not crash the full convert)."""
     if type(cfg).__name__ == "Wav2Vec2EncoderConfig":
-        return all(
-            f"encoder.layers.{i}.attention.q_proj.weight" in sd
+        return (
+            "feature_extractor.conv_layers.0.conv.weight" in sd
+            and "feature_projection.projection.weight" in sd
+            and "encoder.layer_norm.weight" in sd
+            and all(
+                f"encoder.layers.{i}.attention.q_proj.weight" in sd
+                for i in range(cfg.num_layers)
+            )
+        )
+    return (
+        "conv1.weight" in sd
+        and "embed_positions.weight" in sd
+        and "layer_norm.weight" in sd
+        and all(
+            f"layers.{i}.self_attn.q_proj.weight" in sd
             for i in range(cfg.num_layers)
         )
-    return all(
-        f"layers.{i}.self_attn.q_proj.weight" in sd for i in range(cfg.num_layers)
     )
 
 
 def _covers_decoder(sd: FlatDict, cfg: DecoderConfig) -> bool:
-    return all(
-        f"model.layers.{i}.self_attn.q_proj.weight" in sd
-        for i in range(cfg.num_layers)
+    return (
+        "model.embed_tokens.weight" in sd
+        and "model.norm.weight" in sd
+        and all(
+            f"model.layers.{i}.self_attn.q_proj.weight" in sd
+            for i in range(cfg.num_layers)
+        )
     )
 
 

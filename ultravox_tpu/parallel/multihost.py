@@ -141,8 +141,12 @@ def make_global_batch(
             tlen = _pad_dim(batch["audio_token_len"], 0, int(chunks_max))
             start = _pad_dim(batch["audio_token_start_idx"], 0, int(chunks_max))
             bidx = batch["audio_chunk_batch_idx"]
-            # local row -> global row (process-contiguous block placement)
-            bidx = bidx + jax.process_index() * local_b
+            # local row -> global row: derive this process's row block from
+            # the actual sharding (device meshes built by e.g.
+            # mesh_utils.create_device_mesh may NOT be process-major)
+            bidx = bidx + _process_row_offset(
+                batch_sharding(mesh), local_b * n_proc, local_b
+            )
             bidx = _pad_dim(bidx, 0, int(chunks_max))
         else:
             vals = np.zeros(
@@ -163,6 +167,32 @@ def make_global_batch(
         k: jax.make_array_from_process_local_data(row_sharding, v)
         for k, v in out.items()
     }
+
+
+def _process_row_offset(
+    sharding: NamedSharding, global_rows: int, local_rows: int
+) -> int:
+    """First global batch row owned by this process, from the sharding's
+    device->index map; raises if this process's rows aren't one contiguous
+    block (per-host feeding requires it)."""
+    imap = sharding.devices_indices_map((global_rows, 1))
+    rows = set()
+    for dev, idx in imap.items():
+        if dev.process_index != jax.process_index():
+            continue
+        sl = idx[0]
+        rows.update(range(sl.start or 0, sl.stop if sl.stop else global_rows))
+    if not rows:
+        raise ValueError("this process owns no batch rows on the mesh")
+    lo, hi = min(rows), max(rows)
+    if hi - lo + 1 != len(rows) or len(rows) != local_rows:
+        raise ValueError(
+            f"process {jax.process_index()} owns non-contiguous or "
+            f"unexpected batch rows {sorted(rows)[:8]}... (expected "
+            f"{local_rows} contiguous); rebuild the mesh process-major "
+            "(parallel.make_mesh) for per-host sharded feeding"
+        )
+    return lo
 
 
 def replicate_to_mesh(tree: Any, mesh: jax.sharding.Mesh) -> Any:

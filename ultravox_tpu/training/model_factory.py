@@ -178,6 +178,7 @@ def create_model_pack(config: TrainConfig) -> ModelPack:
         include_alt_fields=config.loss_config.requires_alt_fields,
         pad_multiple=config.text_pad_multiple,
         mel_pad_multiple=config.mel_pad_multiple,
+        max_audio_len=processor.audio_context_size or 3000,
     )
     return ModelPack(
         config=uv_cfg,

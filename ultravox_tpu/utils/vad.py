@@ -66,7 +66,11 @@ class ReplyOnPause:
         return True
 
     def process(self, chunk: np.ndarray) -> Optional[np.ndarray]:
-        """Returns a finished utterance when a pause ends one, else None."""
+        """Returns a finished utterance when a pause ends one, else None.
+
+        Frames of the chunk AFTER the completed utterance are kept in the
+        residual buffer (they may contain the onset of the next utterance)
+        and are consumed by the next ``process`` call."""
         buf = np.concatenate([self._residual, np.asarray(chunk, np.float32)])
         n_frames = len(buf) // self._frame_len
         self._residual = buf[n_frames * self._frame_len:]
@@ -74,6 +78,10 @@ class ReplyOnPause:
             frame = buf[i * self._frame_len: (i + 1) * self._frame_len]
             out = self._step(frame)
             if out is not None:
+                self._residual = np.concatenate(
+                    [buf[(i + 1) * self._frame_len: n_frames * self._frame_len],
+                     self._residual]
+                )
                 return out
         return None
 
