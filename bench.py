@@ -57,7 +57,10 @@ def main():
 
     # warmup / compile (scalar fetch forces execution)
     float(encode_sum(params, audio, lens))
-    # host<->device round-trip latency, to subtract from the measurement
+    # host<->device round-trip latency, to subtract from the measurement —
+    # warm the sum's own jit cache FIRST or the "roundtrip" silently includes
+    # a ~0.3 s XLA compile and inflates the headline by ~20%
+    float(jnp.sum(audio))
     t0 = time.perf_counter()
     float(jnp.sum(audio))
     roundtrip = time.perf_counter() - t0
@@ -74,6 +77,17 @@ def main():
     rtfx = audio_seconds / dt
     baseline_rtfx = 30.0  # north-star: >30x real time per chip
 
+    # int8 (w8a8) encoder variant — the encoder is frozen in every reference
+    # recipe, so weight-only quantization is a pure serving win
+    params_q = whisper_encoder.quantize_encoder_int8(params)
+    float(encode_sum(params_q, audio, lens))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        result = encode_sum(params_q, audio, lens)
+    float(result)
+    dt_q = max(time.perf_counter() - t0 - roundtrip, 1e-6)
+    rtfx_q = audio_seconds / dt_q
+
     ttft_ms, decode_tps, decode_tps_2k, decode_tps_q = _flagship_metrics()
     m8 = _8b_metrics()
     m8.update(_8b_int8_measured_subprocess())
@@ -87,6 +101,7 @@ def main():
                 "encoder": "whisper-large-v3-turbo-class (1280d x 32L, bf16)",
                 "batch_30s_chunks": BATCH,
                 "wall_s_per_iter": round(dt / iters, 4),
+                "audio_encoder_rtfx_per_chip_int8": round(rtfx_q, 2),
                 "ttft_ms_p50_10s_audio_1b": ttft_ms,
                 "decode_tok_s_batch8_1b": decode_tps,
                 "decode_tok_s_batch8_1b_2k_ctx": decode_tps_2k,
@@ -141,6 +156,7 @@ def _flagship_metrics():
     prompt2k = np.full((B, 1980), 7, np.int32)
     batch2k = {"input_ids": prompt2k, "attention_mask": np.ones_like(prompt2k)}
     engine2k.generate_greedy_fused(batch2k, max_new_tokens=64)  # compile
+    engine2k.generate(batch2k, max_new_tokens=1)  # compile per-step path
     t0 = time.perf_counter()
     r = engine2k.generate_greedy_fused(batch2k, max_new_tokens=64)
     t_total = time.perf_counter() - t0

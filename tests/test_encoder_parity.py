@@ -127,3 +127,74 @@ def test_latency_mask_is_block_causal(tiny_whisper):
         np.asarray(out_a)[:, :block], np.asarray(out_b)[:, :block], atol=1e-5
     )
     assert np.abs(np.asarray(out_a)[:, -block:] - np.asarray(out_b)[:, -block:]).max() > 1e-3
+
+
+def test_int8_encoder_quantization(tiny_whisper):
+    """Weight-only int8 on the encoder projections (w8a8 via proj_apply):
+    per-channel dequant error bounded by scale/2, and full encoder outputs
+    stay highly correlated with the fp32 path."""
+    model, cfg, params = tiny_whisper
+    qparams = whisper_encoder.quantize_encoder_int8(params)
+
+    w = np.asarray(params["layers"]["fc1"]["kernel"], np.float32)
+    wq = np.asarray(qparams["layers"]["fc1"]["kernel_q"], np.int8)
+    s = np.asarray(qparams["layers"]["fc1"]["scale"], np.float32)
+    deq = wq.astype(np.float32) * s
+    assert np.abs(deq - w).max() <= s.max() * 0.51 + np.abs(w).max() * 0.005
+    # biases / norms / convs untouched
+    assert "bias" in qparams["layers"]["fc1"]
+    assert "kernel" in qparams["conv1"]
+    assert "scale" in qparams["layers"]["attn_ln"]
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 80, 256)).astype(np.float32)
+    ref = np.asarray(
+        whisper_encoder.encoder_forward(params, cfg, jnp.asarray(mel))
+    )
+    ours = np.asarray(
+        whisper_encoder.encoder_forward(qparams, cfg, jnp.asarray(mel))
+    )
+    a, b = ref.ravel(), ours.ravel()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.995, cos
+
+
+def test_int8_engine_quantizes_whisper_tower():
+    """GenerationEngine(quantize="int8") quantizes the whisper audio tower
+    alongside the decoder; the composite forward still runs."""
+    import jax
+
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.models import DecoderConfig, UltravoxConfig
+    from ultravox_tpu.models import ultravox as uv_model
+
+    cfg = UltravoxConfig(
+        text_config=DecoderConfig(
+            arch="llama", vocab_size=128, hidden_size=32,
+            intermediate_size=64, num_layers=2, num_heads=2,
+            num_kv_heads=2, head_dim=16,
+        ),
+        audio_config=WhisperEncoderConfig(
+            num_mel_bins=80, d_model=32, num_layers=2, num_heads=2,
+            ffn_dim=64, max_source_positions=128,
+        ),
+        stack_factor=8,
+    )
+    params = uv_model.init_params(cfg, jax.random.key(0), jnp.float32)
+    eng = GenerationEngine(params, cfg, max_cache_len=128, quantize="int8")
+    assert "kernel_q" in eng.params["audio_tower"]["layers"]["fc1"]
+
+    rng = np.random.default_rng(0)
+    prompt = np.full((1, 16), 7, np.int32)
+    n_mel = 64
+    batch = {
+        "input_ids": prompt,
+        "attention_mask": np.ones_like(prompt),
+        "audio_values": rng.standard_normal((1, 80, n_mel)).astype(np.float32),
+        "audio_lens": np.asarray([n_mel], np.int32),
+        "audio_token_len": np.asarray([4], np.int32),
+        "audio_token_start_idx": np.asarray([2], np.int32),
+        "audio_chunk_batch_idx": np.asarray([0], np.int32),
+    }
+    out = eng.generate(batch, max_new_tokens=4)
+    assert len(out.token_ids[0]) == 4

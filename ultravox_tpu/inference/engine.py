@@ -85,6 +85,15 @@ class GenerationEngine:
             self.params["language_model"] = decoder_lib.quantize_decoder_int8(
                 self.params["language_model"]
             )
+            # whisper towers share proj_apply, so the same int8 layout works;
+            # wav2vec2 towers keep bf16 (conv-heavy, different tree shape)
+            tower = self.params.get("audio_tower")
+            if tower is not None and "conv1" in tower:
+                from ultravox_tpu.models.whisper_encoder import (
+                    quantize_encoder_int8,
+                )
+
+                self.params["audio_tower"] = quantize_encoder_int8(tower)
         elif quantize:
             raise ValueError(f"unsupported quantize={quantize!r}")
         self.cfg = cfg

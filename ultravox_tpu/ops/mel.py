@@ -134,6 +134,27 @@ def _dft_matrices(num_mel_filters: int):
     return w_re, w_im, fb
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_block_matrices(num_mel_filters: int):
+    """The windowed-DFT matrices of ``_dft_matrices`` split into
+    HOP_LENGTH-row blocks, zero-padded to a whole number of blocks.
+
+    STFT frame t covers samples [t*HOP, t*HOP + N_FFT): with the operands in
+    hop-sized blocks, frame t is spanned by blocks t .. t+n_blocks-1, so
+    ``rfft_re = Σ_j blocks[:, t+j] @ w_re_blk[j]`` — three shifted matmuls
+    instead of materialising the (B, T, N_FFT) frame tensor through a gather
+    (which dominates the frontend cost on TPU: ~8 ms of the ~9 ms batch-8
+    30 s mel at 38 MB of gather traffic)."""
+    w_re, w_im, fb = _dft_matrices(num_mel_filters)
+    n_blocks = -(-N_FFT // HOP_LENGTH)  # ceil: 400/160 -> 3
+    pad = n_blocks * HOP_LENGTH - N_FFT
+    w_re = np.pad(w_re, ((0, pad), (0, 0)))
+    w_im = np.pad(w_im, ((0, pad), (0, 0)))
+    re_blocks = w_re.reshape(n_blocks, HOP_LENGTH, -1)
+    im_blocks = w_im.reshape(n_blocks, HOP_LENGTH, -1)
+    return re_blocks, im_blocks, fb
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_mel_filters", "num_frames", "use_fft")
 )
@@ -141,18 +162,21 @@ def log_mel_spectrogram(
     waveforms: jax.Array,  # (B, n_samples) float32
     num_mel_filters: int = N_MELS,
     num_frames: int | None = None,
-    use_fft: bool = True,
+    use_fft: bool = False,
 ) -> jax.Array:
     """Batched on-device log-mel features, shape (B, n_mels, num_frames).
 
     num_frames defaults to n_samples // HOP_LENGTH.
 
-    ``use_fft=True`` (default) computes the STFT with ``jnp.fft.rfft`` — fp32
-    accurate to ~1e-6 vs the fp64 host path. ``use_fft=False`` expresses the
-    DFT as two matmuls against precomputed windowed-DFT matrices (pure MXU
-    work) — faster on TPU but the naive fp32 dot suffers cancellation on
-    low-energy bins (observed ~0.4 max abs error in log-mel space), so it is
-    opt-in for throughput experiments only.
+    ``use_fft=True`` computes the STFT with ``jnp.fft.rfft`` — fp32 accurate
+    to ~1e-6 vs the fp64 host path, but XLA's TPU FFT is slow (~10 ms for
+    batch 8 x 30 s). ``use_fft=False`` (default) expresses the DFT as two
+    matmuls against precomputed windowed-DFT matrices — pure MXU work, ~10x
+    faster. The dots are pinned to ``Precision.HIGHEST`` (6-pass bf16
+    decomposition on TPU ≈ fp32 accumulation): at default (single-pass bf16)
+    precision the low-energy bins suffer cancellation (observed ~0.4 max abs
+    error in log-mel space); at HIGHEST both paths agree with the fp64 host
+    reference to ~3e-5.
     """
     B, n_samples = waveforms.shape
     if num_frames is None:
@@ -160,23 +184,38 @@ def log_mel_spectrogram(
 
     half = N_FFT // 2
     padded = jnp.pad(waveforms, ((0, 0), (half, half)), mode="reflect")
-    idx = (
-        jnp.arange(num_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
-    )
-    frames = padded[:, idx]  # (B, num_frames, N_FFT)
 
     if use_fft:
+        idx = (
+            jnp.arange(num_frames)[:, None] * HOP_LENGTH
+            + jnp.arange(N_FFT)[None, :]
+        )
+        frames = padded[:, idx]  # (B, num_frames, N_FFT)
         window = jnp.asarray(hann_window().astype(np.float32))
         stft = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
         power = jnp.real(stft) ** 2 + jnp.imag(stft) ** 2
         fb = jnp.asarray(mel_filter_bank(num_mel_filters=num_mel_filters))
     else:
-        w_re, w_im, fb = (jnp.asarray(m) for m in _dft_matrices(num_mel_filters))
-        re = jnp.einsum("btn,nk->btk", frames, w_re, optimize=True)
-        im = jnp.einsum("btn,nk->btk", frames, w_im, optimize=True)
+        re_blk, im_blk, fb = (
+            jnp.asarray(m) for m in _dft_block_matrices(num_mel_filters)
+        )
+        n_blocks = re_blk.shape[0]
+        # pad so every frame's last block exists, reshape into hop blocks
+        total = (num_frames + n_blocks - 1) * HOP_LENGTH
+        padded = jnp.pad(padded, ((0, 0), (0, max(0, total - padded.shape[1]))))
+        blocks = padded[:, :total].reshape(B, -1, HOP_LENGTH)
+        hi = jax.lax.Precision.HIGHEST
+        re = jnp.zeros((B, num_frames, re_blk.shape[-1]), jnp.float32)
+        im = jnp.zeros((B, num_frames, re_blk.shape[-1]), jnp.float32)
+        for j in range(n_blocks):
+            xj = jax.lax.dynamic_slice_in_dim(blocks, j, num_frames, axis=1)
+            re = re + jnp.einsum("btn,nk->btk", xj, re_blk[j], precision=hi)
+            im = im + jnp.einsum("btn,nk->btk", xj, im_blk[j], precision=hi)
         power = re * re + im * im
 
-    mel = jnp.einsum("btk,km->btm", power, fb, optimize=True)
+    mel = jnp.einsum(
+        "btk,km->btm", power, fb, precision=jax.lax.Precision.HIGHEST
+    )
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))  # (B, T, M)
     max_val = jnp.max(log_spec, axis=(1, 2), keepdims=True)
     log_spec = jnp.maximum(log_spec, max_val - 8.0)

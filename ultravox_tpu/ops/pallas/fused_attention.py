@@ -55,33 +55,48 @@ def _attn_kernel(
     iq = pl.program_id(2)
 
     # keep the QK^T operands in their native (bf16) dtype — the MXU runs
-    # bf16 x bf16 -> fp32 at full rate; upcasting first quarters throughput
+    # bf16 x bf16 -> fp32 at full rate; upcasting first quarters throughput.
+    # log2(e) is folded into the scale so the softmax can use exp2 (cheaper
+    # on the VPU than exp).
     q = q_ref[0, 0]
     k = k_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (bq, S)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (
+        scale * 1.4426950408889634
+    )  # (bq, S)
 
-    rows = (
-        offsets_ref[b]
-        + iq * block_q
-        + jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 0)
-    )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 1)
-    mask = jnp.ones((block_q, seq_len), dtype=jnp.bool_)
-    if use_lengths:
-        mask &= cols < lengths_ref[b]
-    if causal:
-        mask &= cols <= rows
-    if latency_block > 0:
-        mask &= (cols // latency_block) <= (rows // latency_block)
-    s = jnp.where(mask, s, NEG_INF)
+    if causal or latency_block > 0:
+        rows = (
+            offsets_ref[b]
+            + iq * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 0)
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 1)
+        mask = jnp.ones((block_q, seq_len), dtype=jnp.bool_)
+        if use_lengths:
+            mask &= cols < lengths_ref[b]
+        if causal:
+            mask &= cols <= rows
+        if latency_block > 0:
+            mask &= (cols // latency_block) <= (rows // latency_block)
+        s = jnp.where(mask, s, NEG_INF)
+    elif use_lengths:
+        # column-only mask (encoder length masking): build a (1, S) additive
+        # bias and broadcast-add it — one pass over the logits instead of
+        # five (two iotas, compare, and, where), which is a measurable slice
+        # of the encoder's VPU time at S=1500
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, seq_len), 1)
+        bias = jnp.where(col < lengths_ref[b], 0.0, NEG_INF)[:1]
+        s = s + bias
 
     m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    e = jnp.exp2(s - m)
     z = jnp.sum(e, axis=-1, keepdims=True)
-    p = (e / z).astype(v_ref.dtype)
-    o_ref[0, 0] = jnp.dot(
-        p, v_ref[0, 0], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # deferred normalisation: divide the (bq, D) output, not the (bq, S)
+    # probabilities — saves a full pass over the logits block
+    o = jnp.dot(
+        e.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (o / z).astype(o_ref.dtype)
 
 
 def fused_attention(
