@@ -133,3 +133,30 @@ def test_eval_step_weighted_loss(setup):
     loss_sum, count = eval_step(state, batch)
     assert float(count) == 8  # 4 supervised tokens × 2 samples
     assert np.isfinite(float(loss_sum))
+
+
+def test_full_finetune_bf16_all_params_differentiable(setup):
+    """Unfreezing EVERYTHING (encoder convs included) at bf16 must trace and
+    produce finite, nonzero conv-kernel grads on both attention impls.
+
+    Regression: lax.conv_general_dilated's transpose rule rejects the mixed
+    bf16-activation/fp32-cotangent dtypes that preferred_element_type
+    produces, which made any full-encoder finetune at bf16 untraceable —
+    whisper_encoder._conv1d now uses a shifted-slice matmul instead."""
+    cfg, params, batch = setup
+    params16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        params,
+    )
+    lc = LossConfig()
+    for impl in ("xla", "flash"):
+        val, grads = jax.value_and_grad(
+            lambda p: uv.ultravox_loss(
+                p, cfg, batch, lc, remat=True, attn_impl=impl
+            )
+        )(params16)
+        assert np.isfinite(float(val))
+        g_conv = grads["audio_tower"]["conv1"]["kernel"]
+        assert float(jnp.sum(jnp.abs(g_conv.astype(jnp.float32)))) > 0

@@ -109,19 +109,39 @@ def quantize_encoder_int8(params: Params) -> Params:
 
 def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
     """x: (B, C_in, T); kernel: (K, C_in, C_out); SAME-1 padding like torch
-    Conv1d(padding=1). XLA's TPU conv lowering measures within ~1 ms of a
-    hand-rolled shifted-slice matmul formulation at the 30 s batch-8 window,
-    so the native conv stays."""
-    out = jax.lax.conv_general_dilated(
-        # int8-quantized trees keep convs in the original param dtype, which
-        # can differ from the (scale-dtype) activations entering here
-        x.astype(kernel.dtype),
-        kernel,
-        window_strides=(stride,),
-        padding=[(1, 1)],
-        dimension_numbers=("NCH", "HIO", "NCH"),
-        preferred_element_type=jnp.float32,
-    )
+    Conv1d(padding=1), fp32 accumulation.
+
+    Expressed as a shifted-slice matmul rather than lax.conv_general_dilated:
+    the native conv measures within ~1 ms of this form at the 30 s batch-8
+    window, but its transpose (gradient) rule rejects mixed dtypes when
+    ``preferred_element_type`` upcasts (bf16 activations x fp32 cotangent),
+    which made any full-encoder finetune at bf16 untraceable. dot_general's
+    transpose handles the upcast, so this form is both MXU-shaped and
+    differentiable."""
+    K, C_in, C_out = kernel.shape
+    # int8-quantized trees keep convs in the original param dtype, which
+    # can differ from the (scale-dtype) activations entering here
+    xp = jnp.pad(x.astype(kernel.dtype), ((0, 0), (0, 0), (1, 1)))
+    T_out = (xp.shape[-1] - K) // stride + 1
+    patches = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(
+                xp, k, k + (T_out - 1) * stride + 1, stride, axis=2
+            )
+            for k in range(K)
+        ],
+        axis=1,
+    )  # (B, K*C_in, T_out), k-major to match kernel.reshape below
+    w = kernel.reshape(K * C_in, C_out)
+    if jax.default_backend() == "cpu" and patches.dtype != jnp.float32:
+        # the CPU gemm thunk rejects BF16xBF16=F32; the MXU path needs it
+        out = jnp.einsum(
+            "bct,cd->bdt", patches.astype(jnp.float32), w.astype(jnp.float32)
+        )
+    else:
+        out = jnp.einsum(
+            "bct,cd->bdt", patches, w, preferred_element_type=jnp.float32
+        )
     return (out + bias[None, :, None]).astype(x.dtype)
 
 
@@ -172,9 +192,10 @@ def encoder_forward(
     convs. Padding positions produce garbage and must be excluded downstream
     via ``mel_lens``-derived token counts (the projector/splice does this).
 
-    ``attn_impl``: "xla" (einsum, differentiable — required when encoder
-    weights train) or "fused" (Pallas VMEM-resident kernel — the inference /
-    frozen-encoder fast path, ~5× faster at the 30 s window on v5e).
+    ``attn_impl``: "xla" (einsum — the safe differentiable default),
+    "fused" (forward-only Pallas kernel — the inference / frozen-encoder
+    fast path), or "flash" (Pallas kernel with a custom-VJP backward — the
+    training fast path when the encoder itself trains, e.g. audio LoRA).
     """
     if mel.shape[-1] > cfg.max_context_length:
         raise ValueError(
@@ -195,7 +216,18 @@ def encoder_forward(
 
     bias = None
     attn_fn = None
-    if attn_impl == "fused":
+    if attn_impl == "flash":
+        from ultravox_tpu.ops.pallas.flash_attention import flash_attention
+
+        feat_lens = (
+            feat_extract_output_length(mel_lens) if mel_lens is not None else None
+        )
+        attn_fn = lambda q, k, v: flash_attention(
+            q, k, v, feat_lens,
+            scale=cfg.head_dim**-0.5,
+            latency_block=latency_block_size or 0,
+        )
+    elif attn_impl == "fused":
         from ultravox_tpu.ops.pallas.fused_attention import fused_attention
 
         feat_lens = (
