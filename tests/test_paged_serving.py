@@ -1,0 +1,199 @@
+"""Paged-cache serving mode: correctness vs the offline engine, pool
+backpressure, page accounting, and conversation-prefix reuse by page
+adoption (no row copies)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_tokenizer
+from ultravox_tpu.inference.engine import GenerationEngine
+from ultravox_tpu.inference.serving.engine import ServingEngine
+from ultravox_tpu.models import DecoderConfig, UltravoxConfig, WhisperEncoderConfig
+from ultravox_tpu.models import ultravox as uv
+from ultravox_tpu.models.processor import DataCollatorWithAudio, UltravoxProcessor
+
+V = 384
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=32, num_layers=1, num_heads=2, ffn_dim=64
+        ),
+        text_config=DecoderConfig(
+            vocab_size=V, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+        ),
+        hidden_size=64,
+    )
+    params = uv.init_params(cfg, jax.random.key(0))
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(tokenizer)
+    collator = DataCollatorWithAudio(
+        pad_token_id=tokenizer.pad_token_id, pad_multiple=1,
+        mel_pad_multiple=400,
+    )
+    return cfg, params, processor, collator
+
+
+def _mini_batch(processor, collator, text, audio=None):
+    f = processor(text=text, audio=audio)
+    return collator([f])
+
+
+def _drain(engine, req):
+    ids = []
+    finish = None
+    for ev in engine.stream(req):
+        if ev.token_id is None:
+            finish = ev.finish_reason
+            break
+        ids.append(ev.token_id)
+    return ids, finish
+
+
+def _check_page_accounting(engine):
+    owned = sum(len(p) for p in engine._slot_pages)
+    assert owned + len(engine._free_pages) == engine.num_pages
+    assert len(set(engine._free_pages)) == len(engine._free_pages)
+    all_owned = [p for pages in engine._slot_pages for p in pages]
+    assert len(set(all_owned)) == len(all_owned)  # exclusive ownership
+    assert not (set(all_owned) & set(engine._free_pages))
+
+
+def test_paged_serving_matches_offline_greedy(setup):
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(0)
+    texts = [
+        "hello world how are you",
+        "transcribe <|audio|> please",
+        "the quick brown fox",
+    ]
+    audios = [None, (rng.standard_normal(8000) * 0.1).astype(np.float32), None]
+
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = [
+        offline.generate(
+            _mini_batch(processor, collator, t, a), max_new_tokens=8
+        ).token_ids[0]
+        for t, a in zip(texts, audios)
+    ]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=20,
+    )
+    # pool is deliberately SMALLER than slot-equivalent (4*8=32 pages):
+    # requests contend for pages and the allocator must still serve all
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(
+                _mini_batch(processor, collator, t, a), max_tokens=8
+            )
+            for t, a in zip(texts, audios)
+        ]
+        results = [_drain(serving, r) for r in reqs]
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+
+
+def test_paged_pool_backpressure_serializes(setup):
+    """A pool holding barely one request still completes everything (later
+    requests wait for pages, retained conversations are evicted)."""
+    cfg, params, processor, collator = setup
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=2,
+    )
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(
+                _mini_batch(processor, collator, f"count to {i} now"),
+                max_tokens=6,
+            )
+            for i in range(3)
+        ]
+        results = [_drain(serving, r) for r in reqs]
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+    for ids, finish in results:
+        assert finish == "length"
+        assert len(ids) == 6
+
+
+def test_paged_request_larger_than_pool_fails_cleanly(setup):
+    cfg, params, processor, collator = setup
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=1,
+    )
+    serving.start()
+    try:
+        req = serving.submit(
+            _mini_batch(processor, collator, "a much longer prompt please"),
+            max_tokens=32,
+        )
+        ids, finish = _drain(serving, req)
+    finally:
+        serving.stop()
+    assert finish == "pool_exhausted"
+    assert ids == []
+
+
+def test_paged_conversation_reuse_adopts_pages(setup):
+    """Turn 2 reuses turn 1's pages in place (reused_prefix > 0) and matches
+    a fresh engine's output exactly."""
+    cfg, params, processor, collator = setup
+
+    def turn_batch(messages):
+        return _mini_batch(processor, collator, messages)
+
+    t1 = "system prompt here user says hello"
+    t2 = t1 + " assistant replies and user asks more"
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16,
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(turn_batch(t1), max_tokens=4)
+        ids1, _ = _drain(serving, r1)
+        r2 = serving.submit(turn_batch(t2), max_tokens=6)
+        ids2, _ = _drain(serving, r2)
+        reused = serving.reused_prefix_tokens
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+    assert reused > 0
+
+    fresh = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16,
+    )
+    fresh.start()
+    try:
+        f2 = fresh.submit(turn_batch(t2), max_tokens=6)
+        fids2, _ = _drain(fresh, f2)
+    finally:
+        fresh.stop()
+    assert ids2 == fids2

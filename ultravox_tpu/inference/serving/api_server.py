@@ -383,6 +383,18 @@ def main():
         help="int8 = w8a8 weight quantization (halves weight HBM traffic; "
         "fits 8B-class models on one 16 GB v5e chip)",
     )
+    parser.add_argument(
+        "--cache-mode", default="slots", choices=["slots", "paged"],
+        help="paged = shared KV page pool + per-request page tables "
+        "(decouples context length from per-slot preallocation; "
+        "conversation reuse adopts pages instead of copying rows)",
+    )
+    parser.add_argument("--page-size", type=int, default=256)
+    parser.add_argument(
+        "--num-pages", type=int, default=None,
+        help="KV pool size in pages (default: same HBM as slot mode; "
+        "smaller pools trade HBM for admission backpressure)",
+    )
     args = parser.parse_args()
 
     import transformers
@@ -413,6 +425,9 @@ def main():
         prefill_attn_impl=args.prefill_attn,
         quantize=args.quantize,
         decode_block_steps=args.decode_block,
+        cache_mode=args.cache_mode,
+        page_size=args.page_size,
+        num_pages=args.num_pages,
     )
     serve(
         ServingAPI(engine, processor, collator),

@@ -18,6 +18,15 @@ request prefilling never freezes the active streams for more than one chunk
 (reference surface: vLLM's chunked-prefill scheduler, which the reference
 drives externally via run_vllm_inference.py:180-209; VERDICT r1 weak #4).
 
+``cache_mode="paged"`` replaces the per-slot rows with a shared page pool +
+per-request page tables (vLLM paged-KV counterpart; the BASELINE.json north
+star's "continuous-batching decode loop (paged KV cache)"): HBM is
+provisioned for resident tokens rather than num_slots x max_seq_len, pages
+are reserved at admission (decode never fails mid-stream), conversation
+reuse adopts the retained pages in place instead of copying rows, and the
+paged flash-decoding kernel (ops/pallas/paged_attention.py) DMAs exactly
+the live pages per step when ``decode_attn_impl="kernel"``.
+
 All device work is jitted with static shapes; the scheduler is host Python
 (cheap — one dispatch per decode step for the whole batch) and the hot loop
 is XLA.
@@ -153,6 +162,9 @@ class ServingEngine:
         num_slots: int = 16,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
+        cache_mode: str = "slots",  # "paged" = shared pool + page tables
+        page_size: int = 256,
+        num_pages: Optional[int] = None,  # default: same HBM as slot mode
         prefill_len_buckets: Optional[Tuple[int, ...]] = None,
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
@@ -196,9 +208,37 @@ class ServingEngine:
         self.prefill_chunk_tokens = prefill_chunk_tokens
 
         tc = cfg.text_config
-        self.cache = decoder_lib.KVCache.zeros(
-            tc, num_slots, max_seq_len, cache_dtype
-        )
+        self.cache_mode = cache_mode
+        self.paged = cache_mode == "paged"
+        if self.paged:
+            if max_seq_len % page_size:
+                raise ValueError(
+                    f"max_seq_len {max_seq_len} must be a multiple of "
+                    f"page_size {page_size}"
+                )
+            self.page_size = page_size
+            self.pages_per_seq = max_seq_len // page_size
+            if num_pages is None:
+                # default pool provisions the same token count as slot mode;
+                # shrink it to trade HBM for admission backpressure
+                num_pages = num_slots * self.pages_per_seq
+            self.num_pages = num_pages
+            self.cache = decoder_lib.PagedKVCache.zeros(
+                tc, num_pages, page_size, cache_dtype
+            )
+            # host-side allocator state: exclusive page ownership per slot
+            self._free_pages: List[int] = list(range(num_pages))
+            self._slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+            self._table_np = np.full(
+                (num_slots, self.pages_per_seq), num_pages, np.int32
+            )
+            self.page_table = jnp.asarray(self._table_np)
+        elif cache_mode == "slots":
+            self.cache = decoder_lib.KVCache.zeros(
+                tc, num_slots, max_seq_len, cache_dtype
+            )
+        else:
+            raise ValueError(f"unknown cache_mode={cache_mode!r}")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -206,7 +246,7 @@ class ServingEngine:
             spec = P(
                 None, None, None, "tensor" if heads_ok else None, None
             )
-            self.cache = decoder_lib.KVCache(
+            self.cache = type(self.cache)(
                 k=jax.device_put(self.cache.k, NamedSharding(mesh, spec)),
                 v=jax.device_put(self.cache.v, NamedSharding(mesh, spec)),
             )
@@ -219,13 +259,19 @@ class ServingEngine:
                 _embed_prompt, cfg=cfg, encoder_attn_impl=encoder_attn_impl
             )
         )
-        self._prefill_chunk = jax.jit(
-            functools.partial(
-                _prefill_chunk_impl, cfg=cfg,
-                prefill_kernel=prefill_attn_impl == "fused",
-            ),
-            donate_argnums=(1,),
-        )
+        if self.paged:
+            self._prefill_chunk = jax.jit(
+                functools.partial(_prefill_chunk_paged_impl, cfg=cfg),
+                donate_argnums=(1,),
+            )
+        else:
+            self._prefill_chunk = jax.jit(
+                functools.partial(
+                    _prefill_chunk_impl, cfg=cfg,
+                    prefill_kernel=prefill_attn_impl == "fused",
+                ),
+                donate_argnums=(1,),
+            )
         self._decode = jax.jit(
             functools.partial(
                 _decode_all_slots, cfg=cfg,
@@ -240,6 +286,12 @@ class ServingEngine:
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
         self.decode_block_steps = max(1, decode_block_steps)
+        if self.paged and self.decode_block_steps > 1:
+            logger.warning(
+                "decode_block_steps>1 uses the segmented slot-cache scan; "
+                "paged mode decodes one step per dispatch"
+            )
+            self.decode_block_steps = 1
         if self.decode_block_steps > 1 and decode_attn_impl == "kernel":
             logger.warning(
                 "decode_block_steps>1 uses the segmented XLA attention for "
@@ -267,6 +319,65 @@ class ServingEngine:
         self._wake = threading.Event()
         self._running = False
         self._thread: Optional[threading.Thread] = None
+
+    # -- paged-pool bookkeeping (host side; serving-thread only) -----------
+
+    def _pages_needed(self, tokens: int) -> int:
+        return -(-max(int(tokens), 1) // self.page_size)
+
+    def _push_table(self):
+        self.page_table = jnp.asarray(self._table_np)
+
+    def _release_slot_pages(self, slot: int):
+        if self._slot_pages[slot]:
+            self._free_pages.extend(self._slot_pages[slot])
+            self._slot_pages[slot] = []
+            self._table_np[slot, :] = self.num_pages
+            self._push_table()
+
+    def _trim_slot_pages(self, slot: int, keep_tokens: int):
+        """Keep only the pages covering positions [0, keep_tokens)."""
+        keep = self._pages_needed(keep_tokens) if keep_tokens > 0 else 0
+        extra = self._slot_pages[slot][keep:]
+        if extra:
+            self._slot_pages[slot] = self._slot_pages[slot][:keep]
+            self._free_pages.extend(extra)
+            self._table_np[slot, keep:] = self.num_pages
+            self._push_table()
+
+    def _evict_retained_pages(self, needed: int):
+        """Free retained conversations' pages (free slots only) until
+        ``needed`` pages are available."""
+        for slot in list(self._retained):
+            if len(self._free_pages) >= needed:
+                break
+            if slot in self._free_slots and self._slot_pages[slot]:
+                self._retained.pop(slot, None)
+                self._release_slot_pages(slot)
+
+    def _reserve_pages(self, slot: int, total_tokens: int) -> bool:
+        """Grow the slot's page list to cover ``total_tokens`` logical
+        positions (reserve-at-admission: decode never allocates, so a step
+        can never fail on pool pressure mid-stream). False = pool exhausted
+        even after evicting retained conversations."""
+        need = self._pages_needed(total_tokens)
+        have = len(self._slot_pages[slot])
+        grow = need - have
+        if grow <= 0:
+            return True
+        if len(self._free_pages) < grow:
+            self._evict_retained_pages(grow)
+        if len(self._free_pages) < grow:
+            return False
+        new = [self._free_pages.pop() for _ in range(grow)]
+        self._slot_pages[slot].extend(new)
+        self._table_np[slot, have:need] = new
+        self._push_table()
+        return True
+
+    @property
+    def pages_in_use(self) -> int:
+        return self.num_pages - len(self._free_pages) if self.paged else 0
 
     # -- public API --------------------------------------------------------
 
@@ -378,6 +489,8 @@ class ServingEngine:
                         )
                         del self._active[slot]
                         self._free_slots.append(slot)
+                        if self.paged:
+                            self._release_slot_pages(slot)
                         self.cache_lens = self.cache_lens.at[slot].set(0)
                         self._requests.pop(req.request_id, None)
                 did_work = True
@@ -394,6 +507,8 @@ class ServingEngine:
                         job.req.request_id,
                     )
                     self._prefilling.pop(0)
+                    if self.paged:
+                        self._release_slot_pages(job.req.slot)
                     self._free_slots.append(job.req.slot)
                     job.req.slot = -1
                     job.req.out_queue.put(
@@ -464,6 +579,28 @@ class ServingEngine:
             slot = non_retained[-1] if non_retained else self._free_slots[-1]
             self._free_slots.remove(slot)
         self._retained.pop(slot, None)  # rows get overwritten now
+        if self.paged:
+            # keep only the reused-prefix pages (exclusively owned, so the
+            # boundary page is simply overwritten from ``start`` onward),
+            # then reserve the request's full footprint up front
+            self._trim_slot_pages(slot, start)
+            total = min(prompt_len + req.max_tokens, self.max_seq_len)
+            if not self._reserve_pages(slot, total):
+                self._release_slot_pages(slot)
+                self._free_slots.append(slot)
+                if self._active or self._prefilling:
+                    # pages will free as requests finish: retry later
+                    self._pending.put(req)
+                else:
+                    # nothing in flight and still unsatisfiable: the pool is
+                    # too small for this request alone
+                    req.out_queue.put(
+                        StreamEvent(
+                            token_id=None, finish_reason="pool_exhausted"
+                        )
+                    )
+                    self._requests.pop(req.request_id, None)
+                return
         try:
             req.slot = slot
             req.prompt_len = prompt_len
@@ -482,6 +619,8 @@ class ServingEngine:
                 Tp = start + (-(-(T_padded - start) // chunk)) * chunk
                 embeds = jnp.pad(embeds, ((0, 0), (0, Tp - T_padded), (0, 0)))
         except Exception:
+            if self.paged:
+                self._release_slot_pages(slot)
             self._free_slots.append(slot)  # the slot must not leak
             req.slot = -1
             raise
@@ -498,14 +637,24 @@ class ServingEngine:
         start = job.pos
         end = start + C
         chunk = jax.lax.dynamic_slice_in_dim(job.embeds, start, C, 1)
-        logits_last, self.cache = self._prefill_chunk(
-            self.params,
-            self.cache,
-            chunk,
-            jnp.asarray(req.slot, jnp.int32),
-            jnp.asarray(start, jnp.int32),
-            jnp.asarray(req.prompt_len, jnp.int32),
-        )
+        if self.paged:
+            logits_last, self.cache = self._prefill_chunk(
+                self.params,
+                self.cache,
+                chunk,
+                self.page_table[req.slot][None],
+                jnp.asarray(start, jnp.int32),
+                jnp.asarray(req.prompt_len, jnp.int32),
+            )
+        else:
+            logits_last, self.cache = self._prefill_chunk(
+                self.params,
+                self.cache,
+                chunk,
+                jnp.asarray(req.slot, jnp.int32),
+                jnp.asarray(start, jnp.int32),
+                jnp.asarray(req.prompt_len, jnp.int32),
+            )
         job.pos = end
         if job.pos < min(req.prompt_len, T_padded):
             return False
@@ -542,6 +691,7 @@ class ServingEngine:
                     jnp.asarray(active_mask),
                     jnp.asarray(temps),
                     rng,
+                    self.page_table if self.paged else None,
                 )
             )
             sampled_np = np.asarray(sampled)[:, None]
@@ -610,6 +760,10 @@ class ServingEngine:
                         ),
                         audio_spans=req.audio_spans,
                     )
+                    # paged: the slot keeps its pages while retained (freed
+                    # on reuse-trim, eviction, or reallocation)
+                elif self.paged:
+                    self._release_slot_pages(req.slot)
             self._requests.pop(req.request_id, None)
 
 
@@ -656,6 +810,35 @@ def _prefill_chunk_impl(
     cache = decoder_lib.KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, row.k, (0, slot, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(cache.v, row.v, (0, slot, 0, 0, 0)),
+    )
+    last_idx = jnp.clip(prompt_len - 1 - start_pos, 0, C - 1)
+    last = decoder_lib.compute_logits(
+        params["language_model"], tc, hidden[:, last_idx]
+    )
+    return last, cache
+
+
+def _prefill_chunk_paged_impl(
+    params, cache, embeds_chunk, table_row, start_pos, prompt_len, *, cfg,
+):
+    """Paged counterpart of ``_prefill_chunk_impl``: the chunk's k/v scatter
+    straight into the shared pool through the request's page-table row (no
+    per-slot cache row exists). Tail positions past the reserved pages land
+    on sentinel entries and are dropped."""
+    tc = cfg.text_config
+    _, C, _ = embeds_chunk.shape
+    positions = (start_pos + jnp.arange(C, dtype=jnp.int32))[None]
+    valid = jnp.minimum(start_pos + C, prompt_len)
+    hidden, cache = decoder_lib.decoder_forward(
+        params["language_model"],
+        tc,
+        inputs_embeds=embeds_chunk,
+        positions=positions,
+        kv_valid_len=valid[None],
+        cache=cache,
+        page_table=table_row,
+        write_pos=start_pos[None],
+        return_hidden=True,
     )
     last_idx = jnp.clip(prompt_len - 1 - start_pos, 0, C - 1)
     last = decoder_lib.compute_logits(
@@ -725,8 +908,8 @@ def _decode_block(
 
 
 def _decode_all_slots(
-    params, cache, tokens, cache_lens, active_mask, temps, rng, *, cfg,
-    decode_kernel: bool = False,
+    params, cache, tokens, cache_lens, active_mask, temps, rng,
+    page_table=None, *, cfg, decode_kernel: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
     fused in (ONE device call per step). Inactive slots keep cache_len and
@@ -737,7 +920,12 @@ def _decode_all_slots(
     position 0 of its RETAINED cache on every step other slots decode —
     silently breaking conversation-prefix reuse."""
     B = tokens.shape[0]
-    max_len = cache.max_len
+    if page_table is not None:
+        # paged: logical capacity is the table width; inactive slots'
+        # writes redirect past it (paged_write_indices drops them)
+        max_len = page_table.shape[1] * cache.page_size
+    else:
+        max_len = cache.max_len
     embeds = decoder_lib.embed_lookup(params["language_model"], tokens)[:, None]
     positions = cache_lens[:, None]
     write_pos = jnp.where(active_mask, cache_lens, max_len)
@@ -748,6 +936,7 @@ def _decode_all_slots(
         positions=positions,
         kv_valid_len=cache_lens + 1,
         cache=cache,
+        page_table=page_table,
         write_pos=write_pos,
         decode_kernel=decode_kernel,
     )

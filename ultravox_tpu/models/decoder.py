@@ -50,6 +50,79 @@ class KVCache:
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Paged per-layer KV cache: pools (L, num_pages, page_size, Hkv, Dh)
+    shared by every sequence, indirected through an external
+    (B, pages_per_seq) page table (vLLM paged-KV counterpart; see
+    ops/pallas/paged_attention.py).
+
+    Table convention: entry i of row b holds the pool page of logical block
+    i of sequence b; UNALLOCATED entries hold the sentinel ``num_pages``
+    (out of range), so stray writes are dropped by scatter ``mode="drop"``
+    and stray gathers clip to a garbage page that the length mask hides."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        # tokens resident if one sequence owned the whole pool
+        return self.k.shape[1] * self.k.shape[2]
+
+    @classmethod
+    def zeros(
+        cls,
+        cfg: DecoderConfig,
+        num_pages: int,
+        page_size: int,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        shape = (
+            cfg.num_layers, num_pages, page_size, cfg.num_kv_heads,
+            cfg.head_dim,
+        )
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def paged_write_indices(
+    page_table: jax.Array,  # (B, pages_per_seq) int32, sentinel-padded
+    write_pos: jax.Array,  # (B,) first logical position to write
+    T: int,
+    page_size: int,
+    num_pages: int,
+):
+    """(write_page, write_off), each (B, T): pool page and in-page offset for
+    the T new tokens, with out-of-range logical positions (and positions in
+    unallocated table entries) redirected to ``num_pages`` so the scatter
+    drops them — the paged counterpart of the contiguous path's
+    out-of-bounds write redirection."""
+    B, n_per = page_table.shape
+    pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B, T)
+    blk = pos // page_size
+    in_range = (pos >= 0) & (blk < n_per)
+    pid = jnp.take_along_axis(
+        page_table, jnp.clip(blk, 0, n_per - 1), axis=1
+    )
+    valid = in_range & (pid < num_pages)
+    # DISTINCT out-of-range destinations per (b, t): duplicate indices under
+    # unique_indices are undefined behaviour even when dropped
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    t = jnp.arange(T, dtype=jnp.int32)[None]
+    oob = num_pages + bidx * T + t
+    write_page = jnp.where(valid, pid, oob)
+    return write_page, pos % page_size
+
+
 def is_local_layer(cfg: DecoderConfig) -> np.ndarray:
     """(L,) bool — which layers use sliding-window attention. An explicit
     per-layer schedule (HF 'layer_types') wins; otherwise the Gemma-3
@@ -135,6 +208,10 @@ def _decoder_layer(
     decode_kernel: bool = False,
     prefill_kernel: bool = False,
     decode_lengths: Optional[jax.Array] = None,  # (B,) valid cache entries
+    flash_kernel: bool = False,  # cache-less (training) differentiable kernel
+    paged_table: Optional[jax.Array] = None,  # (B, pages_per_seq) — paged mode
+    write_page: Optional[jax.Array] = None,  # (B, T) pool page per new token
+    write_off: Optional[jax.Array] = None,  # (B, T) in-page offset
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     B, T, D = x.shape
     Hq, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -155,7 +232,52 @@ def _decoder_layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if cache_k is not None:
+    paged_attn = None
+    if cache_k is not None and paged_table is not None:
+        # PAGED cache: scatter the new tokens into the pool at
+        # (page, offset) destinations computed once per step by
+        # paged_write_indices (invalid positions land out of range and drop)
+        cache_k = cache_k.at[layer_idx, write_page, write_off].set(
+            k.astype(cache_k.dtype), mode="drop", unique_indices=True
+        )
+        cache_v = cache_v.at[layer_idx, write_page, write_off].set(
+            v.astype(cache_v.dtype), mode="drop", unique_indices=True
+        )
+        pool_k = jax.lax.dynamic_index_in_dim(
+            cache_k, layer_idx, 0, keepdims=False
+        )
+        pool_v = jax.lax.dynamic_index_in_dim(
+            cache_v, layer_idx, 0, keepdims=False
+        )
+        if decode_kernel and T == 1:
+            # paged flash-decoding: DMAs exactly the live pages
+            from ultravox_tpu.ops.pallas.paged_attention import (
+                paged_decode_attention,
+            )
+
+            window = (
+                jnp.where(layer_is_local, cfg.sliding_window, 0)
+                if cfg.sliding_window is not None
+                else jnp.asarray(0, jnp.int32)
+            )
+            paged_attn = paged_decode_attention(
+                q[:, 0], pool_k, pool_v, paged_table, decode_lengths,
+                window, scale=cfg.attn_scale,
+            )[:, None]
+        else:
+            # XLA path: gather the pages into a contiguous view; the usual
+            # biases (built against the view length) apply unchanged.
+            # mode="clip": sentinel (unallocated) entries read SOME in-range
+            # page — garbage but finite, and hidden by the length mask; the
+            # default "fill" mode would inject NaN, which no additive mask
+            # can remove
+            k_all = jnp.take(pool_k, paged_table, axis=0, mode="clip").reshape(
+                B, -1, Hkv, Dh
+            )
+            v_all = jnp.take(pool_v, paged_table, axis=0, mode="clip").reshape(
+                B, -1, Hkv, Dh
+            )
+    elif cache_k is not None:
         # Scatter ONLY the new tokens into the full (carried, donated) cache
         # at per-sequence offsets, then attend over this layer's slab.
         # Writing just T slots (instead of copying the whole slab through a
@@ -183,7 +305,9 @@ def _decoder_layer(
     else:
         bias = bias_global
 
-    if decode_kernel and T == 1 and cache_k is not None:
+    if paged_attn is not None:
+        attn = paged_attn
+    elif decode_kernel and T == 1 and cache_k is not None and paged_table is None:
         # flash-decoding Pallas kernel: reads only the valid cache prefix
         from ultravox_tpu.ops.pallas.decode_attention import decode_attention
 
@@ -196,7 +320,10 @@ def _decoder_layer(
             q[:, 0], k_all, v_all, decode_lengths, window,
             scale=cfg.attn_scale,
         )[:, None]
-    elif prefill_kernel and T > 1 and cache_k is not None and bias_local is None:
+    elif (
+        prefill_kernel and T > 1 and cache_k is not None
+        and bias_local is None and paged_table is None
+    ):
         # Pallas prefill: causal + valid-length + absolute-position masks
         # computed in-kernel — the XLA path materialises a (B, H, T, S) fp32
         # logits tensor in HBM (4.3 GB for a 2K batch-8 prefill)
@@ -205,6 +332,21 @@ def _decoder_layer(
         attn = fused_attention(
             q, k_all, v_all, decode_lengths, write_pos,
             causal=True, scale=cfg.attn_scale,
+        )
+    elif flash_kernel and cache_k is None:
+        # training path: differentiable Pallas kernel (custom VJP), causal +
+        # per-sequence lengths + per-layer sliding window in-kernel; assumes
+        # query row index == absolute position (cache-less full sequences)
+        from ultravox_tpu.ops.pallas.flash_attention import flash_attention
+
+        window = (
+            jnp.where(layer_is_local, cfg.sliding_window, 0)
+            if cfg.sliding_window is not None
+            else 0
+        )
+        attn = flash_attention(
+            q, k_all, v_all, decode_lengths,
+            causal=True, window=window, scale=cfg.attn_scale,
         )
     else:
         attn = mha(
@@ -257,12 +399,16 @@ def decoder_forward(
     inputs_embeds: Optional[jax.Array] = None,  # (B, T, D)
     positions: jax.Array,  # (B, T) int32 absolute positions
     kv_valid_len: jax.Array,  # (B,) valid key length (incl. current tokens)
-    cache: Optional[KVCache] = None,
+    cache: Optional[KVCache | PagedKVCache] = None,
+    page_table: Optional[jax.Array] = None,  # (B, pages_per_seq) — required
+    # with a PagedKVCache; logical block i of row b lives in pool page
+    # table[b, i] (unallocated entries hold the num_pages sentinel)
     write_pos: Optional[jax.Array] = None,  # (B,) cache write offset
     remat: bool = False,
     return_hidden: bool = False,
     decode_kernel: bool = False,
     prefill_kernel: bool = False,
+    attn_impl: str = "xla",  # "flash" = differentiable Pallas (cache-less)
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder. Returns (logits (B, T, V) fp32, updated cache);
     with ``return_hidden``, (final hidden states (B, T, D), updated cache).
@@ -276,10 +422,35 @@ def decoder_forward(
     if cfg.scale_embeddings:
         x = x * jnp.asarray(cfg.hidden_size**0.5, dtype=x.dtype)
 
-    kv_len = cache.max_len if cache is not None else x.shape[1]
-    bias_global, bias_local = make_attention_bias(
-        cfg, positions, kv_len, kv_valid_len
-    )
+    use_flash = False
+    if attn_impl == "flash" and cache is None and x.shape[1] > 1 and (
+        cfg.attn_logit_softcapping is None
+    ):
+        from ultravox_tpu.ops.pallas.flash_attention import supports_shape
+
+        use_flash = supports_shape(x.shape[1], cfg.head_dim)
+
+    paged = isinstance(cache, PagedKVCache)
+    if paged:
+        assert page_table is not None, "PagedKVCache requires a page_table"
+        # the XLA path attends over the gathered (pages_per_seq * page_size)
+        # view; biases are built against that view length
+        kv_len = page_table.shape[1] * cache.page_size
+        write_page, write_off = paged_write_indices(
+            page_table, write_pos, x.shape[1], cache.page_size,
+            cache.num_pages,
+        )
+    else:
+        kv_len = cache.max_len if cache is not None else x.shape[1]
+        write_page = write_off = None
+        page_table = None
+    if use_flash:
+        # masks are computed inside the kernel; no bias tensor is built
+        bias_global = bias_local = None
+    else:
+        bias_global, bias_local = make_attention_bias(
+            cfg, positions, kv_len, kv_valid_len
+        )
 
     inv_freq = jnp.asarray(
         rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
@@ -322,8 +493,11 @@ def decoder_forward(
                 bias_global, bias_local, local_flags[l], ck, cv, write_pos,
                 decode_kernel=use_decode_kernel,
                 decode_lengths=kv_valid_len,
+                paged_table=page_table,
+                write_page=write_page,
+                write_off=write_off,
             )
-        new_cache = KVCache(k=ck, v=cv)
+        new_cache = type(cache)(k=ck, v=cv)
     elif cache is not None:
         # PREFILL into a cache: per-layer T-token scatters; the cache rides
         # the scan carry (one write of the prompt region per layer).
@@ -336,6 +510,9 @@ def decoder_forward(
                 decode_kernel=False,
                 prefill_kernel=use_prefill_kernel,
                 decode_lengths=kv_valid_len,
+                paged_table=page_table,
+                write_page=write_page,
+                write_off=write_off,
             )
             return (h, ck, cv), None
 
@@ -349,7 +526,7 @@ def decoder_forward(
         (x, new_k, new_v), _ = jax.lax.scan(
             layer_fn, (x, cache.k, cache.v), xs
         )
-        new_cache = KVCache(k=new_k, v=new_v)
+        new_cache = type(cache)(k=new_k, v=new_v)
     else:
 
         def layer_fn(carry, xs):
@@ -358,6 +535,8 @@ def decoder_forward(
             h, _, _ = _decoder_layer(
                 cfg, h, p, None, cos_g, sin_g, cos_l, sin_l,
                 bias_global, bias_local, is_loc, None, None, None,
+                flash_kernel=use_flash,
+                decode_lengths=kv_valid_len,
             )
             return h, None
 

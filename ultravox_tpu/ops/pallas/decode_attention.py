@@ -137,6 +137,26 @@ def _decode_kernel(
     o_ref[0] = acc / jnp.maximum(z, 1e-30)
 
 
+def block_diag_queries(q: jax.Array, Hkv: int, G: int, scale: float):
+    """(B, H, D) queries -> (B, Hkv*D, Hkv*G) block-diagonal matrix such that
+    ``k_flat @ q_bd`` computes per-head logits with only lane-aligned 2-D
+    shapes inside a kernel (zeros kill cross-head terms). Shared by the
+    contiguous and paged decode kernels."""
+    B, H, D = q.shape
+    qg = q.reshape(B, Hkv, G, D) * jnp.asarray(scale, q.dtype)
+    eye = jnp.eye(Hkv, dtype=q.dtype)
+    return jnp.einsum("bkgd,kK->bkdKg", qg, eye).reshape(B, Hkv * D, Hkv * G)
+
+
+def extract_diag(out_packed: jax.Array, Hkv: int, G: int, D: int, dtype):
+    """Inverse of ``block_diag_queries`` on the kernel output: pull the
+    diagonal blocks out of (B, Hkv*D, Hkv*G) -> (B, H, D)."""
+    B = out_packed.shape[0]
+    out5 = out_packed.reshape(B, Hkv, D, Hkv, G)
+    out = jnp.einsum("bkdKg,kK->bkgd", out5, jnp.eye(Hkv, dtype=jnp.float32))
+    return out.reshape(B, Hkv * G, D).astype(dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block_s", "interpret")
 )
@@ -165,10 +185,7 @@ def decode_attention(
     packed = Hkv * D
     cols = Hkv * G
 
-    # block-diagonal queries: q_bd[b, kv*D+d, kv*G+g] = q[b, kv, g, d] * scale
-    qg = (q.reshape(B, Hkv, G, D) * jnp.asarray(scale, q.dtype))
-    eye = jnp.eye(Hkv, dtype=q.dtype)
-    q_bd = jnp.einsum("bkgd,kK->bkdKg", qg, eye).reshape(B, packed, cols)
+    q_bd = block_diag_queries(q, Hkv, G, scale)
 
     k_flat = k_cache.reshape(B, S, packed)
     v_flat = v_cache.reshape(B, S, packed)
@@ -209,6 +226,4 @@ def decode_attention(
         v_flat,
     )
     # extract the diagonal blocks: out[b, kv, g, d] = packed[b, kv*D+d, kv*G+g]
-    out5 = out_packed.reshape(B, Hkv, D, Hkv, G)
-    out = jnp.einsum("bkdKg,kK->bkgd", out5, jnp.eye(Hkv, dtype=jnp.float32))
-    return out.reshape(B, H, D).astype(q.dtype)
+    return extract_diag(out_packed, Hkv, G, D, q.dtype)
