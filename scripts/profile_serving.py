@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--audio-secs", type=float, default=10.0)
     ap.add_argument("--quantize", default=None, choices=[None, "int8"])
     ap.add_argument("--decode-block", type=int, default=1)
+    ap.add_argument("--cache-mode", default="slots", choices=["slots", "paged"])
+    ap.add_argument("--page-size", type=int, default=256)
+    ap.add_argument("--num-pages", type=int, default=None)
+    ap.add_argument(
+        "--decode-attn", default="xla", choices=["xla", "kernel"],
+        help="kernel = (paged) flash-decoding Pallas kernel",
+    )
     args = ap.parse_args()
 
     import __graft_entry__ as graft
@@ -41,9 +48,13 @@ def main():
         num_slots=args.slots,
         max_seq_len=1024,
         encoder_attn_impl="fused",
-        prefill_attn_impl="fused",
+        prefill_attn_impl="fused" if args.cache_mode == "slots" else "xla",
+        decode_attn_impl=args.decode_attn,
         quantize=args.quantize,
         decode_block_steps=args.decode_block,
+        cache_mode=args.cache_mode,
+        page_size=args.page_size,
+        num_pages=args.num_pages,
     )
 
     # one synthetic request: 10 s audio + short text prompt
@@ -122,7 +133,8 @@ def main():
     print(
         f"requests={args.requests} slots={args.slots} "
         f"audio={args.audio_secs}s quantize={args.quantize} "
-        f"block={args.decode_block}\n"
+        f"block={args.decode_block} cache={args.cache_mode} "
+        f"decode_attn={args.decode_attn}\n"
         f"TTFT p50/p90/p99: {p(ttfts,0.5)*1000:.0f}/"
         f"{p(ttfts,0.9)*1000:.0f}/{p(ttfts,0.99)*1000:.0f} ms\n"
         f"inter-token gap p50/p99: {p(gaps,0.5)*1000:.1f}/"

@@ -165,6 +165,7 @@ def ultravox_forward(
     batch: Dict[str, jax.Array],
     *,
     remat: bool = False,
+    attn_impl: str = "xla",  # "flash" = differentiable Pallas in both towers
 ) -> jax.Array:
     """Full-sequence forward. Returns fp32 logits (B, T, V).
 
@@ -175,7 +176,10 @@ def ultravox_forward(
     """
     input_ids = batch["input_ids"]
     mask = batch["attention_mask"]
-    inputs_embeds = ultravox_embed(params, cfg, input_ids, batch, remat=remat)
+    inputs_embeds = ultravox_embed(
+        params, cfg, input_ids, batch, remat=remat,
+        encoder_attn_impl=attn_impl if attn_impl == "flash" else "xla",
+    )
     B, T = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     seq_lens = mask.sum(axis=-1).astype(jnp.int32)
@@ -186,6 +190,7 @@ def ultravox_forward(
         positions=positions,
         kv_valid_len=seq_lens,
         remat=remat,
+        attn_impl=attn_impl,
     )
     return logits
 
@@ -303,11 +308,12 @@ def ultravox_loss(
     loss_config: LossConfig,
     *,
     remat: bool = False,
+    attn_impl: str = "xla",
 ) -> jax.Array:
     """Training loss: CE, or KL distillation against the text-only teacher
     (same LLM weights, alt_* token stream) — reference forward+loss path
     ultravox_model.py:277-352."""
-    logits = ultravox_forward(params, cfg, batch, remat=remat)
+    logits = ultravox_forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
     if loss_config.loss_function == LossFunction.CROSS_ENTROPY:
         return causal_lm_loss(logits, batch["labels"])
 
@@ -324,6 +330,7 @@ def ultravox_loss(
         positions=positions,
         kv_valid_len=alt_mask.sum(axis=-1).astype(jnp.int32),
         remat=remat,
+        attn_impl=attn_impl,
     )
     return kl_distillation_loss(
         logits,

@@ -1,9 +1,11 @@
 """Attention primitives.
 
 Batched multi-head attention with GQA support, fp32 softmax, and additive-bias
-masking. The default path is einsum-based and relies on XLA:TPU fusion; for
-long sequences the Pallas flash-attention kernel in
-``ultravox_tpu.ops.pallas.flash_attention`` can be selected via ``impl``.
+masking. This einsum path relies on XLA:TPU fusion and accepts arbitrary
+bias tensors; the Pallas kernels (``ops.pallas.fused_attention`` for
+inference, ``ops.pallas.flash_attention`` for differentiable training paths)
+compute their masks in-kernel from scalars instead and are selected by the
+model-level ``attn_impl`` arguments, not here.
 
 Replaces the reference's reliance on torch SDPA / flash-attention-2
 (ultravox_model.py:24-30).
@@ -28,7 +30,6 @@ def mha(
     scale: Optional[float] = None,
     is_causal: bool = False,
     softcap: Optional[float] = None,  # gemma2 attn logit softcapping
-    impl: str = "xla",
 ) -> jax.Array:
     """Multi-head attention with grouped KV heads. Returns (B, T, H, D).
 
@@ -42,13 +43,6 @@ def mha(
     group = H // Hkv
     if scale is None:
         scale = D**-0.5
-
-    if impl == "flash" and T > 1:
-        from ultravox_tpu.ops.pallas.flash_attention import flash_attention
-
-        return flash_attention(
-            q, k, v, bias=bias, scale=scale, is_causal=is_causal
-        )
 
     # keep k/v in their storage dtype (bf16 caches stay bf16 in HBM — an
     # explicit fp32 cast would double the cache read traffic with a

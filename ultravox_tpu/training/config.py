@@ -114,6 +114,10 @@ class TrainConfig:
     # -- numerics / parallelism ---------------------------------------------
     param_dtype: str = "bfloat16"
     remat: bool = True
+    # "xla" (einsum, safe everywhere) or "flash" (differentiable Pallas
+    # attention in both towers — faster on TPU; auto-falls back per layer
+    # when unsupported, e.g. gemma-2 softcapping or very long sequences)
+    attn_impl: str = "xla"
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_tensor: int = 1

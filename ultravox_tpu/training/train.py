@@ -243,6 +243,7 @@ def train(config: TrainConfig) -> Dict[str, float]:
             optimizer,
             template,
             remat=config.remat,
+            attn_impl=config.attn_impl,
         ),
         donate_argnums=(0,),
     )

@@ -155,13 +155,17 @@ def make_train_step(
     params_template: Params,
     *,
     remat: bool = True,
+    attn_impl: str = "xla",
 ) -> Callable:
     """Build the (jit-able) train step: (state, batch) -> (state, metrics)."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         def loss_fn(trainable):
             params = merge_params(params_template, trainable, state.frozen)
-            return uv.ultravox_loss(params, cfg, batch, loss_config, remat=remat)
+            return uv.ultravox_loss(
+                params, cfg, batch, loss_config, remat=remat,
+                attn_impl=attn_impl,
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
         updates, opt_state = optimizer.update(
