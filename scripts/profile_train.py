@@ -28,6 +28,10 @@ def main():
         help="seconds of audio per sample (sets mel frames = 100/s)",
     )
     ap.add_argument(
+        "--vocab-chunk", type=int, default=None,
+        help="chunked vocab-projection loss (no full logits tensor in HBM)",
+    )
+    ap.add_argument(
         "--lora", action="store_true",
         help="audio-LoRA recipe: encoder LoRA adapters train too (v0.6 "
         "shape), so the encoder fwd+bwd joins the hot path",
@@ -61,6 +65,7 @@ def main():
             template,
             remat=True,
             attn_impl=args.attn,
+            vocab_chunk=args.vocab_chunk,
         ),
         donate_argnums=(0,),
     )
@@ -102,8 +107,8 @@ def main():
     dt = (time.perf_counter() - t0) / args.steps
     print(
         f"train step (KL, B={B}, attn={args.attn}, lora={args.lora}, "
-        f"{args.audio_secs}s audio, T={T}, bf16+remat): {dt*1000:.1f} ms "
-        f"= {B/dt:.1f} samples/s",
+        f"vchunk={args.vocab_chunk}, {args.audio_secs}s audio, T={T}, "
+        f"bf16+remat): {dt*1000:.1f} ms = {B/dt:.1f} samples/s",
         flush=True,
     )
 

@@ -160,3 +160,29 @@ def test_full_finetune_bf16_all_params_differentiable(setup):
         assert np.isfinite(float(val))
         g_conv = grads["audio_tower"]["conv1"]["kernel"]
         assert float(jnp.sum(jnp.abs(g_conv.astype(jnp.float32)))) > 0
+
+
+@pytest.mark.parametrize("loss_fn", ["ce", "kl"])
+def test_chunked_vocab_loss_matches_dense(setup, loss_fn):
+    """vocab_chunk computes the loss from hidden states (logits one chunk at
+    a time); value AND gradients must match the dense path."""
+    cfg, params, batch = setup
+    lc = (
+        LossConfig()
+        if loss_fn == "ce"
+        else LossConfig(loss_function=LossFunction.KL_DIVERGENCE)
+    )
+
+    def dense(p):
+        return uv.ultravox_loss(p, cfg, batch, lc, remat=True)
+
+    def chunked(p):
+        return uv.ultravox_loss(p, cfg, batch, lc, remat=True, vocab_chunk=16)
+
+    l_d, g_d = jax.value_and_grad(dense)(params)
+    l_c, g_c = jax.value_and_grad(chunked)(params)
+    np.testing.assert_allclose(float(l_c), float(l_d), rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_d)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )

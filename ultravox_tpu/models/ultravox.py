@@ -166,8 +166,11 @@ def ultravox_forward(
     *,
     remat: bool = False,
     attn_impl: str = "xla",  # "flash" = differentiable Pallas in both towers
+    return_hidden: bool = False,  # final hidden states instead of logits
 ) -> jax.Array:
-    """Full-sequence forward. Returns fp32 logits (B, T, V).
+    """Full-sequence forward. Returns fp32 logits (B, T, V) — or, with
+    ``return_hidden``, the final hidden states (B, T, D) so callers can
+    project to the vocabulary lazily (see the chunked losses below).
 
     ``batch`` keys: input_ids (B, T), attention_mask (B, T) — right-padded —
     and optionally audio_values/audio_lens/audio_token_len/
@@ -183,7 +186,7 @@ def ultravox_forward(
     B, T = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     seq_lens = mask.sum(axis=-1).astype(jnp.int32)
-    logits, _ = decoder_lib.decoder_forward(
+    out, _ = decoder_lib.decoder_forward(
         params["language_model"],
         cfg.text_config,
         inputs_embeds=inputs_embeds,
@@ -191,8 +194,9 @@ def ultravox_forward(
         kv_valid_len=seq_lens,
         remat=remat,
         attn_impl=attn_impl,
+        return_hidden=return_hidden,
     )
-    return logits
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -214,6 +218,52 @@ def causal_lm_loss(
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def causal_lm_loss_chunked(
+    lm_params: Params,
+    tc,
+    hidden: jax.Array,  # (B, T, D) final hidden states
+    labels: jax.Array,  # (B, T) int32 with -100 = ignored
+    *,
+    chunk: int = 128,
+) -> jax.Array:
+    """``causal_lm_loss`` computed from HIDDEN states, projecting to the
+    vocabulary ``chunk`` positions at a time inside a rematerialised scan —
+    the full (B, T, V) fp32 logits tensor (±0.8 GB per instance at a 128K
+    vocab, several instances live across fwd+bwd) never exists in HBM; peak
+    vocab-sized memory is O(chunk x V). The TPU/JAX counterpart of the
+    chunked/fused cross-entropy used by large-vocab trainers; numerically
+    identical to the dense loss (same fp32 logsumexp)."""
+    B, T, D = hidden.shape
+    hs = hidden[:, :-1].reshape(-1, D)
+    lbl = labels[:, 1:].reshape(-1)
+    N = hs.shape[0]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        hs = jnp.pad(hs, ((0, pad), (0, 0)))
+        lbl = jnp.pad(lbl, (0, pad), constant_values=-100)
+    hs = hs.reshape(n_chunks, chunk, D)
+    lbl = lbl.reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        h_c, l_c = xs
+        logits = decoder_lib.compute_logits(lm_params, tc, h_c)  # (chunk, V)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        valid = l_c != -100
+        safe = jnp.where(valid, l_c, 0)
+        lbl_logit = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        nll = jnp.where(valid, lse - lbl_logit, 0.0)
+        s, c = carry
+        return (s + nll.sum(), c + valid.sum()), None
+
+    (s, c), _ = jax.lax.scan(
+        jax.checkpoint(body),
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hs, lbl),
+    )
+    return s / jnp.maximum(c, 1)
 
 
 def prediction_masks(labels: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -277,6 +327,109 @@ def _masked_kl(
     return kl.sum() / jnp.maximum(row_valid.sum(), 1)
 
 
+def _compact_rows(x: jax.Array, mask: jax.Array, length: int) -> jax.Array:
+    """Stable compaction of masked rows: k-th True position of row b lands
+    at [b, k]; surplus positions are dropped. x: (B, T, D) -> (B, length, D).
+    Same scheme as _masked_kl's logits compaction, but over the (tiny)
+    hidden dimension instead of the vocabulary."""
+    B, T = mask.shape
+    order = jnp.cumsum(mask, axis=1) - 1
+    slots = jnp.where(mask, order, length)
+    out = jnp.zeros((B, length, x.shape[-1]), x.dtype)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], slots.shape)
+    return out.at[bidx, slots].add(x, mode="drop")
+
+
+def _masked_kl_chunked(
+    lm_s: Params,
+    lm_t: Params,
+    tc,
+    h_s: jax.Array,  # (B, T, D) student hidden
+    h_t: jax.Array,  # (B, T2, D) teacher hidden
+    s_mask: jax.Array,  # (B, T) bool
+    t_mask: jax.Array,  # (B, T2) bool
+    temperature: float,
+    *,
+    rows: Optional[int] = None,
+    chunk: int = 128,
+) -> jax.Array:
+    """``_masked_kl`` with the vocabulary projected lazily: both streams'
+    HIDDEN states are compacted to the common masked rows (B, rows, D) —
+    a few MB — and the student/teacher logits exist only one ``chunk`` of
+    rows at a time inside a rematerialised scan."""
+    B, T, D = h_s.shape
+    T2 = h_t.shape[1]
+    R = min(T, T2) if rows is None else rows
+    s = _compact_rows(h_s, s_mask, R)
+    t = _compact_rows(h_t, t_mask, R)
+    n_common = jnp.minimum(s_mask.sum(axis=1), t_mask.sum(axis=1))
+    slot = jnp.arange(R)[None]
+    row_valid = (slot < n_common[:, None]).reshape(-1)  # (B*R,)
+
+    sf = s.reshape(-1, D)
+    tf = t.reshape(-1, D)
+    N = sf.shape[0]
+    ch = min(chunk, N)
+    n_chunks = -(-N // ch)
+    pad = n_chunks * ch - N
+    if pad:
+        sf = jnp.pad(sf, ((0, pad), (0, 0)))
+        tf = jnp.pad(tf, ((0, pad), (0, 0)))
+        row_valid = jnp.pad(row_valid, (0, pad))
+    sf = sf.reshape(n_chunks, ch, D)
+    tf = tf.reshape(n_chunks, ch, D)
+    rv = row_valid.reshape(n_chunks, ch)
+
+    def body(carry, xs):
+        s_c, t_c, v_c = xs
+        s_logp = jax.nn.log_softmax(
+            decoder_lib.compute_logits(lm_s, tc, s_c) / temperature, axis=-1
+        )
+        t_logp = jax.nn.log_softmax(
+            decoder_lib.compute_logits(lm_t, tc, t_c) / temperature, axis=-1
+        )
+        t_p = jnp.exp(t_logp)
+        kl = jnp.sum(t_p * (t_logp - s_logp), axis=-1)  # (ch,)
+        acc = carry
+        return acc + jnp.where(v_c, kl, 0.0).sum(), None
+
+    total, _ = jax.lax.scan(
+        jax.checkpoint(body), jnp.zeros((), jnp.float32), (sf, tf, rv)
+    )
+    return total / jnp.maximum(row_valid.sum(), 1)
+
+
+def kl_distillation_loss_chunked(
+    lm_params: Params,
+    tc,
+    student_hidden: jax.Array,  # (B, T, D)
+    labels: jax.Array,
+    teacher_hidden: jax.Array,  # (B, T2, D) — already stop_gradient'ed
+    alt_labels: jax.Array,
+    loss_config: LossConfig,
+    *,
+    chunk: int = 128,
+) -> jax.Array:
+    """``kl_distillation_loss`` from hidden states (see _masked_kl_chunked).
+    The EOT term compacts to a single row per sequence. The teacher's head
+    projection is a constant (the whole teacher branch is no-grad in the
+    reference, ultravox_model.py:312-320)."""
+    lm_teacher = jax.lax.stop_gradient(lm_params)
+    pred_mask, eot_mask = prediction_masks(labels)
+    alt_pred_mask, alt_eot_mask = prediction_masks(alt_labels)
+    loss = _masked_kl_chunked(
+        lm_params, lm_teacher, tc, student_hidden, teacher_hidden,
+        pred_mask, alt_pred_mask, loss_config.kl_temperature, chunk=chunk,
+    )
+    if loss_config.eot_loss_weight > 0:
+        loss = loss + loss_config.eot_loss_weight * _masked_kl_chunked(
+            lm_params, lm_teacher, tc, student_hidden, teacher_hidden,
+            eot_mask, alt_eot_mask, loss_config.kl_temperature,
+            rows=1, chunk=chunk,
+        )
+    return loss
+
+
 def kl_distillation_loss(
     student_logits: jax.Array,
     labels: jax.Array,
@@ -309,13 +462,28 @@ def ultravox_loss(
     *,
     remat: bool = False,
     attn_impl: str = "xla",
+    vocab_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Training loss: CE, or KL distillation against the text-only teacher
     (same LLM weights, alt_* token stream) — reference forward+loss path
-    ultravox_model.py:277-352."""
-    logits = ultravox_forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
+    ultravox_model.py:277-352.
+
+    ``vocab_chunk``: compute the loss from hidden states, projecting to the
+    vocabulary only ``vocab_chunk`` positions at a time — the (B, T, V)
+    fp32 logits tensors (GB-scale at 128K vocabs) never materialize. Same
+    value and gradients as the dense path."""
+    chunked = vocab_chunk is not None and vocab_chunk > 0
+    out = ultravox_forward(
+        params, cfg, batch, remat=remat, attn_impl=attn_impl,
+        return_hidden=chunked,
+    )
     if loss_config.loss_function == LossFunction.CROSS_ENTROPY:
-        return causal_lm_loss(logits, batch["labels"])
+        if chunked:
+            return causal_lm_loss_chunked(
+                params["language_model"], cfg.text_config, out,
+                batch["labels"], chunk=vocab_chunk,
+            )
+        return causal_lm_loss(out, batch["labels"])
 
     # Teacher: text-only forward with the same (frozen-by-stop-gradient) LLM.
     teacher_params = jax.lax.stop_gradient(params["language_model"])
@@ -323,7 +491,7 @@ def ultravox_loss(
     alt_mask = batch["alt_attention_mask"]
     B, T2 = alt_ids.shape
     positions = jnp.broadcast_to(jnp.arange(T2, dtype=jnp.int32)[None], (B, T2))
-    teacher_logits, _ = decoder_lib.decoder_forward(
+    teacher_out, _ = decoder_lib.decoder_forward(
         teacher_params,
         cfg.text_config,
         input_ids=alt_ids,
@@ -331,11 +499,23 @@ def ultravox_loss(
         kv_valid_len=alt_mask.sum(axis=-1).astype(jnp.int32),
         remat=remat,
         attn_impl=attn_impl,
+        return_hidden=chunked,
     )
+    if chunked:
+        return kl_distillation_loss_chunked(
+            params["language_model"],
+            cfg.text_config,
+            out,
+            batch["labels"],
+            teacher_out,
+            batch["alt_labels"],
+            loss_config,
+            chunk=vocab_chunk,
+        )
     return kl_distillation_loss(
-        logits,
+        out,
         batch["labels"],
-        teacher_logits,
+        teacher_out,
         batch["alt_labels"],
         loss_config,
     )

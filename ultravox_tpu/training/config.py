@@ -118,6 +118,11 @@ class TrainConfig:
     # attention in both towers — faster on TPU; auto-falls back per layer
     # when unsupported, e.g. gemma-2 softcapping or very long sequences)
     attn_impl: str = "xla"
+    # project hidden states to the vocabulary N positions at a time inside
+    # the loss (chunked/fused cross-entropy + KL): the (B, T, V) fp32 logits
+    # tensors — GB-scale at 128K vocabs, the training-step memory peak —
+    # never materialize. None/0 = dense loss. 128 is a good TPU value.
+    vocab_loss_chunk: Optional[int] = None
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_tensor: int = 1

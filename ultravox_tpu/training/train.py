@@ -244,6 +244,7 @@ def train(config: TrainConfig) -> Dict[str, float]:
             template,
             remat=config.remat,
             attn_impl=config.attn_impl,
+            vocab_chunk=config.vocab_loss_chunk,
         ),
         donate_argnums=(0,),
     )

@@ -156,6 +156,7 @@ def make_train_step(
     *,
     remat: bool = True,
     attn_impl: str = "xla",
+    vocab_chunk: Optional[int] = None,
 ) -> Callable:
     """Build the (jit-able) train step: (state, batch) -> (state, metrics)."""
 
@@ -164,7 +165,7 @@ def make_train_step(
             params = merge_params(params_template, trainable, state.frozen)
             return uv.ultravox_loss(
                 params, cfg, batch, loss_config, remat=remat,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, vocab_chunk=vocab_chunk,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
