@@ -145,3 +145,47 @@ def test_paged_inactive_write_pos_is_dropped():
         if not np.array_equal(k_before[:, p], k_after[:, p])
     ]
     assert changed == [p0], changed
+
+
+def test_paged_decode_kernel_path_matches_xla_gather():
+    """decode_kernel=True through a PagedKVCache routes to the paged Pallas
+    kernel (interpret here) and matches the XLA gather path."""
+    import functools
+
+    import ultravox_tpu.ops.pallas.paged_attention as pa
+
+    orig = pa.paged_decode_attention
+    pa.paged_decode_attention = functools.partial(orig, interpret=True)
+    try:
+        cfg = _cfg()
+        params = dl.init_params(cfg, jax.random.key(3), jnp.float32)
+        B, T, ps = 2, 10, 8
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(1, 128, (B, T)), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+        pool = dl.PagedKVCache.zeros(cfg, num_pages=8, page_size=ps,
+                                     dtype=jnp.float32)
+        table = _alloc_tables(B, 4, pool.num_pages, [3, 3], rng)
+        logits, pool = dl.decoder_forward(
+            params, cfg, input_ids=ids, positions=pos,
+            kv_valid_len=jnp.full((B,), T, jnp.int32),
+            cache=pool, page_table=table,
+            write_pos=jnp.zeros((B,), jnp.int32),
+        )
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        kw = dict(
+            input_ids=tok[:, None],
+            positions=jnp.full((B, 1), T, jnp.int32),
+            kv_valid_len=jnp.full((B,), T + 1, jnp.int32),
+            page_table=table,
+            write_pos=jnp.full((B,), T, jnp.int32),
+        )
+        l_xla, _ = dl.decoder_forward(params, cfg, cache=pool, **kw)
+        l_krn, _ = dl.decoder_forward(
+            params, cfg, cache=pool, decode_kernel=True, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_krn), np.asarray(l_xla), atol=1e-5
+        )
+    finally:
+        pa.paged_decode_attention = orig

@@ -186,3 +186,19 @@ def test_chunked_vocab_loss_matches_dense(setup, loss_fn):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_eval_step_chunked_matches_dense(setup):
+    cfg, params, batch = setup
+    import optax
+
+    opt = optax.adamw(1e-3)
+    state, template = ts.init_train_state(params, opt)
+    dense = jax.jit(ts.make_eval_step(cfg, LossConfig(), template))
+    chunked = jax.jit(
+        ts.make_eval_step(cfg, LossConfig(), template, vocab_chunk=16)
+    )
+    s_d, c_d = dense(state, batch)
+    s_c, c_c = chunked(state, batch)
+    assert int(c_d) == int(c_c)
+    np.testing.assert_allclose(float(s_c), float(s_d), rtol=2e-6)

@@ -220,21 +220,22 @@ def causal_lm_loss(
     return nll.sum() / jnp.maximum(valid.sum(), 1)
 
 
-def causal_lm_loss_chunked(
+def chunked_nll_sums(
     lm_params: Params,
     tc,
     hidden: jax.Array,  # (B, T, D) final hidden states
     labels: jax.Array,  # (B, T) int32 with -100 = ignored
     *,
     chunk: int = 128,
-) -> jax.Array:
-    """``causal_lm_loss`` computed from HIDDEN states, projecting to the
-    vocabulary ``chunk`` positions at a time inside a rematerialised scan —
-    the full (B, T, V) fp32 logits tensor (±0.8 GB per instance at a 128K
-    vocab, several instances live across fwd+bwd) never exists in HBM; peak
-    vocab-sized memory is O(chunk x V). The TPU/JAX counterpart of the
-    chunked/fused cross-entropy used by large-vocab trainers; numerically
-    identical to the dense loss (same fp32 logsumexp)."""
+) -> Tuple[jax.Array, jax.Array]:
+    """(sum of next-token NLL, count of supervised positions) computed from
+    HIDDEN states, projecting to the vocabulary ``chunk`` positions at a
+    time inside a rematerialised scan — the full (B, T, V) fp32 logits
+    tensor (±0.8 GB per instance at a 128K vocab, several instances live
+    across fwd+bwd) never exists in HBM; peak vocab-sized memory is
+    O(chunk x V). The TPU/JAX counterpart of the chunked/fused
+    cross-entropy used by large-vocab trainers; numerically identical to
+    the dense loss (same fp32 logsumexp)."""
     B, T, D = hidden.shape
     hs = hidden[:, :-1].reshape(-1, D)
     lbl = labels[:, 1:].reshape(-1)
@@ -258,11 +259,23 @@ def causal_lm_loss_chunked(
         s, c = carry
         return (s + nll.sum(), c + valid.sum()), None
 
-    (s, c), _ = jax.lax.scan(
+    return jax.lax.scan(
         jax.checkpoint(body),
         (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
         (hs, lbl),
-    )
+    )[0]
+
+
+def causal_lm_loss_chunked(
+    lm_params: Params,
+    tc,
+    hidden: jax.Array,
+    labels: jax.Array,
+    *,
+    chunk: int = 128,
+) -> jax.Array:
+    """Mean next-token CE over supervised positions (see chunked_nll_sums)."""
+    s, c = chunked_nll_sums(lm_params, tc, hidden, labels, chunk=chunk)
     return s / jnp.maximum(c, 1)
 
 

@@ -397,7 +397,10 @@ def validate(config, model_pack, state, template, mesh) -> Dict[str, float]:
     replicated (identical on every host) — val sets are small and capped by
     ``val_num_samples``."""
     eval_fn = jax.jit(
-        ts.make_eval_step(model_pack.config, config.loss_config, template)
+        ts.make_eval_step(
+            model_pack.config, config.loss_config, template,
+            vocab_chunk=config.vocab_loss_chunk,
+        )
     )
     out: Dict[str, float] = {}
     args = data_types.ValDatasetArgs()
