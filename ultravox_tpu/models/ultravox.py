@@ -58,9 +58,19 @@ def splice_audio_embeds(
 ) -> jax.Array:
     """Overwrite placeholder positions with audio embeddings.
 
-    Fixed-shape scatter: every (chunk, t) pair computes a flat destination
-    index; invalid pairs (t >= token_len) are redirected out of bounds and
-    dropped. Replaces ultravox_model.py:390-394.
+    Formulated as a one-hot matmul + select instead of a scatter: every
+    (chunk, t) source pair computes its flat destination index, a boolean
+    permutation matrix P maps sources to destinations (at most one source
+    per destination — placeholder spans never overlap), and the spliced
+    rows are ``P @ audio`` with a row-covered mask selecting between audio
+    and token embeddings. Replaces ultravox_model.py:390-394.
+
+    Why not a scatter: this op IS MXU-shaped (a (B·T, N·Ta) x (N·Ta, D)
+    matmul — microseconds at real sizes), its transpose is simply ``P^T``
+    (the VJP is another matmul, no gather), and the 1-D flat scatter this
+    replaces deterministically CRASHED the TPU runtime at B·T >= ~1.5K rows
+    under autodiff (worker "kernel fault"; minimal 15-line repro — see
+    tests/test_ultravox_parity.py::test_splice_shapes_that_crashed_scatter).
     """
     B, T, D = inputs_embeds.shape
     N, Ta, _ = audio_embeds.shape
@@ -69,18 +79,17 @@ def splice_audio_embeds(
         audio_chunk_batch_idx[:, None] * T + audio_token_start_idx[:, None] + t[None]
     )
     valid = t[None, :] < audio_token_len[:, None]
-    # invalid pairs get DISTINCT out-of-bounds destinations so the
-    # unique_indices contract holds (duplicate indices with
-    # unique_indices=True are undefined behaviour)
-    flat_pair = jnp.arange(N * Ta, dtype=jnp.int32).reshape(N, Ta)
-    dest = jnp.where(valid, dest, B * T + flat_pair)
+    dest = jnp.where(valid, dest, -1).reshape(-1)  # (N*Ta,) invalid -> -1
+    rows = jnp.arange(B * T, dtype=jnp.int32)
+    P = rows[:, None] == dest[None, :]  # (B*T, N*Ta) one-hot columns
+    audio_flat = audio_embeds.reshape(N * Ta, D)
+    spliced = jax.lax.dot(
+        P.astype(audio_flat.dtype), audio_flat
+    )  # (B*T, D)
+    covered = P.any(axis=1)
     flat = inputs_embeds.reshape(B * T, D)
-    flat = flat.at[dest.reshape(-1)].set(
-        audio_embeds.reshape(N * Ta, D).astype(flat.dtype),
-        mode="drop",
-        unique_indices=True,
-    )
-    return flat.reshape(B, T, D)
+    out = jnp.where(covered[:, None], spliced.astype(flat.dtype), flat)
+    return out.reshape(B, T, D)
 
 
 def prepare_audio_embeds(
