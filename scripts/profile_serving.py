@@ -48,7 +48,7 @@ def main():
         num_slots=args.slots,
         max_seq_len=1024,
         encoder_attn_impl="fused",
-        prefill_attn_impl="fused" if args.cache_mode == "slots" else "xla",
+        prefill_attn_impl="fused",
         decode_attn_impl=args.decode_attn,
         quantize=args.quantize,
         decode_block_steps=args.decode_block,

@@ -103,6 +103,9 @@ class PrefillJob:
     embeds: Any  # (1, T_padded, D) prompt embeddings (audio spliced in)
     chunk: int  # chunk size ((T_padded - start) is a multiple of it)
     pos: int = 0  # next position to prefill (starts at the reused prefix)
+    # paged mode: the reused prefix lives in pool pages and must be loaded
+    # into the contiguous prefill scratch before the first chunk runs
+    needs_scratch_load: bool = False
 
 
 def _request_tokens_and_spans(batch: Dict[str, np.ndarray]):
@@ -260,9 +263,25 @@ class ServingEngine:
             )
         )
         if self.paged:
+            # chunked prefill runs against a contiguous one-row scratch
+            # cache (fused kernel applies; zero page gathers per chunk);
+            # whole pages scatter into the pool once per finished prompt
+            Ts = min(self.prefill_len_buckets[-1], max_seq_len)
+            self._scratch = decoder_lib.KVCache.zeros(
+                cfg.text_config, 1, Ts, cache_dtype
+            )
             self._prefill_chunk = jax.jit(
-                functools.partial(_prefill_chunk_paged_impl, cfg=cfg),
+                functools.partial(
+                    _prefill_chunk_scratch_impl, cfg=cfg,
+                    prefill_kernel=prefill_attn_impl == "fused",
+                ),
                 donate_argnums=(1,),
+            )
+            self._pages_to_scratch = jax.jit(
+                _pages_to_scratch, donate_argnums=(2,)
+            )
+            self._scratch_to_pages = jax.jit(
+                _scratch_to_pages, donate_argnums=(0,)
             )
         else:
             self._prefill_chunk = jax.jit(
@@ -625,7 +644,10 @@ class ServingEngine:
             req.slot = -1
             raise
         self._prefilling.append(
-            PrefillJob(req=req, embeds=embeds, chunk=chunk, pos=start)
+            PrefillJob(
+                req=req, embeds=embeds, chunk=chunk, pos=start,
+                needs_scratch_load=self.paged and start > 0,
+            )
         )
 
     def _prefill_one_chunk(self, job: PrefillJob) -> bool:
@@ -638,11 +660,16 @@ class ServingEngine:
         end = start + C
         chunk = jax.lax.dynamic_slice_in_dim(job.embeds, start, C, 1)
         if self.paged:
-            logits_last, self.cache = self._prefill_chunk(
+            if job.needs_scratch_load:
+                # conversation reuse: the retained prefix lives in pages
+                self._scratch = self._pages_to_scratch(
+                    self.cache, self.page_table[req.slot][None], self._scratch
+                )
+                job.needs_scratch_load = False
+            logits_last, self._scratch = self._prefill_chunk(
                 self.params,
-                self.cache,
+                self._scratch,
                 chunk,
-                self.page_table[req.slot][None],
                 jnp.asarray(start, jnp.int32),
                 jnp.asarray(req.prompt_len, jnp.int32),
             )
@@ -658,6 +685,11 @@ class ServingEngine:
         job.pos = end
         if job.pos < min(req.prompt_len, T_padded):
             return False
+        if self.paged:
+            # prompt complete: publish the scratch into the slot's pages
+            self.cache = self._scratch_to_pages(
+                self.cache, self._scratch, self.page_table[req.slot][None]
+            )
         # prompt complete: sample the first token and activate the slot
         self._rng, rng = jax.random.split(self._rng)
         tok = self._sample(
@@ -818,33 +850,77 @@ def _prefill_chunk_impl(
     return last, cache
 
 
-def _prefill_chunk_paged_impl(
-    params, cache, embeds_chunk, table_row, start_pos, prompt_len, *, cfg,
+def _prefill_chunk_scratch_impl(
+    params, scratch, embeds_chunk, start_pos, prompt_len, *, cfg,
+    prefill_kernel: bool = False,
 ):
-    """Paged counterpart of ``_prefill_chunk_impl``: the chunk's k/v scatter
-    straight into the shared pool through the request's page-table row (no
-    per-slot cache row exists). Tail positions past the reserved pages land
-    on sentinel entries and are dropped."""
+    """Paged-mode prefill chunk: runs against a CONTIGUOUS one-row scratch
+    cache (so the fused Pallas prefill kernel applies and no page gather
+    happens per chunk); the finished prompt is scattered into the pool as
+    whole pages once, by ``_scratch_to_pages``."""
     tc = cfg.text_config
     _, C, _ = embeds_chunk.shape
     positions = (start_pos + jnp.arange(C, dtype=jnp.int32))[None]
     valid = jnp.minimum(start_pos + C, prompt_len)
-    hidden, cache = decoder_lib.decoder_forward(
+    hidden, scratch = decoder_lib.decoder_forward(
         params["language_model"],
         tc,
         inputs_embeds=embeds_chunk,
         positions=positions,
         kv_valid_len=valid[None],
-        cache=cache,
-        page_table=table_row,
+        cache=scratch,
         write_pos=start_pos[None],
         return_hidden=True,
+        prefill_kernel=prefill_kernel,
     )
     last_idx = jnp.clip(prompt_len - 1 - start_pos, 0, C - 1)
     last = decoder_lib.compute_logits(
         params["language_model"], tc, hidden[:, last_idx]
     )
-    return last, cache
+    return last, scratch
+
+
+def _pages_to_scratch(pool, table_row, scratch):
+    """Load a retained prefix from the pool into the contiguous scratch:
+    gather the request's pages into a contiguous view and take the scratch
+    length's worth. Positions past the resident tokens are garbage and
+    masked by prompt_len downstream."""
+    Ts = scratch.k.shape[2]
+    Hkv, D = pool.k.shape[-2], pool.k.shape[-1]
+
+    def view(p):  # (L, n_per*ps, Hkv, D) -> (L, 1, Ts, Hkv, D)
+        g = jnp.take(p, table_row[0], axis=1, mode="clip")
+        g = g.reshape(p.shape[0], -1, Hkv, D)
+        return g[:, None, :Ts]
+
+    return decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+
+
+def _scratch_to_pages(pool, scratch, table_row):
+    """Scatter the scratch row into the pool as whole pages through the
+    request's table row. Sentinel (unallocated) entries drop; reserved
+    decode pages beyond the prompt get overwritten with scratch garbage,
+    which is harmless — decode writes them before they become visible."""
+    L, P, ps, Hkv, D = pool.k.shape
+    n_per = table_row.shape[1]
+    Ts = scratch.k.shape[2]
+
+    def put(pool_arr, scr):
+        s = scr[:, 0]  # (L, Ts, Hkv, D)
+        pad = n_per * ps - Ts
+        if pad > 0:
+            s = jnp.pad(s, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        else:
+            s = s[:, : n_per * ps]
+        pages = s.reshape(L, n_per, ps, Hkv, D)
+        # duplicate sentinel ids are all dropped; no unique_indices claim
+        return pool_arr.at[:, table_row[0]].set(
+            pages.astype(pool_arr.dtype), mode="drop"
+        )
+
+    return decoder_lib.PagedKVCache(
+        k=put(pool.k, scratch.k), v=put(pool.v, scratch.v)
+    )
 
 
 def _sample_slots(logits, temps, key):

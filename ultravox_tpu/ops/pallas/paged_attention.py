@@ -87,17 +87,25 @@ def _paged_decode_kernel(
             v_pool.at[pid], v_scratch.at[slot], sem.at[slot, 1]
         ).wait()
 
+    # triple-buffered pipeline: the DMA source address depends on an SMEM
+    # table load, so issue TWO pages ahead to keep the copy engine busy
+    # (the contiguous kernel's addresses are affine in the loop index and
+    # get away with double buffering)
     @pl.when(num_blocks > first_block)
     def _():
-        start_copy(first_block % 2, first_block)
+        start_copy(first_block % 3, first_block)
+
+    @pl.when(num_blocks > first_block + 1)
+    def _():
+        start_copy((first_block + 1) % 3, first_block + 1)
 
     def body(i, carry):
         m, z, acc = carry
-        slot = i % 2
+        slot = i % 3
 
-        @pl.when(i + 1 < num_blocks)
+        @pl.when(i + 2 < num_blocks)
         def _():
-            start_copy((i + 1) % 2, i + 1)
+            start_copy((i + 2) % 3, i + 2)
 
         wait_copy(slot, i)
         k = k_scratch[slot]  # (page_size, packed)
@@ -179,9 +187,9 @@ def paged_decode_attention(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, page_size, packed), k_pool.dtype),
-                pltpu.VMEM((2, page_size, packed), v_pool.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((3, page_size, packed), k_pool.dtype),
+                pltpu.VMEM((3, page_size, packed), v_pool.dtype),
+                pltpu.SemaphoreType.DMA((3, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, packed, cols), jnp.float32),
