@@ -146,3 +146,41 @@ def test_sharded_serving_engine(setup):
     finally:
         serving.stop()
     assert ids == expected
+
+
+def test_sharded_serving_engine_paged(setup):
+    """Paged mode over a sharded model: the page pool shards its head axis
+    over 'tensor' like the slot cache, and tokens match the unsharded
+    offline engine."""
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+
+    cfg, params, batch = setup
+    mesh = make_mesh(MeshConfig(1, 2, 2))
+    sharded = shard_params(params, mesh)
+
+    one = {
+        "input_ids": np.asarray(batch["input_ids"][:1]),
+        "attention_mask": np.asarray(batch["attention_mask"][:1]),
+    }
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(one, max_new_tokens=6).token_ids[0]
+
+    serving = ServingEngine(
+        sharded, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(128,), mel_len_buckets=(400,), mesh=mesh,
+        cache_mode="paged", page_size=16,
+    )
+    serving.start()
+    try:
+        req = serving.submit(one, max_tokens=6)
+        ids = []
+        for ev in serving.stream(req):
+            if ev.token_id is None:
+                break
+            ids.append(ev.token_id)
+    finally:
+        serving.stop()
+    assert ids == expected
