@@ -38,8 +38,6 @@ def bench_op():
 
     n_per = S // ps
     P = B * n_per + 8
-    pool_k = jnp.zeros((P, ps, Hkv, D), jnp.bfloat16)
-    pool_v = jnp.zeros((P, ps, Hkv, D), jnp.bfloat16)
     order = rng.permutation(B * n_per)
     table = np.zeros((B, n_per), np.int32)
     kb = np.asarray(k, np.float32).reshape(B * n_per, ps, Hkv, D)

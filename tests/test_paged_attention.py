@@ -115,3 +115,33 @@ def test_paged_decode_untouched_pages_are_ignored():
         q, k_pool, v_pool, jnp.asarray(t2), lens, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_paged_decode_pageless_slot_is_safe():
+    """A slot owning ZERO pages (all-sentinel table row, as every free slot
+    has in the serving engine) must not address outside the pool: the
+    kernel clamps page ids in-range. Its output is garbage-by-contract but
+    must be finite, and other rows must be exact."""
+    B, S, H, Hkv, D, ps = 2, 128, 4, 2, 64, 64
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+
+    k_pool, table = _scatter_to_pages(k, ps, np.random.default_rng(11))
+    v_pool, _ = _scatter_to_pages(v, ps, np.random.default_rng(11))
+    t = np.asarray(table).copy()
+    t[1, :] = int(k_pool.shape[0])  # row 1: no pages at all (sentinel)
+    lens = jnp.asarray([128, 1], jnp.int32)  # inactive slots carry len 1
+
+    out = paged_decode_attention(
+        q, k_pool, v_pool, jnp.asarray(t), lens, interpret=True
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    # row 0 unaffected by row 1's sentinel table
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    bias = jnp.where(pos < lens[:, None], 0.0, NEG_INF)[:, None, None, :]
+    ref = mha(q[:1, None], k[:1], v[:1], bias=bias[:1])[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(out[:1]), np.asarray(ref), atol=2e-5
+    )

@@ -597,15 +597,31 @@ class ServingEngine:
             ]
             slot = non_retained[-1] if non_retained else self._free_slots[-1]
             self._free_slots.remove(slot)
-        self._retained.pop(slot, None)  # rows get overwritten now
+        retained_entry = self._retained.pop(slot, None)  # rows overwritten now
         if self.paged:
             # keep only the reused-prefix pages (exclusively owned, so the
             # boundary page is simply overwritten from ``start`` onward),
             # then reserve the request's full footprint up front
+            saved_pages = list(self._slot_pages[slot])
             self._trim_slot_pages(slot, start)
             total = min(prompt_len + req.max_tokens, self.max_seq_len)
             if not self._reserve_pages(slot, total):
-                self._release_slot_pages(slot)
+                # transient failure must not destroy an adopted retained
+                # conversation: its pages are still on the free list
+                # (reserve consumed nothing on failure), so restore the
+                # snapshot and the retained entry before requeueing —
+                # otherwise the retry needs MORE pages (full prompt, no
+                # reusable prefix) than the attempt that failed
+                for p in saved_pages[len(self._slot_pages[slot]):]:
+                    self._free_pages.remove(p)
+                self._slot_pages[slot] = saved_pages
+                self._table_np[slot, : len(saved_pages)] = saved_pages
+                self._table_np[slot, len(saved_pages):] = self.num_pages
+                self._push_table()
+                if retained_entry is not None:
+                    self._retained[slot] = retained_entry
+                else:
+                    self._release_slot_pages(slot)
                 self._free_slots.append(slot)
                 if self._active or self._prefilling:
                     # pages will free as requests finish: retry later
@@ -818,34 +834,20 @@ def _prefill_chunk_impl(
     start_pos + C) (tail padding past prompt_len is written but masked by
     kv_valid_len and later by cache_lens). Returns the logits at the LAST
     valid prompt position (meaningful on the final chunk) and the updated
-    slot cache."""
-    tc = cfg.text_config
-    # operate on the request's cache row: (L, 1, S_max, H, D)
+    slot cache. The forward itself is shared with the paged scratch path
+    (_prefill_chunk_scratch_impl) — this wrapper only slices/updates the
+    request's cache row (L, 1, S_max, H, D)."""
     row = decoder_lib.KVCache(
         k=jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1),
         v=jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1),
     )
-    _, C, _ = embeds_chunk.shape
-    positions = (start_pos + jnp.arange(C, dtype=jnp.int32))[None]
-    valid = jnp.minimum(start_pos + C, prompt_len)
-    hidden, row = decoder_lib.decoder_forward(
-        params["language_model"],
-        tc,
-        inputs_embeds=embeds_chunk,
-        positions=positions,
-        kv_valid_len=valid[None],
-        cache=row,
-        write_pos=start_pos[None],
-        return_hidden=True,
+    last, row = _prefill_chunk_scratch_impl(
+        params, row, embeds_chunk, start_pos, prompt_len, cfg=cfg,
         prefill_kernel=prefill_kernel,
     )
     cache = decoder_lib.KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, row.k, (0, slot, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(cache.v, row.v, (0, slot, 0, 0, 0)),
-    )
-    last_idx = jnp.clip(prompt_len - 1 - start_pos, 0, C - 1)
-    last = decoder_lib.compute_logits(
-        params["language_model"], tc, hidden[:, last_idx]
     )
     return last, cache
 

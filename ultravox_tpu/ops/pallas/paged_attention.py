@@ -59,6 +59,7 @@ def _paged_decode_kernel(
     page_size: int,
     packed_dim: int,
     num_cols: int,
+    num_pages: int,
 ):
     b = pl.program_id(0)
     n = lens_ref[b]
@@ -69,8 +70,15 @@ def _paged_decode_kernel(
 
     q_bd = qbd_ref[0]
 
+    def page_of(block_idx):
+        # clamp sentinel/garbage ids in-range: a slot that owns no pages
+        # still runs (continuous batching decodes every slot; inactive
+        # slots carry length 1) and must never DMA outside the pool — the
+        # same guard the XLA gather path gets from mode="clip"
+        return jnp.minimum(table_ref[b, block_idx], num_pages - 1)
+
     def start_copy(slot, block_idx):
-        pid = table_ref[b, block_idx]
+        pid = page_of(block_idx)
         pltpu.make_async_copy(
             k_pool.at[pid], k_scratch.at[slot], sem.at[slot, 0]
         ).start()
@@ -79,7 +87,7 @@ def _paged_decode_kernel(
         ).start()
 
     def wait_copy(slot, block_idx):
-        pid = table_ref[b, block_idx]
+        pid = page_of(block_idx)
         pltpu.make_async_copy(
             k_pool.at[pid], k_scratch.at[slot], sem.at[slot, 0]
         ).wait()
@@ -168,6 +176,7 @@ def paged_decode_attention(
         page_size=page_size,
         packed_dim=packed,
         num_cols=cols,
+        num_pages=P,
     )
     out_packed = pl.pallas_call(
         kernel,

@@ -400,6 +400,7 @@ def validate(config, model_pack, state, template, mesh) -> Dict[str, float]:
         ts.make_eval_step(
             model_pack.config, config.loss_config, template,
             vocab_chunk=config.vocab_loss_chunk,
+            attn_impl=config.attn_impl,
         )
     )
     out: Dict[str, float] = {}

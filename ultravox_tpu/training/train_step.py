@@ -195,24 +195,28 @@ def make_eval_step(
     params_template: Params,
     *,
     vocab_chunk: Optional[int] = None,
+    attn_impl: str = "xla",
 ) -> Callable:
     """Validation loss step (reference: evaluation/validate.py teacher-forcing
     loss): (state, batch) -> (loss_sum, label_count) for weighted averaging.
 
     ``vocab_chunk`` projects to the vocabulary chunkwise (no (B, T, V)
-    tensor), matching the train step's option."""
+    tensor) and ``attn_impl`` selects the attention path, both matching the
+    train step's options so val loss runs through the same numerics."""
 
     def eval_step(state: TrainState, batch: Dict[str, jax.Array]):
         params = merge_params(params_template, state.trainable, state.frozen)
         labels = batch["labels"]
         if vocab_chunk:
-            hidden = uv.ultravox_forward(params, cfg, batch, return_hidden=True)
+            hidden = uv.ultravox_forward(
+                params, cfg, batch, return_hidden=True, attn_impl=attn_impl
+            )
             s, c = uv.chunked_nll_sums(
                 params["language_model"], cfg.text_config, hidden, labels,
                 chunk=vocab_chunk,
             )
             return s, c
-        logits = uv.ultravox_forward(params, cfg, batch)
+        logits = uv.ultravox_forward(params, cfg, batch, attn_impl=attn_impl)
         shift_labels = labels[:, 1:]
         valid = shift_labels != -100
         safe = jnp.where(valid, shift_labels, 0)
