@@ -277,7 +277,20 @@ def make_handler(api: ServingAPI):
                     conn.close()
                 self.close_connection = True
             elif self.path in ("/health", "/v1/health"):
-                self._json(200, {"status": "ok"})
+                eng = api.engine
+                stats = {
+                    "status": "ok",
+                    "active_slots": len(eng._active),
+                    "free_slots": len(eng._free_slots),
+                    "queued_prefills": len(eng._prefilling),
+                    "reused_prefix_tokens": eng.reused_prefix_tokens,
+                }
+                if getattr(eng, "paged", False):
+                    stats["cache_mode"] = "paged"
+                    stats["pages_in_use"] = eng.pages_in_use
+                    stats["pages_total"] = eng.num_pages
+                    stats["page_size"] = eng.page_size
+                self._json(200, stats)
             elif self.path == "/v1/models":
                 self._json(
                     200,
