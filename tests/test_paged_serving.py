@@ -197,3 +197,84 @@ def test_paged_conversation_reuse_adopts_pages(setup):
     finally:
         fresh.stop()
     assert ids2 == fids2
+
+
+def test_paged_prefix_cache_survives_adoption(setup):
+    """Copy-on-adopt: a retained turn-1 prefix serves MULTIPLE later
+    requests — the second adoption must also reuse (the entry survived the
+    first), and both outputs must match a fresh engine exactly."""
+    cfg, params, processor, collator = setup
+    t1 = "shared system prompt for everyone here"
+    t2a = t1 + " first user continues this way"
+    t2b = t1 + " second user goes a different way"
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16,
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(_mini_batch(processor, collator, t1), max_tokens=4)
+        _drain(serving, r1)
+        reused_0 = serving.reused_prefix_tokens
+        ra = serving.submit(_mini_batch(processor, collator, t2a), max_tokens=5)
+        ids_a, _ = _drain(serving, ra)
+        reused_a = serving.reused_prefix_tokens
+        rb = serving.submit(_mini_batch(processor, collator, t2b), max_tokens=5)
+        ids_b, _ = _drain(serving, rb)
+        reused_b = serving.reused_prefix_tokens
+        assert reused_a > reused_0, "first adoption did not reuse"
+        assert reused_b > reused_a, "retained prefix did not survive adoption"
+        assert not serving._pinned  # all pins released
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+
+    for text, ids in ((t2a, ids_a), (t2b, ids_b)):
+        fresh = ServingEngine(
+            params, cfg, num_slots=4, max_seq_len=128,
+            cache_dtype=jnp.float32, prefill_len_buckets=(64, 128),
+            mel_len_buckets=(400,), cache_mode="paged", page_size=16,
+        )
+        fresh.start()
+        try:
+            fr = fresh.submit(_mini_batch(processor, collator, text), max_tokens=5)
+            fids, _ = _drain(fresh, fr)
+        finally:
+            fresh.stop()
+        assert ids == fids
+
+
+def test_paged_concurrent_adopters_share_one_prefix(setup):
+    """Two requests submitted together can both adopt one retained prefix
+    (pin counting keeps the source alive until each has read it)."""
+    cfg, params, processor, collator = setup
+    t1 = "another shared system prompt to cache"
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16,
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(_mini_batch(processor, collator, t1), max_tokens=4)
+        _drain(serving, r1)
+        base = serving.reused_prefix_tokens
+        reqs = [
+            serving.submit(
+                _mini_batch(processor, collator, t1 + f" user number {i}"),
+                max_tokens=5,
+            )
+            for i in range(2)
+        ]
+        results = [_drain(serving, r) for r in reqs]
+        gained = serving.reused_prefix_tokens - base
+        assert all(f == "length" for _, f in results)
+        # both adopters reused a nontrivial prefix
+        assert gained >= 2 * serving.min_reuse_tokens, gained
+        assert not serving._pinned
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()

@@ -22,10 +22,14 @@ drives externally via run_vllm_inference.py:180-209; VERDICT r1 weak #4).
 per-request page tables (vLLM paged-KV counterpart; the BASELINE.json north
 star's "continuous-batching decode loop (paged KV cache)"): HBM is
 provisioned for resident tokens rather than num_slots x max_seq_len, pages
-are reserved at admission (decode never fails mid-stream), conversation
-reuse adopts the retained pages in place instead of copying rows, and the
-paged flash-decoding kernel (ops/pallas/paged_attention.py) DMAs exactly
-the live pages per step when ``decode_attn_impl="kernel"``.
+are reserved at admission (decode never fails mid-stream), and the paged
+flash-decoding kernel (ops/pallas/paged_attention.py) DMAs exactly the
+live pages per step when ``decode_attn_impl="kernel"``. Conversation
+reuse is copy-on-adopt prefix caching: the retained prefix pages are read
+through the prefill scratch into the new request's own pages, so the
+retained entry SURVIVES and any number of concurrent requests can reuse
+one cached prefix (system-prompt caching); the source is pin-counted
+against eviction until each adopter has read it.
 
 All device work is jitted with static shapes; the scheduler is host Python
 (cheap — one dispatch per decode step for the whole batch) and the hot loop
@@ -106,6 +110,11 @@ class PrefillJob:
     # paged mode: the reused prefix lives in pool pages and must be loaded
     # into the contiguous prefill scratch before the first chunk runs
     needs_scratch_load: bool = False
+    # copy-on-adopt prefix caching: when >= 0, the prefix loads from THIS
+    # (still-retained) slot's pages; the request's own slot gets a fresh
+    # copy via the end-of-prefill page scatter, so the retained
+    # conversation survives for further concurrent reuse
+    prefix_src_slot: int = -1
 
 
 def _request_tokens_and_spans(batch: Dict[str, np.ndarray]):
@@ -330,6 +339,10 @@ class ServingEngine:
         # conversation-prefix reuse: finished slots keep their cache rows
         # until reallocated; min_reuse_tokens gates trivial matches
         self._retained: Dict[int, RetainedCache] = {}
+        # paged copy-on-adopt: source slots whose pages a queued prefill
+        # will read — protected from eviction/reallocation until loaded.
+        # Counted, not a set: several queued prefills may share one source
+        self._pinned: Dict[int, int] = {}
         self.min_reuse_tokens = 8
         self.reused_prefix_tokens = 0  # cumulative counter (observability)
         self._requests: Dict[int, Request] = {}
@@ -370,7 +383,11 @@ class ServingEngine:
         for slot in list(self._retained):
             if len(self._free_pages) >= needed:
                 break
-            if slot in self._free_slots and self._slot_pages[slot]:
+            if (
+                slot in self._free_slots
+                and slot not in self._pinned
+                and self._slot_pages[slot]
+            ):
                 self._retained.pop(slot, None)
                 self._release_slot_pages(slot)
 
@@ -393,6 +410,16 @@ class ServingEngine:
         self._table_np[slot, have:need] = new
         self._push_table()
         return True
+
+    def _pin(self, slot: int):
+        self._pinned[slot] = self._pinned.get(slot, 0) + 1
+
+    def _unpin(self, slot: int):
+        n = self._pinned.get(slot, 0) - 1
+        if n <= 0:
+            self._pinned.pop(slot, None)
+        else:
+            self._pinned[slot] = n
 
     @property
     def pages_in_use(self) -> int:
@@ -528,6 +555,8 @@ class ServingEngine:
                     self._prefilling.pop(0)
                     if self.paged:
                         self._release_slot_pages(job.req.slot)
+                    if job.prefix_src_slot >= 0:
+                        self._unpin(job.prefix_src_slot)
                     self._free_slots.append(job.req.slot)
                     job.req.slot = -1
                     job.req.out_queue.put(
@@ -584,21 +613,68 @@ class ServingEngine:
             if m > best_m:
                 best_m, best_slot = m, slot_r
         start = 0
-        if best_slot is not None and best_m >= self.min_reuse_tokens:
-            slot = best_slot
-            self._free_slots.remove(slot)
+        src_slot = -1
+        adopting = best_slot is not None and best_m >= self.min_reuse_tokens
+        if adopting:
             # at least one suffix token must prefill to produce logits
             start = min(best_m, prompt_len - 1)
+        if adopting and self.paged:
+            # copy-on-adopt prefix caching: place the request on a DIFFERENT
+            # slot when one is available — the source's pages are read into
+            # the prefill scratch and re-published into the new slot's own
+            # pages, so the retained conversation survives and any number
+            # of concurrent requests can reuse the same cached prefix
+            cands = [s for s in self._free_slots if s not in self._pinned]
+            if not cands:
+                self._pending.put(req)  # pins are transient; retry shortly
+                return
+            others = [s for s in cands if s != best_slot]
+            non_ret = [s for s in others if s not in self._retained]
+            if non_ret:
+                slot = non_ret[-1]
+            elif others:
+                slot = others[-1]
+            else:
+                slot = best_slot  # forced: fall back to transfer semantics
+            self._free_slots.remove(slot)
+            if slot != best_slot:
+                src_slot = best_slot
+        elif adopting:
+            slot = best_slot
+            self._free_slots.remove(slot)
         else:
             # prefer slots with no retained conversation, so one unrelated
             # request doesn't evict a reusable prefix
-            non_retained = [
-                s for s in self._free_slots if s not in self._retained
-            ]
-            slot = non_retained[-1] if non_retained else self._free_slots[-1]
+            cands = [s for s in self._free_slots if s not in self._pinned]
+            if not cands:
+                self._pending.put(req)
+                return
+            non_retained = [s for s in cands if s not in self._retained]
+            slot = non_retained[-1] if non_retained else cands[-1]
             self._free_slots.remove(slot)
-        retained_entry = self._retained.pop(slot, None)  # rows overwritten now
-        if self.paged:
+        if src_slot >= 0:
+            # the destination's own retained conversation (if any, an
+            # unrelated one) is evicted; the SOURCE entry stays retained
+            self._retained.pop(slot, None)
+            retained_entry = None
+            self._release_slot_pages(slot)
+            total = min(prompt_len + req.max_tokens, self.max_seq_len)
+            if not self._reserve_pages(slot, total):
+                self._free_slots.append(slot)
+                if self._active or self._prefilling:
+                    self._pending.put(req)  # source entry intact for retry
+                else:
+                    req.out_queue.put(
+                        StreamEvent(
+                            token_id=None, finish_reason="pool_exhausted"
+                        )
+                    )
+                    self._requests.pop(req.request_id, None)
+                return
+            self._pin(src_slot)
+        else:
+            retained_entry = self._retained.pop(slot, None)  # overwritten now
+        if self.paged and src_slot < 0:
             # keep only the reused-prefix pages (exclusively owned, so the
             # boundary page is simply overwritten from ``start`` onward),
             # then reserve the request's full footprint up front
@@ -656,6 +732,8 @@ class ServingEngine:
         except Exception:
             if self.paged:
                 self._release_slot_pages(slot)
+            if src_slot >= 0:
+                self._unpin(src_slot)
             self._free_slots.append(slot)  # the slot must not leak
             req.slot = -1
             raise
@@ -663,6 +741,7 @@ class ServingEngine:
             PrefillJob(
                 req=req, embeds=embeds, chunk=chunk, pos=start,
                 needs_scratch_load=self.paged and start > 0,
+                prefix_src_slot=src_slot,
             )
         )
 
@@ -677,11 +756,17 @@ class ServingEngine:
         chunk = jax.lax.dynamic_slice_in_dim(job.embeds, start, C, 1)
         if self.paged:
             if job.needs_scratch_load:
-                # conversation reuse: the retained prefix lives in pages
+                # conversation reuse: the retained prefix lives in pages —
+                # the request's own (transfer) or, with copy-on-adopt, a
+                # still-retained source slot's (unpin once read)
+                src = job.prefix_src_slot if job.prefix_src_slot >= 0 else req.slot
                 self._scratch = self._pages_to_scratch(
-                    self.cache, self.page_table[req.slot][None], self._scratch
+                    self.cache, self.page_table[src][None], self._scratch
                 )
                 job.needs_scratch_load = False
+                if job.prefix_src_slot >= 0:
+                    self._unpin(job.prefix_src_slot)
+                    job.prefix_src_slot = -1
             logits_last, self._scratch = self._prefill_chunk(
                 self.params,
                 self._scratch,
