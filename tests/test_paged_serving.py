@@ -1,6 +1,6 @@
 """Paged-cache serving mode: correctness vs the offline engine, pool
-backpressure, page accounting, and conversation-prefix reuse by page
-adoption (no row copies)."""
+backpressure, page accounting, and copy-on-adopt prefix caching (retained
+prefixes survive adoption and serve concurrent requests)."""
 
 import numpy as np
 import pytest
