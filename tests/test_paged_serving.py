@@ -278,3 +278,46 @@ def test_paged_concurrent_adopters_share_one_prefix(setup):
         _check_page_accounting(serving)
     finally:
         serving.stop()
+
+
+def test_paged_adoption_degrades_when_pool_cannot_hold_source(setup):
+    """When the pool cannot hold a request AND its adoption source, the
+    engine serves WITHOUT reuse (evicting the source) rather than failing
+    or corrupting the prefix — and the output still matches a fresh run."""
+    cfg, params, processor, collator = setup
+    t1 = "tiny shared prefix here"
+    t2 = t1 + " plus a longer continuation from the user"
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=4,
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(_mini_batch(processor, collator, t1), max_tokens=4)
+        _drain(serving, r1)
+        reused_before = serving.reused_prefix_tokens
+        # t2 is 40 tokens; +20 budget = 4 pages = the WHOLE pool, while the
+        # retained source holds 2: adoption cannot coexist with the source
+        r2 = serving.submit(_mini_batch(processor, collator, t2), max_tokens=20)
+        ids2, finish = _drain(serving, r2)
+        assert finish == "length"
+        assert serving.reused_prefix_tokens == reused_before  # no reuse
+        assert not serving._pinned
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+
+    fresh = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=4,
+    )
+    fresh.start()
+    try:
+        fr = fresh.submit(_mini_batch(processor, collator, t2), max_tokens=20)
+        fids, _ = _drain(fresh, fr)
+    finally:
+        fresh.stop()
+    assert ids2 == fids

@@ -616,8 +616,23 @@ class ServingEngine:
         src_slot = -1
         adopting = best_slot is not None and best_m >= self.min_reuse_tokens
         if adopting:
-            # at least one suffix token must prefill to produce logits
+            # at least one suffix token must prefill to produce logits;
+            # a degenerate zero-token prefix gains nothing (and must not
+            # pin a source it will never read)
             start = min(best_m, prompt_len - 1)
+            adopting = start > 0
+
+        def defer_or_fail():
+            """Backpressure: requeue while in-flight work can still free
+            slots/pages; fail only when nothing could ever satisfy this."""
+            if self._active or self._prefilling:
+                self._pending.put(req)
+            else:
+                req.out_queue.put(
+                    StreamEvent(token_id=None, finish_reason="pool_exhausted")
+                )
+                self._requests.pop(req.request_id, None)
+
         if adopting and self.paged:
             # copy-on-adopt prefix caching: place the request on a DIFFERENT
             # slot when one is available — the source's pages are read into
@@ -626,7 +641,7 @@ class ServingEngine:
             # of concurrent requests can reuse the same cached prefix
             cands = [s for s in self._free_slots if s not in self._pinned]
             if not cands:
-                self._pending.put(req)  # pins are transient; retry shortly
+                defer_or_fail()  # pins are transient; retry shortly
                 return
             others = [s for s in cands if s != best_slot]
             non_ret = [s for s in others if s not in self._retained]
@@ -647,71 +662,63 @@ class ServingEngine:
             # request doesn't evict a reusable prefix
             cands = [s for s in self._free_slots if s not in self._pinned]
             if not cands:
-                self._pending.put(req)
+                defer_or_fail()
                 return
             non_retained = [s for s in cands if s not in self._retained]
             slot = non_retained[-1] if non_retained else cands[-1]
             self._free_slots.remove(slot)
-        if src_slot >= 0:
-            # the destination's own retained conversation (if any, an
-            # unrelated one) is evicted; the SOURCE entry stays retained
-            self._retained.pop(slot, None)
-            retained_entry = None
-            self._release_slot_pages(slot)
-            total = min(prompt_len + req.max_tokens, self.max_seq_len)
-            if not self._reserve_pages(slot, total):
-                self._free_slots.append(slot)
-                if self._active or self._prefilling:
-                    self._pending.put(req)  # source entry intact for retry
-                else:
-                    req.out_queue.put(
-                        StreamEvent(
-                            token_id=None, finish_reason="pool_exhausted"
-                        )
-                    )
-                    self._requests.pop(req.request_id, None)
-                return
-            self._pin(src_slot)
-        else:
-            retained_entry = self._retained.pop(slot, None)  # overwritten now
-        if self.paged and src_slot < 0:
-            # keep only the reused-prefix pages (exclusively owned, so the
-            # boundary page is simply overwritten from ``start`` onward),
-            # then reserve the request's full footprint up front
+        if self.paged:
+            # Reserve the request's full footprint up front against a
+            # snapshot of the destination slot. Transfer mode (src_slot < 0)
+            # keeps the reused-prefix pages (exclusively owned: the boundary
+            # page is simply overwritten from ``start`` onward); copy mode
+            # evicts the destination's own (unrelated) retained pages.
+            if src_slot >= 0:
+                # pin BEFORE reserving: the reservation's own eviction pass
+                # must not consume the adoption source
+                self._pin(src_slot)
+            keep = start if (adopting and src_slot < 0) else 0
             saved_pages = list(self._slot_pages[slot])
-            self._trim_slot_pages(slot, start)
+            saved_entry = self._retained.pop(slot, None)
+            self._trim_slot_pages(slot, keep)
             total = min(prompt_len + req.max_tokens, self.max_seq_len)
-            if not self._reserve_pages(slot, total):
-                # transient failure must not destroy an adopted retained
-                # conversation: its pages are still on the free list
-                # (reserve consumed nothing on failure), so restore the
-                # snapshot and the retained entry before requeueing —
-                # otherwise the retry needs MORE pages (full prompt, no
-                # reusable prefix) than the attempt that failed
+            ok = self._reserve_pages(slot, total)
+            if not ok and src_slot >= 0:
+                # the pool cannot hold the request AND the pinned source:
+                # losing the cached prefix beats deferring/failing, so admit
+                # without reuse — evicting the source only if no OTHER
+                # queued adopter still needs its pages
+                self._unpin(src_slot)
+                if src_slot not in self._pinned:
+                    self._retained.pop(src_slot, None)
+                    self._release_slot_pages(src_slot)
+                src_slot = -1
+                adopting = False
+                start = 0
+                ok = self._reserve_pages(slot, total)
+            if not ok:
+                # transient failure must not destroy cached state: the freed
+                # pages are still on the free list (reserve consumed nothing
+                # on failure), so restore the snapshot — both the adopted
+                # prefix and the destination's own retained conversation
+                # survive the requeue
                 for p in saved_pages[len(self._slot_pages[slot]):]:
                     self._free_pages.remove(p)
                 self._slot_pages[slot] = saved_pages
                 self._table_np[slot, : len(saved_pages)] = saved_pages
                 self._table_np[slot, len(saved_pages):] = self.num_pages
                 self._push_table()
-                if retained_entry is not None:
-                    self._retained[slot] = retained_entry
-                else:
+                if saved_entry is not None:
+                    self._retained[slot] = saved_entry
+                elif self._slot_pages[slot]:
                     self._release_slot_pages(slot)
+                if src_slot >= 0:
+                    self._unpin(src_slot)
                 self._free_slots.append(slot)
-                if self._active or self._prefilling:
-                    # pages will free as requests finish: retry later
-                    self._pending.put(req)
-                else:
-                    # nothing in flight and still unsatisfiable: the pool is
-                    # too small for this request alone
-                    req.out_queue.put(
-                        StreamEvent(
-                            token_id=None, finish_reason="pool_exhausted"
-                        )
-                    )
-                    self._requests.pop(req.request_id, None)
+                defer_or_fail()
                 return
+        else:
+            self._retained.pop(slot, None)  # rows get overwritten now
         try:
             req.slot = slot
             req.prompt_len = prompt_len
@@ -758,15 +765,17 @@ class ServingEngine:
             if job.needs_scratch_load:
                 # conversation reuse: the retained prefix lives in pages —
                 # the request's own (transfer) or, with copy-on-adopt, a
-                # still-retained source slot's (unpin once read)
+                # still-retained source slot's
                 src = job.prefix_src_slot if job.prefix_src_slot >= 0 else req.slot
                 self._scratch = self._pages_to_scratch(
                     self.cache, self.page_table[src][None], self._scratch
                 )
                 job.needs_scratch_load = False
-                if job.prefix_src_slot >= 0:
-                    self._unpin(job.prefix_src_slot)
-                    job.prefix_src_slot = -1
+            if job.prefix_src_slot >= 0:
+                # unpin keyed off the src field itself (not the load flag)
+                # so a pin can never outlive its job
+                self._unpin(job.prefix_src_slot)
+                job.prefix_src_slot = -1
             logits_last, self._scratch = self._prefill_chunk(
                 self.params,
                 self._scratch,
