@@ -321,3 +321,40 @@ def test_paged_adoption_degrades_when_pool_cannot_hold_source(setup):
     finally:
         fresh.stop()
     assert ids2 == fids
+
+
+def test_paged_with_int8_quantization(setup):
+    """cache_mode='paged' composes with int8 weight quantization: tokens
+    match the int8 slots-mode engine."""
+    cfg, params, processor, collator = setup
+    texts = ["hello there friend", "the quick brown fox"]
+
+    ref = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,), quantize="int8",
+    )
+    ref.start()
+    try:
+        expected = [
+            _drain(ref, ref.submit(_mini_batch(processor, collator, t),
+                                   max_tokens=6))[0]
+            for t in texts
+        ]
+    finally:
+        ref.stop()
+
+    paged = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,), quantize="int8",
+        cache_mode="paged", page_size=16,
+    )
+    paged.start()
+    try:
+        got = [
+            _drain(paged, paged.submit(_mini_batch(processor, collator, t),
+                                       max_tokens=6))[0]
+            for t in texts
+        ]
+    finally:
+        paged.stop()
+    assert got == expected
