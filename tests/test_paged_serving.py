@@ -358,3 +358,49 @@ def test_paged_with_int8_quantization(setup):
     finally:
         paged.stop()
     assert got == expected
+
+
+def test_paged_scheduler_stress_random_mix(setup):
+    """Randomized churn: 24 requests with mixed prompt lengths, budgets,
+    temperatures, shared prefixes, and audio against a small pool — every
+    request must finish cleanly and the allocator must balance."""
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(42)
+    prefixes = ["alpha system prompt", "beta system prompt"]
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=24,
+    )
+    serving.start()
+    try:
+        reqs = []
+        for i in range(24):
+            text = prefixes[i % 2] + " user " + " ".join(
+                rng.choice(["one", "two", "red", "blue", "go"],
+                           size=rng.integers(1, 8))
+            )
+            audio = (
+                (rng.standard_normal(8000) * 0.1).astype(np.float32)
+                if i % 5 == 0
+                else None
+            )
+            if audio is not None:
+                text = "listen <|audio|> " + text
+            reqs.append(
+                serving.submit(
+                    _mini_batch(processor, collator, text, audio),
+                    max_tokens=int(rng.integers(2, 12)),
+                    temperature=float(rng.choice([0.0, 0.0, 0.8])),
+                )
+            )
+        results = [_drain(serving, r) for r in reqs]
+        finishes = {f for _, f in results}
+        assert finishes <= {"stop", "length", "cache_full"}, finishes
+        assert all(
+            len(ids) > 0 or f == "stop" for ids, f in results
+        )
+        assert not serving._pinned
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
