@@ -96,7 +96,13 @@ class _WsClient:
         resp = b""
         while b"\r\n\r\n" not in resp:
             resp += self.sock.recv(4096)
-        assert b"101" in resp.split(b"\r\n")[0], resp
+        # The server's 101 response and its first WS frame ("ready") can
+        # coalesce into one TCP segment: anything read past the header
+        # terminator is frame bytes and MUST be kept, or the client blocks
+        # forever waiting for a frame the kernel already delivered (the
+        # 120 s hang this test used to show intermittently).
+        head, _, self._buf = resp.partition(b"\r\n\r\n")
+        assert b"101" in head.split(b"\r\n")[0], head
 
     def send(self, opcode, payload: bytes):
         mask = os.urandom(4)
@@ -112,7 +118,7 @@ class _WsClient:
         self.sock.sendall(header + mask + masked)
 
     def _read_exact(self, n):
-        data = b""
+        data, self._buf = self._buf[:n], self._buf[n:]
         while len(data) < n:
             chunk = self.sock.recv(n - len(data))
             if not chunk:

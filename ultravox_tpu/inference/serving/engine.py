@@ -165,6 +165,42 @@ def _bucket(n: int, buckets) -> int:
     raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
 
 
+def _resolve_auto(
+    cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl,
+    decode_block_steps, max_seq_len,
+):
+    """Per-workload defaults from the measured crossovers (docs/serving.md):
+    the operator no longer has to know which mode wins where. Pallas kernels
+    only resolve on TPU backends; CPU/GPU fall back to the XLA paths."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if cache_mode == "auto":
+        # paged wins from ~1K-token prompts/contexts up (and always on HBM
+        # footprint); short-context bursts slightly favor plain slot rows
+        cache_mode = "paged" if max_seq_len >= 1024 else "slots"
+    if decode_attn_impl == "auto":
+        # flash-decode kernel wins at >=2K live contexts; below that the
+        # XLA gather path's lower fixed cost wins
+        decode_attn_impl = (
+            "kernel" if (on_tpu and max_seq_len >= 2048) else "xla"
+        )
+    if prefill_attn_impl == "auto":
+        # fused prefill avoids the (B,H,T,S) fp32 logits tensor — it wins
+        # whenever prompts run long enough for that tensor to matter
+        prefill_attn_impl = (
+            "fused" if (on_tpu and max_seq_len >= 1024) else "xla"
+        )
+    if encoder_attn_impl == "auto":
+        encoder_attn_impl = "fused" if on_tpu else "xla"
+    if decode_block_steps is None:
+        # blocks engage only in pure steady-state decode (the loop always
+        # prefers admission/prefill work), so a block size is safe to default
+        decode_block_steps = 8
+    return (
+        cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl,
+        decode_block_steps,
+    )
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -174,23 +210,32 @@ class ServingEngine:
         num_slots: int = 16,
         max_seq_len: int = 2048,
         cache_dtype=jnp.bfloat16,
-        cache_mode: str = "slots",  # "paged" = shared pool + page tables
+        cache_mode: str = "auto",  # "paged" = shared pool + page tables
         page_size: int = 256,
         num_pages: Optional[int] = None,  # default: same HBM as slot mode
         prefill_len_buckets: Optional[Tuple[int, ...]] = None,
         mel_len_buckets: Tuple[int, ...] = (400, 1000, 2000, 3000),
         max_prefills_per_step: int = 2,
         prefill_chunk_tokens: int = 256,
-        decode_block_steps: int = 1,
-        encoder_attn_impl: str = "xla",
-        decode_attn_impl: str = "xla",
-        prefill_attn_impl: str = "xla",  # "fused" = pallas causal prefill
+        decode_block_steps: Optional[int] = None,  # None = auto (8)
+        encoder_attn_impl: str = "auto",
+        decode_attn_impl: str = "auto",
+        prefill_attn_impl: str = "auto",  # "fused" = pallas causal prefill
         quantize: Optional[str] = None,  # "int8" = weight-only w8a16
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
         via ``parallel.shard_params``; the KV cache shards its head axis over
-        ``tensor`` and its slot axis over ``(data, fsdp)``."""
+        ``tensor`` and its slot axis over ``(data, fsdp)``.
+
+        ``"auto"`` selections resolve from the measured crossovers in
+        docs/serving.md (cache mode by advertised context length, attention
+        impls by context length and backend); explicit values override."""
+        cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl, \
+            decode_block_steps = _resolve_auto(
+                cache_mode, decode_attn_impl, prefill_attn_impl,
+                encoder_attn_impl, decode_block_steps, max_seq_len,
+            )
         self.params = dict(params)
         if mesh is None:  # fused matmuls don't compose with TP sharding
             self.params["language_model"] = decoder_lib.fuse_inference_params(
@@ -895,15 +940,19 @@ class ServingEngine:
                         if finish == "stop"
                         else req.emitted_ids[:-1]
                     )
-                    self._retained[req.slot] = RetainedCache(
+                    entry = RetainedCache(
                         token_ids=np.concatenate(
                             [req.token_ids,
                              np.asarray(kept, req.token_ids.dtype)]
                         ),
                         audio_spans=req.audio_spans,
                     )
-                    # paged: the slot keeps its pages while retained (freed
-                    # on reuse-trim, eviction, or reallocation)
+                    self._retained[req.slot] = entry
+                    if self.paged:
+                        # keep only the pages covering resident tokens —
+                        # the decode-reserve tail was never written and
+                        # holding it starves admissions (ADVICE r2 #1)
+                        self._trim_slot_pages(req.slot, len(entry.token_ids))
                 elif self.paged:
                     self._release_slot_pages(req.slot)
             self._requests.pop(req.request_id, None)
@@ -982,10 +1031,11 @@ def _pages_to_scratch(pool, table_row, scratch):
     length's worth. Positions past the resident tokens are garbage and
     masked by prompt_len downstream."""
     Ts = scratch.k.shape[2]
-    Hkv, D = pool.k.shape[-2], pool.k.shape[-1]
+    ps, Hkv, D = pool.k.shape[-3], pool.k.shape[-2], pool.k.shape[-1]
+    n_need = -(-Ts // ps)  # only the pages the scratch can hold (ADVICE #3)
 
-    def view(p):  # (L, n_per*ps, Hkv, D) -> (L, 1, Ts, Hkv, D)
-        g = jnp.take(p, table_row[0], axis=1, mode="clip")
+    def view(p):  # (L, n_need*ps, Hkv, D) -> (L, 1, Ts, Hkv, D)
+        g = jnp.take(p, table_row[0][:n_need], axis=1, mode="clip")
         g = g.reshape(p.shape[0], -1, Hkv, D)
         return g[:, None, :Ts]
 

@@ -188,8 +188,8 @@ def paged_decode_attention(
                     (1, packed, cols), lambda b, *_: (b, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, packed, cols), lambda b, *_: (b, 0, 0),
