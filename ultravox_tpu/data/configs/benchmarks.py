@@ -30,6 +30,7 @@ VOICEBENCH_SUBSETS = {
 
 AUDIOBENCH_SUBSETS = {
     "cn_college_listen_mcq_test": (2_271, "voicebench_mcq"),
+    "dream_tts_mcq_test": (1_910, "voicebench_mcq"),
     "slue_p2_sqa5_test": (408, "audiobench_binary"),
     "public_sg_speech_qa_test": (688, "audiobench_binary"),
     "openhermes_audio_test": (100, "audiobench_scalar"),

@@ -196,11 +196,44 @@ def configs() -> List[DatasetConfig]:
             eval_config=EvalConfig(metric="bleu"),
         )
     )
+    # full 36-pair matrix (reference: configs/covost2.py — 15 en->X plus
+    # 21 X->en subsets)
     for pair, target, count in [
-        ("en_de", "German", 289_430),
+        ("ar_en", "English", 2_283),
+        ("ca_en", "English", 95_854),
+        ("cy_en", "English", 1_241),
         ("de_en", "English", 127_834),
+        ("en_ar", "Arabic", 289_430),
+        ("en_ca", "Catalan", 289_430),
+        ("en_cy", "Welsh", 289_430),
+        ("en_de", "German", 289_430),
+        ("en_et", "Estonian", 289_430),
+        ("en_fa", "Persian", 289_430),
+        ("en_id", "Indonesian", 289_430),
+        ("en_ja", "Japanese", 289_430),
+        ("en_lv", "Latvian", 289_430),
+        ("en_mn", "Mongolian", 289_430),
+        ("en_sl", "Slovenian", 289_430),
+        ("en_sv-SE", "Swedish", 289_430),
+        ("en_ta", "Tamil", 289_430),
+        ("en_tr", "Turkish", 289_430),
+        ("en_zh-CN", "Chinese", 289_430),
         ("es_en", "English", 79_015),
+        ("et_en", "English", 1_782),
+        ("fa_en", "English", 53_949),
         ("fr_en", "English", 207_374),
+        ("id_en", "English", 1_243),
+        ("it_en", "English", 31_698),
+        ("ja_en", "English", 1_119),
+        ("lv_en", "English", 2_337),
+        ("mn_en", "English", 2_067),
+        ("nl_en", "English", 7_108),
+        ("pt_en", "English", 9_158),
+        ("ru_en", "English", 12_112),
+        ("sl_en", "English", 1_843),
+        ("sv-SE_en", "English", 2_160),
+        ("ta_en", "English", 1_358),
+        ("tr_en", "English", 3_966),
         ("zh-CN_en", "English", 7_085),
     ]:
         out.append(

@@ -14,6 +14,7 @@ from typing import List
 from ultravox_tpu.data import types
 from ultravox_tpu.data.types import (
     AUDIO_PLACEHOLDER,
+    CONTINUATION_PROMPTS,
     TRANSCRIPTION_PROMPTS_LANGUAGE,
     DatasetConfig,
     DatasetSplitConfig,
@@ -47,6 +48,10 @@ COMMONVOICE_LANGS = {
     "sw": ("Swahili", 35_369), "yo": ("Yoruba", 1_056),
     "uz": ("Uzbek", 44_186), "kk": ("Kazakh", 555),
     "az": ("Azerbaijani", 205), "ka": ("Georgian", 40_287),
+    "br": ("Breton", 2_780), "mk": ("Macedonian", 1_686),
+    "ml": ("Malayalam", 811), "mn": ("Mongolian", 2_175),
+    "mr": ("Marathi", 2_415), "oc": ("Occitan", 846),
+    "sr": ("Serbian", 984),
 }
 
 FLEURS_LANGS = [
@@ -107,6 +112,18 @@ def configs() -> List[DatasetConfig]:
         leaf.transcript_template = "{{sentence}}"
         leaf.eval_config.args = {"lang_id": lang.split("-")[0]}
         out.append(leaf)
+        # continuation leaves per language (reference: configs/commonvoice.py
+        # CV_*_CONT_CONFIG entries — the v0.6 recipes train on them)
+        out.append(
+            DatasetConfig(
+                name=f"{cfg_name}-continuation",
+                base=cfg_name,
+                user_template=CONTINUATION_PROMPTS[0],
+                assistant_template="{{continuation}}",
+                transcript_template="{{sentence}}",
+                eval_config=EvalConfig(metric="bleu"),
+            )
+        )
 
     # -- Multilingual LibriSpeech ------------------------------------------
     out.append(
