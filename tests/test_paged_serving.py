@@ -360,6 +360,93 @@ def test_paged_with_int8_quantization(setup):
     assert got == expected
 
 
+def test_paged_block_decode_matches_single_step(setup):
+    """Paged multi-step decode blocks (pages gathered once per block, tail
+    published as one page scatter at block end) emit exactly the same
+    greedy tokens as single-step paged decoding, including a request that
+    stops mid-block; page accounting and retained-prefix trimming must
+    survive block writes past a finished request's budget."""
+    cfg, params, processor, collator = setup
+    batches = [
+        _mini_batch(processor, collator, "hello world how are you"),
+        _mini_batch(processor, collator, "the quick brown fox"),
+    ]
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = [
+        offline.generate(b, max_new_tokens=11).token_ids[0] for b in batches
+    ]
+    stop = expected[0][5]  # request 0 stops mid-block
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=16,
+        decode_block_steps=4,
+    )
+    serving.start()
+    try:
+        r0 = serving.submit(
+            dict(batches[0]), max_tokens=11, stop_token_ids=(stop,)
+        )
+        r1 = serving.submit(dict(batches[1]), max_tokens=11)
+        ids0, fin0 = _drain(serving, r0)
+        ids1, fin1 = _drain(serving, r1)
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+    assert ids0 == expected[0][:5] and fin0 == "stop"
+    assert ids1 == expected[1] and fin1 == "length"
+
+
+def test_paged_block_decode_preserves_retained_prefix(setup):
+    """Block decode on OTHER slots must not corrupt a finished slot's
+    retained pages (inactive slots' tail writes redirect out of range), and
+    the follow-up turn must still adopt the retained prefix."""
+    cfg, params, processor, collator = setup
+    tok = processor.tokenizer
+
+    def turn_batch(messages):
+        text = tok.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+        return collator([processor(text=text)])
+
+    msgs1 = [{"role": "user", "content": "the quick brown fox jumps"}]
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=16,
+        decode_block_steps=4,
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(turn_batch(msgs1), max_tokens=6)
+        ids1, _ = _drain(serving, r1)
+        reply = tok.decode(ids1, skip_special_tokens=True)
+        filler = serving.submit(
+            _mini_batch(processor, collator, "hello world"), max_tokens=24
+        )
+        _drain(serving, filler)
+        msgs2 = msgs1 + [
+            {"role": "assistant", "content": reply},
+            {"role": "user", "content": "hello world how are you"},
+        ]
+        r2 = serving.submit(turn_batch(msgs2), max_tokens=6)
+        ids2, _ = _drain(serving, r2)
+        assert r2.reused_prefix >= serving.min_reuse_tokens
+        # correctness oracle: offline greedy on the full second-turn prompt
+        offline = GenerationEngine(
+            params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+        )
+        exp = offline.generate(turn_batch(msgs2), max_new_tokens=6).token_ids[0]
+        assert ids2 == exp
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+
+
 def test_paged_scheduler_stress_random_mix(setup):
     """Randomized churn: 24 requests with mixed prompt lengths, budgets,
     temperatures, shared prefixes, and audio against a small pool — every

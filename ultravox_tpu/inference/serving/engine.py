@@ -359,12 +359,6 @@ class ServingEngine:
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
         self.decode_block_steps = max(1, decode_block_steps)
-        if self.paged and self.decode_block_steps > 1:
-            logger.warning(
-                "decode_block_steps>1 uses the segmented slot-cache scan; "
-                "paged mode decodes one step per dispatch"
-            )
-            self.decode_block_steps = 1
         if self.decode_block_steps > 1 and decode_attn_impl == "kernel":
             logger.warning(
                 "decode_block_steps>1 uses the segmented XLA attention for "
@@ -372,7 +366,9 @@ class ServingEngine:
                 "runs on single-step dispatches"
             )
         self._decode_block = jax.jit(
-            functools.partial(_decode_block, cfg=cfg),
+            functools.partial(
+                _decode_block_paged if self.paged else _decode_block, cfg=cfg
+            ),
             static_argnames=("n_steps",),
             donate_argnums=(1,),
         )
@@ -883,17 +879,19 @@ class ServingEngine:
             )
             sampled_np = np.asarray(sampled)[:, None]
         else:
+            block_args = (
+                self.params,
+                self.cache,
+                self.last_tokens,
+                self.cache_lens,
+                jnp.asarray(active_mask),
+                jnp.asarray(temps),
+                rng,
+            )
+            if self.paged:
+                block_args += (self.page_table,)
             sampled, self.cache, self.cache_lens, self.last_tokens = (
-                self._decode_block(
-                    self.params,
-                    self.cache,
-                    self.last_tokens,
-                    self.cache_lens,
-                    jnp.asarray(active_mask),
-                    jnp.asarray(temps),
-                    rng,
-                    n_steps=n_steps,
-                )
+                self._decode_block(*block_args, n_steps=n_steps)
             )
             sampled_np = np.asarray(sampled)
         for s in slots:
@@ -1127,6 +1125,67 @@ def _decode_block(
     new_toks = toks[:, 1:]
     new_last = jnp.where(active_mask, new_toks[:, -1], tokens)
     return new_toks, new_cache, new_lens, new_last
+
+
+def _decode_block_paged(
+    params, pool, tokens, cache_lens, active_mask, temps, rng, page_table,
+    *, cfg, n_steps: int,
+):
+    """Paged-mode multi-step decode: ``n_steps`` steps in ONE dispatch.
+
+    The pool pages are gathered ONCE per block into a contiguous logical
+    view (one extra cache read+write per block, amortised over n_steps —
+    per-step page gathers inside the scan would triple the per-step HBM
+    traffic), the segmented fused scan runs against that read-only view
+    exactly as in slot mode, and the tail KV publishes into the pool as a
+    single per-token page scatter at block end. Tokens past a request's
+    page reservation (or inactive slots) redirect out of range and drop
+    (paged_write_indices). Peak HBM during a block is pool + one
+    slot-layout view of it; operators trading HBM for dispatch amortisation
+    can lower decode_block_steps to 1 to avoid the view entirely."""
+    tc = cfg.text_config
+    L, P, ps, Hkv, D = pool.k.shape
+    B = tokens.shape[0]
+    n_per = page_table.shape[1]
+    S = n_per * ps
+
+    def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
+        g = jnp.take(p, page_table, axis=1, mode="clip")
+        return g.reshape(L, B, S, Hkv, D)
+
+    prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+
+    def sample_fn(logits, key):
+        return _sample_slots(logits, temps, key)
+
+    toks, tail = decoder_lib.segmented_decode_scan(
+        params["language_model"],
+        tc,
+        prompt_cache,
+        cache_lens,
+        tokens,
+        rng,
+        n_steps=n_steps,
+        sample_fn=sample_fn,
+        return_tail=True,
+    )
+    # publish the tail into pool pages: inactive slots' logical positions
+    # are pushed past the table width so their writes drop
+    write_pos = jnp.where(active_mask, cache_lens, S)
+    write_page, write_off = decoder_lib.paged_write_indices(
+        page_table, write_pos, n_steps, ps, P
+    )
+    k = pool.k.at[:, write_page, write_off].set(
+        tail.k.astype(pool.k.dtype), mode="drop", unique_indices=True
+    )
+    v = pool.v.at[:, write_page, write_off].set(
+        tail.v.astype(pool.v.dtype), mode="drop", unique_indices=True
+    )
+    new_pool = decoder_lib.PagedKVCache(k=k, v=v)
+    new_lens = jnp.where(active_mask, cache_lens + n_steps, cache_lens)
+    new_toks = toks[:, 1:]
+    new_last = jnp.where(active_mask, new_toks[:, -1], tokens)
+    return new_toks, new_pool, new_lens, new_last
 
 
 def _decode_all_slots(
