@@ -145,9 +145,15 @@ def save_pretrained(
     tokenizer=None,
     *,
     diff_only: bool = False,
+    include_code: bool = False,
 ) -> str:
     """Write a loadable checkpoint directory. ``diff_only`` saves just the
-    projector (adapter-sized, reference diff_state_dict semantics)."""
+    projector (adapter-sized, reference diff_state_dict semantics).
+    ``include_code`` additionally ships the standalone torch model code
+    (ultravox_tpu/hub) plus auto_map entries, so the directory loads with
+    ``AutoModel.from_pretrained(dir, trust_remote_code=True)`` with only
+    transformers installed (the reference syncs its ultravox_*.py the same
+    way, tools/update_hf_models.py:21-27)."""
     import safetensors.numpy
 
     from ultravox_tpu.models.lora import merge_lora
@@ -156,8 +162,20 @@ def save_pretrained(
     # merges via merge_and_unload before push_to_hub, ultravox_model.py:561)
     params = merge_lora(params)
     os.makedirs(out_dir, exist_ok=True)
+    hf_dict = config_to_hf_dict(cfg)
+    if include_code:
+        import shutil
+
+        from ultravox_tpu import hub
+
+        hf_dict["auto_map"] = dict(hub.AUTO_MAP)
+        for fname in hub.HUB_CODE_FILES:
+            shutil.copyfile(
+                os.path.join(hub.HUB_CODE_DIR, fname),
+                os.path.join(out_dir, fname),
+            )
     with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(config_to_hf_dict(cfg), f, indent=2)
+        json.dump(hf_dict, f, indent=2)
 
     sd: dict = {}
     if "projector" in params:
