@@ -62,6 +62,37 @@ def test_train_ce_loss(tmp_path, tokenizer_dir):
     assert np.isfinite(metrics["loss"])
 
 
+def test_train_streaming_latency_mask(tmp_path, tokenizer_dir):
+    """The streaming workload trains END TO END: audio_latency_block_size
+    flows config -> factory -> encoder block-causal mask through a real
+    2-step train run (reference recipe: streaming_tinyllama.yaml:24), and
+    the published config records the mask so serving reproduces it."""
+    from ultravox_tpu.training.train import train
+
+    config = _config(
+        tmp_path, tokenizer_dir,
+        audio_latency_block_size=100,
+        # train the encoder too, so the masked attention is on the
+        # gradient path (streaming recipes use audio LoRA)
+        trainable_params='[".*projector/.*", ".*audio_tower/.*"]',
+    )
+    metrics = train(config)
+    assert np.isfinite(metrics["loss"])
+
+    import json
+
+    with open(
+        os.path.join(config.output_dir, "train_config.json")
+    ) as f:
+        recorded = json.load(f)
+    assert recorded["audio_latency_block_size"] == 100
+    # the mask reached the model config the factory built
+    from ultravox_tpu.training.model_factory import create_model_pack
+
+    pack = create_model_pack(config)
+    assert pack.config.audio_latency_block_size == 100
+
+
 def test_resume_from_checkpoint(tmp_path, tokenizer_dir):
     from ultravox_tpu.training.train import train
 
