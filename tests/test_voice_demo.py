@@ -191,6 +191,99 @@ def voice_server():
     engine.stop()
 
 
+@pytest.fixture(scope="module")
+def streaming_voice_server():
+    """Voice server over a BLOCK-CAUSAL model: the WS handler encodes
+    incrementally while 'speech' streams in and submits precomputed audio
+    embeddings (inference/streaming.py)."""
+    from http.server import ThreadingHTTPServer
+
+    from ultravox_tpu.inference.serving.api_server import ServingAPI, make_handler
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+    from ultravox_tpu.models import (
+        DecoderConfig,
+        UltravoxConfig,
+        WhisperEncoderConfig,
+    )
+    from ultravox_tpu.models import ultravox as uv
+    from ultravox_tpu.models.processor import (
+        DataCollatorWithAudio,
+        UltravoxProcessor,
+    )
+
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=32, num_layers=1, num_heads=2, ffn_dim=64,
+            max_source_positions=128,
+        ),
+        text_config=DecoderConfig(
+            vocab_size=384, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+        ),
+        hidden_size=64,
+        audio_latency_block_size=16,  # 0.32 s latency blocks
+    )
+    params = uv.init_params(cfg, jax.random.key(0))
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(tokenizer)
+    collator = DataCollatorWithAudio(
+        pad_token_id=tokenizer.pad_token_id, pad_multiple=1, mel_pad_multiple=400
+    )
+    engine = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128, 256), mel_len_buckets=(400, 1000, 2000),
+    )
+    api = ServingAPI(engine, processor, collator)
+    engine.start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(api))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield port, engine
+    server.shutdown()
+    engine.stop()
+
+
+def test_voice_ws_streaming_encode_end_to_end(streaming_voice_server):
+    """Two conversation turns over the incremental-encode path: the audio
+    tower runs during 'speech' (blocks encoded before end-of-utterance) and
+    the submit carries precomputed embeddings + content fingerprints (the
+    second turn must still adopt the retained prefix)."""
+    port, engine = streaming_voice_server
+    client = _WsClient("127.0.0.1", port, "/ws/voice")
+    try:
+        assert client.recv_json()["type"] == "ready"
+        stream = np.concatenate([_speech(1.0), _silence(1.2)])
+        pcm = (np.clip(stream, -1, 1) * 32767).astype(np.int16)
+        for i in range(0, len(pcm), 1600):
+            client.send(0x2, pcm[i : i + 1600].tobytes())
+        events = []
+        while True:
+            ev = client.recv_json()
+            assert ev is not None
+            events.append(ev)
+            if ev["type"] == "turn_end":
+                break
+        kinds = [e["type"] for e in events]
+        assert kinds[0] == "utterance"
+        assert "token" in kinds
+
+        stream2 = np.concatenate([_speech(0.8, seed=7), _silence(1.2)])
+        pcm2 = (np.clip(stream2, -1, 1) * 32767).astype(np.int16)
+        for i in range(0, len(pcm2), 1600):
+            client.send(0x2, pcm2[i : i + 1600].tobytes())
+        while True:
+            ev = client.recv_json()
+            assert ev is not None
+            if ev["type"] == "turn_end":
+                break
+        # the second turn reused the first turn's retained cache (audio
+        # fingerprints matched via the submitted spans)
+        assert engine.reused_prefix_tokens >= engine.min_reuse_tokens
+    finally:
+        client.close()
+
+
 def test_voice_ws_end_to_end(voice_server):
     port = voice_server
     client = _WsClient("127.0.0.1", port, "/ws/voice")

@@ -150,13 +150,47 @@ class ServingAPI:
         """Conversation loop over a WebSocket: binary frames carry PCM16
         mono @16 kHz mic audio; when the speaker pauses, the utterance plus
         the running conversation is submitted to the engine and token deltas
-        stream back as JSON text frames."""
+        stream back as JSON text frames.
+
+        With a block-causal model (``audio_latency_block_size`` set) the
+        audio tower runs INCREMENTALLY while the user is still speaking
+        (inference/streaming.py): at pause time only the final partial
+        block + projector + text splice remain before prefill starts, so
+        pause-to-first-token drops by the full-utterance encode cost."""
+        import hashlib
+
         from ultravox_tpu.inference.serving.websocket import OP_TEXT
         from ultravox_tpu.utils.vad import ReplyOnPause
 
         vad = ReplyOnPause()
         messages: List[Dict[str, str]] = []
         audios: List[np.ndarray] = []
+        use_streaming = bool(
+            getattr(self.engine.cfg, "audio_latency_block_size", None)
+        ) and "audio_tower" in self.engine.params
+        stream_enc = None
+        consumed = 0
+        embeds_hist: List[np.ndarray] = []  # per-turn (n_tokens, D)
+        spans_sha: List[str] = []
+
+        def new_stream_encoder():
+            import jax
+            import jax.numpy as jnp
+
+            from ultravox_tpu.inference.streaming import StreamingAudioEncoder
+
+            leaf = next(
+                iter(
+                    jax.tree_util.tree_leaves(
+                        self.engine.params["audio_tower"]
+                    )
+                )
+            )
+            return StreamingAudioEncoder(
+                self.engine.params, self.engine.cfg,
+                dtype=jnp.dtype(leaf.dtype),
+            )
+
         conn.send_text(json.dumps({"type": "ready"}))
         while True:
             msg = conn.recv()
@@ -170,6 +204,8 @@ class ServingAPI:
                     utterance = vad.flush()
                 elif ctl.get("type") == "reset":
                     messages, audios = [], []
+                    embeds_hist, spans_sha = [], []
+                    stream_enc, consumed = None, 0
                     vad.reset()
                     conn.send_text(json.dumps({"type": "ready"}))
                     continue
@@ -178,6 +214,16 @@ class ServingAPI:
             else:
                 pcm = np.frombuffer(payload, np.int16).astype(np.float32)
                 utterance = vad.process(pcm / 32768.0)
+                if use_streaming and utterance is None:
+                    part = vad.partial()
+                    if part is None:
+                        stream_enc, consumed = None, 0
+                    else:
+                        if stream_enc is None or len(part) < consumed:
+                            stream_enc, consumed = new_stream_encoder(), 0
+                        if len(part) > consumed:
+                            stream_enc.feed(part[consumed:])
+                            consumed = len(part)
             if utterance is None or not len(utterance):
                 continue
 
@@ -189,13 +235,58 @@ class ServingAPI:
             text = self.tokenizer.apply_chat_template(
                 messages, tokenize=False, add_generation_prompt=True
             )
-            features = self.processor(text=text, audios=audios)
-            batch = self.collator([features])
-            req = self.engine.submit(
-                batch,
-                max_tokens=max_tokens,
-                stop_token_ids=(self.tokenizer.eos_token_id,),
-            )
+            if use_streaming:
+                if stream_enc is None:
+                    stream_enc, consumed = new_stream_encoder(), 0
+                if len(utterance) > consumed:
+                    stream_enc.feed(utterance[consumed:])
+                embeds_hist.append(stream_enc.finalize())
+                stream_enc, consumed = None, 0
+                spans_sha.append(
+                    hashlib.sha1(
+                        np.ascontiguousarray(utterance).tobytes()
+                    ).hexdigest()
+                )
+                features = self.processor(
+                    text=text,
+                    audio_token_lens=[e.shape[0] for e in embeds_hist],
+                )
+                batch = self.collator(
+                    [{k: features[k] for k in ("input_ids",)}]
+                )
+                for key in (
+                    "audio_token_len", "audio_token_start_idx",
+                    "audio_chunk_batch_idx",
+                ):
+                    batch[key] = features[key]
+                Ta = max(e.shape[0] for e in embeds_hist)
+                D = embeds_hist[0].shape[1]
+                ae = np.zeros((len(embeds_hist), Ta, D), np.float32)
+                for i, e in enumerate(embeds_hist):
+                    ae[i, : e.shape[0]] = e
+                spans = tuple(
+                    (int(s), int(l), sha)
+                    for s, l, sha in zip(
+                        features["audio_token_start_idx"],
+                        features["audio_token_len"],
+                        spans_sha,
+                    )
+                )
+                req = self.engine.submit(
+                    batch,
+                    max_tokens=max_tokens,
+                    stop_token_ids=(self.tokenizer.eos_token_id,),
+                    audio_embeds=ae,
+                    audio_spans=spans,
+                )
+            else:
+                features = self.processor(text=text, audios=audios)
+                batch = self.collator([features])
+                req = self.engine.submit(
+                    batch,
+                    max_tokens=max_tokens,
+                    stop_token_ids=(self.tokenizer.eos_token_id,),
+                )
             token_ids: List[int] = []
             emitted = 0
             ttft = None
@@ -373,23 +464,26 @@ def main():
     parser.add_argument("--num-slots", type=int, default=16)
     parser.add_argument("--max-seq-len", type=int, default=4096)
     parser.add_argument(
-        "--encoder-attn", default="fused", choices=["xla", "fused"],
-        help="fused = Pallas VMEM-resident encoder attention",
+        "--encoder-attn", default="auto", choices=["auto", "xla", "fused"],
+        help="fused = Pallas VMEM-resident encoder attention "
+        "(auto: fused on TPU backends)",
     )
     parser.add_argument(
-        "--decode-attn", default="kernel", choices=["xla", "kernel"],
-        help="kernel = flash-decoding Pallas kernel (reads only valid cache)",
+        "--decode-attn", default="auto", choices=["auto", "xla", "kernel"],
+        help="kernel = flash-decoding Pallas kernel (reads only valid "
+        "cache; auto: kernel from 2K contexts on TPU)",
     )
     parser.add_argument(
-        "--prefill-attn", default="fused", choices=["xla", "fused"],
-        help="fused = Pallas causal prefill (no HBM logits tensor)",
+        "--prefill-attn", default="auto", choices=["auto", "xla", "fused"],
+        help="fused = Pallas causal prefill (no HBM logits tensor; "
+        "auto: fused from 1K contexts on TPU)",
     )
     parser.add_argument(
-        "--decode-block", type=int, default=1,
+        "--decode-block", type=int, default=None,
         help="decode steps per device dispatch (vLLM-style multi-step "
-        "scheduling; >1 amortizes host dispatch latency on remote-attached "
-        "devices at the cost of up to block-1 wasted steps per finished "
-        "request)",
+        "scheduling, default auto=8; >1 amortizes host dispatch latency at "
+        "the cost of up to block-1 wasted steps per finished request; "
+        "blocks engage only in pure-decode phases)",
     )
     parser.add_argument(
         "--quantize", default=None, choices=[None, "int8"],
@@ -397,10 +491,11 @@ def main():
         "fits 8B-class models on one 16 GB v5e chip)",
     )
     parser.add_argument(
-        "--cache-mode", default="slots", choices=["slots", "paged"],
+        "--cache-mode", default="auto", choices=["auto", "slots", "paged"],
         help="paged = shared KV page pool + per-request page tables "
         "(decouples context length from per-slot preallocation; "
-        "conversation reuse adopts pages instead of copying rows)",
+        "conversation reuse adopts pages instead of copying rows; "
+        "auto: paged from 1K contexts)",
     )
     parser.add_argument("--page-size", type=int, default=256)
     parser.add_argument(

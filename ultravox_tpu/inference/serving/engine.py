@@ -78,6 +78,10 @@ class Request:
     reused_prefix: int = 0  # tokens served from a retained slot cache
     token_ids: Any = None  # (prompt_len,) np.int32 — filled at admit
     audio_spans: Tuple = ()
+    # streaming voice path: audio token embeddings computed INCREMENTALLY
+    # while the user was speaking (inference/streaming.py) — admit skips
+    # the audio tower and only embeds+splices text
+    audio_embeds: Any = None  # (N_chunks, Ta, D) np.float*
 
 
 @dataclasses.dataclass
@@ -316,6 +320,7 @@ class ServingEngine:
                 _embed_prompt, cfg=cfg, encoder_attn_impl=encoder_attn_impl
             )
         )
+        self._embed_pre = jax.jit(_embed_precomputed)
         if self.paged:
             # chunked prefill runs against a contiguous one-row scratch
             # cache (fused kernel applies; zero page gathers per chunk);
@@ -488,14 +493,24 @@ class ServingEngine:
         max_tokens: int = 256,
         temperature: float = 0.0,
         stop_token_ids: Tuple[int, ...] = (),
+        audio_embeds=None,
+        audio_spans: Optional[Tuple] = None,
     ) -> Request:
+        """``audio_embeds``: precomputed audio token embeddings
+        (N_chunks, Ta, D) — the batch then carries splice coordinates but
+        no audio_values, and admission skips the audio tower (streaming
+        voice path). ``audio_spans`` supplies the prefix-matching content
+        fingerprints normally derived from audio_values."""
         req = Request(
             request_id=next(self._id_counter),
             batch=batch,
             max_tokens=max_tokens,
             temperature=temperature,
             stop_token_ids=tuple(stop_token_ids),
+            audio_embeds=audio_embeds,
         )
+        if audio_spans is not None:
+            req.audio_spans = tuple(audio_spans)
         self._requests[req.request_id] = req
         self._pending.put(req)
         self._wake.set()
@@ -645,7 +660,9 @@ class ServingEngine:
             return
         # conversation-prefix reuse: prefer a retained slot whose cache
         # already holds a long prefix of this prompt
-        req.token_ids, req.audio_spans = _request_tokens_and_spans(req.batch)
+        req.token_ids, spans = _request_tokens_and_spans(req.batch)
+        if not req.audio_spans:  # submit() may have supplied fingerprints
+            req.audio_spans = spans
         best_slot, best_m = None, 0
         for slot_r, entry in self._retained.items():
             if slot_r not in self._free_slots:
@@ -766,10 +783,14 @@ class ServingEngine:
             req.reused_prefix = start
             self.reused_prefix_tokens += start
             padded = self._pad_request(req.batch)
-            jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
-            # ONE device call embeds the whole prompt (audio tower +
-            # projector + splice); the LLM prefill then proceeds in chunks
-            embeds = self._embed(self.params, jbatch)
+            if req.audio_embeds is not None:
+                embeds = self._embed_with_precomputed(padded, req.audio_embeds)
+            else:
+                jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
+                # ONE device call embeds the whole prompt (audio tower +
+                # projector + splice); the LLM prefill then proceeds in
+                # chunks
+                embeds = self._embed(self.params, jbatch)
             T_padded = embeds.shape[1]
             # short suffixes take a single chunk; longer ones chunk at
             # prefill_chunk_tokens
@@ -791,6 +812,32 @@ class ServingEngine:
                 needs_scratch_load=self.paged and start > 0,
                 prefix_src_slot=src_slot,
             )
+        )
+
+    def _embed_with_precomputed(self, padded: Dict[str, np.ndarray], audio_embeds):
+        """Embed + splice with precomputed audio token embeddings. Chunk
+        count and token length are padded to small static buckets (the
+        splice ignores padding chunks via audio_token_len=0) so a growing
+        conversation doesn't compile a program per turn."""
+        ae = np.asarray(audio_embeds)
+        N, Ta, D = ae.shape
+        Nb = 1 << max(0, (N - 1).bit_length())  # next power of two
+        Tab = -(-Ta // 64) * 64
+        ae_p = np.zeros((Nb, Tab, D), ae.dtype)
+        ae_p[:N, :Ta] = ae
+
+        def pad_i32(key, fill=0):
+            arr = np.full((Nb,), fill, np.int32)
+            arr[:N] = np.asarray(padded[key]).reshape(-1)[:N]
+            return jnp.asarray(arr)
+
+        return self._embed_pre(
+            self.params,
+            jnp.asarray(padded["input_ids"]),
+            jnp.asarray(ae_p),
+            pad_i32("audio_token_start_idx"),
+            pad_i32("audio_token_len"),
+            pad_i32("audio_chunk_batch_idx"),
         )
 
     def _prefill_one_chunk(self, job: PrefillJob) -> bool:
@@ -962,6 +1009,15 @@ def _embed_prompt(params, batch, *, cfg: UltravoxConfig, encoder_attn_impl="xla"
     return uv.ultravox_embed(
         params, cfg, batch["input_ids"], batch,
         encoder_attn_impl=encoder_attn_impl,
+    )
+
+
+def _embed_precomputed(params, input_ids, audio_embeds, starts, lens, bidx):
+    """Prompt embeddings from PRECOMPUTED audio token embeddings (streaming
+    voice path): text embed lookup + splice, no audio tower."""
+    emb = decoder_lib.embed_lookup(params["language_model"], input_ids)
+    return uv.splice_audio_embeds(
+        emb, audio_embeds.astype(emb.dtype), starts, lens, bidx
     )
 
 

@@ -184,13 +184,51 @@ class UltravoxProcessor:
         audio: Optional[np.ndarray] = None,
         audios: Optional[Sequence[np.ndarray]] = None,
         sampling_rate: int = 16000,
+        audio_token_lens: Optional[Sequence[int]] = None,
     ) -> Dict[str, np.ndarray]:
         """Returns numpy features: input_ids/attention_mask (1, T) and, with
         audio, audio_values (N, n_mels, T_mel) + audio_lens/audio_token_len/
         audio_token_start_idx/audio_num_chunks (ultravox_processing.py:217-370).
+
+        ``audio_token_lens``: expand the placeholders for KNOWN per-chunk
+        token counts WITHOUT extracting features — the streaming voice path
+        computes audio embeddings incrementally (inference/streaming.py) and
+        submits them precomputed, so no mel/audio_values are needed here.
         """
         if audio is not None and audios is not None:
             raise ValueError("Only one of `audio` or `audios` should be provided.")
+        if audio_token_lens is not None:
+            if audio is not None or audios is not None:
+                raise ValueError(
+                    "audio_token_lens replaces audio/audios, not both"
+                )
+            parts = self.tokenizer(
+                text.split(self.audio_placeholder), add_special_tokens=False
+            )["input_ids"]
+            if len(parts) != len(audio_token_lens) + 1:
+                raise ValueError(
+                    f"Text has {len(parts) - 1} audio placeholders for "
+                    f"{len(audio_token_lens)} audio_token_lens"
+                )
+            input_ids: List[int] = []
+            starts: List[int] = []
+            for i, tl in enumerate(audio_token_lens):
+                input_ids.extend(parts[i])
+                starts.append(len(input_ids))
+                input_ids.extend(
+                    [self.audio_replacement_token_id] * int(tl)
+                )
+            input_ids.extend(parts[-1])
+            ids = np.asarray([input_ids], dtype=np.int32)
+            return {
+                "input_ids": ids,
+                "attention_mask": np.ones_like(ids),
+                "audio_token_len": np.asarray(audio_token_lens, np.int32),
+                "audio_token_start_idx": np.asarray(starts, np.int32),
+                "audio_chunk_batch_idx": np.zeros(
+                    len(starts), np.int32
+                ),
+            }
         if audio is not None:
             audios = audio if isinstance(audio, list) or audio.ndim == 2 else [audio]
         elif audios is None:

@@ -176,6 +176,165 @@ def _encoder_layer(cfg: WhisperEncoderConfig, x, bias, p, *, attn_fn=None):
     return x
 
 
+# --------------------------------------------------------------------------
+# Incremental (streaming) block-causal encode
+# --------------------------------------------------------------------------
+#
+# A block-causal encoder (audio_latency_block_size set — reference
+# streaming_tinyllama.yaml:24) admits true incremental encoding: position i
+# attends only to blocks <= i's, so a completed block's outputs are FINAL
+# the moment its audio arrives. The stream state carries per-layer K/V of
+# all completed positions; each step processes exactly ONE latency block of
+# new encoder positions against that cache — O(block) work per block
+# instead of re-encoding the prefix, which is what lets the serving voice
+# path start prefill before end-of-utterance.
+#
+# Conv locality makes the step self-contained: encoder position q is
+# conv2(gelu(conv1(mel)))[q], whose receptive field is mel frames
+# [2q-2, 2q+2]; a block of C positions [kC, (k+1)C) therefore needs only
+# the mel WINDOW [2kC-2, 2(k+1)C+1) (2C+3 frames, zero-padded at the
+# stream edges by the host) — no conv state is carried at all.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EncoderStreamState:
+    """Per-layer K/V cache over completed encoder positions + fill count."""
+
+    k: jax.Array  # (L, S_max, H, Dh)
+    v: jax.Array  # (L, S_max, H, Dh)
+    pos: jax.Array  # scalar int32 — encoder positions already cached
+
+    @classmethod
+    def zeros(cls, cfg: WhisperEncoderConfig, dtype=jnp.float32):
+        shape = (
+            cfg.num_layers, cfg.max_source_positions, cfg.num_heads,
+            cfg.head_dim,
+        )
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            pos=jnp.zeros((), jnp.int32),
+        )
+
+
+def _conv1d_valid(x, kernel, bias, stride: int):
+    """VALID-padding variant of ``_conv1d`` (the stream step supplies its
+    own context frames); numerics match it exactly: cast to kernel dtype,
+    fp32-accumulated dot, bias, cast back."""
+    K, C_in, C_out = kernel.shape
+    xp = x.astype(kernel.dtype)
+    T_out = (xp.shape[-1] - K) // stride + 1
+    patches = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(
+                xp, k, k + (T_out - 1) * stride + 1, stride, axis=2
+            )
+            for k in range(K)
+        ],
+        axis=1,
+    )
+    w = kernel.reshape(K * C_in, C_out)
+    if jax.default_backend() == "cpu" and patches.dtype != jnp.float32:
+        out = jnp.einsum(
+            "bct,cd->bdt", patches.astype(jnp.float32), w.astype(jnp.float32)
+        )
+    else:
+        out = jnp.einsum(
+            "bct,cd->bdt", patches, w, preferred_element_type=jnp.float32
+        )
+    return (out + bias[None, :, None]).astype(x.dtype)
+
+
+def encoder_stream_step(
+    params: Params,
+    state: EncoderStreamState,
+    mel_window: jax.Array,  # (n_mels, 2C+3) — frames [2kC-2, 2(k+1)C+1)
+    n_valid: jax.Array,  # scalar int32 — valid encoder positions in this
+    # block (C for complete blocks; (mel_len-1)//2+1 - kC for the final one)
+    *,
+    cfg: WhisperEncoderConfig,
+    block_size: int,  # C — latency block in ENCODER positions
+):
+    """One latency block of streaming encode. Returns (new_state, out
+    (C, d_model)) where out rows beyond ``n_valid`` are garbage-but-finite
+    (excluded downstream by the audio token count, exactly as the batch
+    path's padding positions are)."""
+    C = block_size
+    x = jax.nn.gelu(
+        _conv1d_valid(
+            mel_window[None], params["conv1"]["kernel"],
+            params["conv1"]["bias"], cfg.conv1_stride,
+        ),
+        approximate=False,
+    )
+    # the window's first conv1 column is index 2kC-1; at the stream start
+    # (k=0) that is conv2's ZERO padding slot in the batch path, not a real
+    # conv1 output — gelu(conv1(zero-mel)+bias) != 0, so force the zero
+    x = x.at[:, :, 0].set(
+        jnp.where(state.pos == 0, 0.0, x[:, :, 0])
+    )
+    x = jax.nn.gelu(
+        _conv1d_valid(
+            x, params["conv2"]["kernel"], params["conv2"]["bias"],
+            cfg.conv2_stride,
+        ),
+        approximate=False,
+    )
+    x = jnp.transpose(x, (0, 2, 1))  # (1, C, D)
+    pos = state.pos
+    # position embeddings for this block (dynamic offset, static length)
+    pe = jax.lax.dynamic_slice_in_dim(
+        params["embed_positions"], pos, C, axis=0
+    )
+    x = x + pe[None].astype(x.dtype)
+
+    S_max = state.k.shape[1]
+    kpos = jnp.arange(S_max, dtype=jnp.int32)[None, :]
+    # keys visible: every completed position plus this block's valid ones;
+    # block-causality is implicit — later blocks simply aren't cached yet
+    ok = kpos < (pos + n_valid)
+    from ultravox_tpu.ops.attention import NEG_INF
+
+    bias = jnp.where(ok, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
+
+    H, Dh = cfg.num_heads, cfg.head_dim
+
+    def layer_fn(carry, xs):
+        h_in = carry
+        p, ck, cv = xs
+        h = layer_norm(h_in, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
+        q = proj_apply(h, p["q_proj"]).reshape(1, C, H, Dh)
+        k = proj_apply(h, p["k_proj"]).reshape(C, H, Dh)
+        v = proj_apply(h, p["v_proj"]).reshape(C, H, Dh)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (pos, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (pos, 0, 0)
+        )
+        attn = mha(
+            q, ck[None], cv[None], bias=bias, scale=cfg.head_dim**-0.5
+        ).reshape(1, C, cfg.d_model)
+        h_mid = h_in + proj_apply(attn, p["out_proj"])
+        h = layer_norm(
+            h_mid, p["final_ln"]["scale"], p["final_ln"]["bias"]
+        )
+        h = jax.nn.gelu(proj_apply(h, p["fc1"]), approximate=False)
+        return h_mid + proj_apply(h, p["fc2"]), (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], state.k, state.v)
+    )
+    out = layer_norm(
+        x, params["layer_norm"]["scale"], params["layer_norm"]["bias"]
+    )[0]
+    new_state = EncoderStreamState(
+        k=new_k, v=new_v, pos=pos + n_valid.astype(jnp.int32)
+    )
+    return new_state, out
+
+
 def encoder_forward(
     params: Params,
     cfg: WhisperEncoderConfig,

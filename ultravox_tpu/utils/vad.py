@@ -128,3 +128,15 @@ class ReplyOnPause:
         if self._in_speech:
             return self._finish()
         return None
+
+    @property
+    def in_speech(self) -> bool:
+        return self._in_speech
+
+    def partial(self) -> Optional[np.ndarray]:
+        """Audio of the IN-PROGRESS utterance so far (pre-roll included) —
+        a strict prefix of what a later ``process``/``flush`` will return.
+        The streaming encoder consumes this incrementally."""
+        if not self._in_speech or not self._utterance:
+            return None
+        return np.concatenate(self._utterance)
