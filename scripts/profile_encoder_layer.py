@@ -1,9 +1,11 @@
 """Per-op attribution inside one encoder layer on the real TPU.
 
 The headline encoder runs ~52% MFU; per-layer is ~5.5 ms vs ~2.9 ms of
-pure matmul FLOPs at peak. This times each component of
-whisper_encoder._encoder_layer in isolation (batch 8 x 1500 positions,
-large-v3-turbo dims, bf16) to find where the ~2.6 ms/layer tax lives.
+pure matmul FLOPs at peak. Times each component of
+whisper_encoder._encoder_layer (batch 8 x 1500 positions,
+large-v3-turbo dims, bf16). Ops run inside a lax.scan (N iterations in
+one program) with carry feedback, because per-dispatch latency through
+the remote tunnel (~1.7 ms) swamps sub-millisecond ops.
 
 Usage: python scripts/profile_encoder_layer.py
 """
@@ -19,19 +21,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def fence(x):
-    return float(jnp.sum(x.astype(jnp.float32)))
-
-
-def time_fn(fn, *args, iters=20):
-    fence(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    fence(out)
-    return (time.perf_counter() - t0) / iters
+from ultravox_tpu.utils.profiling import bench_op  # noqa: E402
 
 
 def main():
@@ -55,43 +45,51 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
     lens = jnp.full((B,), 1500, jnp.int32)
 
-    t = time_fn(jax.jit(
-        lambda x: layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
-    ), x)
+    t = bench_op(
+        lambda x: layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"]),
+        x,
+    )
     print(f"layer_norm:            {t*1e3:7.3f} ms", flush=True)
 
-    t = time_fn(jax.jit(lambda x: proj_apply(x, p["q_proj"])), x)
+    t = bench_op(
+        lambda x: proj_apply(
+            layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"]),
+            p["q_proj"],
+        ),
+        x,
+    )
+    print(f"ln+proj fused?:        {t*1e3:7.3f} ms", flush=True)
+
+    t = bench_op(lambda x: proj_apply(x, p["q_proj"]), x)
     print(f"one DxD proj:          {t*1e3:7.3f} ms", flush=True)
 
     qkv = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.bfloat16)
 
-    t = time_fn(jax.jit(
-        lambda q: fused_attention(
-            q, q, q, lens, scale=Dh**-0.5, block_q=1500
-        )
-    ), qkv)
-    print(f"fused attention:       {t*1e3:7.3f} ms", flush=True)
-
-    for bq in (512, 768):
-        t = time_fn(jax.jit(
+    for bq in ():  # single-block 1500 already measured; 500 violates the
+        # (8,128)-divisible block constraint
+        t = bench_op(
             lambda q, _bq=bq: fused_attention(
                 q, q, q, lens, scale=Dh**-0.5, block_q=_bq
-            )
-        ), qkv)
+            ),
+            qkv,
+        )
         print(f"fused attention bq={bq}: {t*1e3:7.3f} ms", flush=True)
 
-    t = time_fn(jax.jit(
+    t = bench_op(
         lambda q: mha(q, q, q, bias=length_mask_bias(lens, T),
-                      scale=Dh**-0.5)
-    ), qkv)
+                      scale=Dh**-0.5),
+        qkv,
+    )
     print(f"xla attention:         {t*1e3:7.3f} ms", flush=True)
 
     def mlp(x):
         h = jax.nn.gelu(proj_apply(x, p["fc1"]), approximate=False)
         return proj_apply(h, p["fc2"])
 
-    t = time_fn(jax.jit(mlp), x)
-    print(f"mlp fc1+gelu+fc2:      {t*1e3:7.3f} ms", flush=True)
+    t = bench_op(mlp, x)
+    tf_mlp = 2 * 2 * B * T * D * F / 1e12
+    print(f"mlp fc1+gelu+fc2:      {t*1e3:7.3f} ms = {tf_mlp/t:.0f} TF/s",
+          flush=True)
 
     def full_layer(x):
         return whisper_encoder._encoder_layer(
@@ -101,16 +99,14 @@ def main():
             ),
         )
 
-    t = time_fn(jax.jit(full_layer), x)
+    t = bench_op(full_layer, x)
     print(f"full layer (fused):    {t*1e3:7.3f} ms", flush=True)
 
-    # matmul-only roofline check at these dims
     w = jnp.asarray(rng.standard_normal((D, F)), jnp.bfloat16)
-
-    t = time_fn(jax.jit(lambda a, b: a.reshape(B * T, D) @ b), x, w)
+    t = bench_op(lambda a: a.reshape(B * T, D) @ w, x)
     tf = 2 * B * T * D * F / 1e12
-    print(f"raw (BT,{D})x({D},{F}): {t*1e3:7.3f} ms "
-          f"= {tf/t:.1f} TF/s", flush=True)
+    print(f"raw (BT,{D})x({D},{F}): {t*1e3:7.3f} ms = {tf/t:.0f} TF/s",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -171,3 +171,31 @@ def test_decoder_decode_kernel_path_matches_xla():
         )
     finally:
         da.decode_attention = orig
+
+
+def test_fused_layer_norm_parity():
+    from ultravox_tpu.ops.norms import layer_norm
+    from ultravox_tpu.ops.pallas.layer_norm import (
+        fused_layer_norm,
+        supports_shape as ln_supports,
+    )
+
+    rng = jax.random.key(11)
+    x = jax.random.normal(rng, (3, 40, 128), jnp.float32) * 3 + 1.5
+    scale = jnp.linspace(0.5, 2.0, 128)
+    bias = jnp.linspace(-1.0, 1.0, 128)
+    ref = layer_norm(x, scale, bias)
+    out = fused_layer_norm(x, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+    # bf16 inputs keep fp32 internals
+    out16 = fused_layer_norm(
+        x.astype(jnp.bfloat16), scale, bias, interpret=True
+    )
+    ref16 = layer_norm(x.astype(jnp.bfloat16), scale, bias)
+    np.testing.assert_allclose(
+        np.asarray(out16, dtype=np.float32),
+        np.asarray(ref16, dtype=np.float32),
+        atol=3e-2,
+    )
+    assert ln_supports(1500, 1280)
+    assert not ln_supports(1500, 1284)  # lane-misaligned D

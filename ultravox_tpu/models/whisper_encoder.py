@@ -145,10 +145,15 @@ def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
     return (out + bias[None, :, None]).astype(x.dtype)
 
 
-def _encoder_layer(cfg: WhisperEncoderConfig, x, bias, p, *, attn_fn=None):
-    """One pre-norm transformer encoder layer. x: (B, T, D)."""
+def _encoder_layer(
+    cfg: WhisperEncoderConfig, x, bias, p, *, attn_fn=None, ln_fn=None
+):
+    """One pre-norm transformer encoder layer. x: (B, T, D).
+    ``ln_fn``: LayerNorm implementation (defaults to the XLA path; the
+    forward-only fused path passes the Pallas kernel)."""
     B, T, D = x.shape
-    h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
+    ln = ln_fn or layer_norm
+    h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     # NB: q/k/v deliberately stay three separate matmuls — a decoder-style
     # fused qkv matmul measures ~0.2 ms/layer SLOWER here (the concatenated
     # (B, T, 3D) output plus its three slices add ~90 MB of HBM round-trips
@@ -170,7 +175,7 @@ def _encoder_layer(cfg: WhisperEncoderConfig, x, bias, p, *, attn_fn=None):
     attn = attn.reshape(B, T, D)
     x = x + proj_apply(attn, p["out_proj"])
 
-    h = layer_norm(x, p["final_ln"]["scale"], p["final_ln"]["bias"])
+    h = ln(x, p["final_ln"]["scale"], p["final_ln"]["bias"])
     h = jax.nn.gelu(proj_apply(h, p["fc1"]), approximate=False)
     x = x + proj_apply(h, p["fc2"])
     return x
@@ -375,6 +380,7 @@ def encoder_forward(
 
     bias = None
     attn_fn = None
+    ln_fn = None
     if attn_impl == "flash":
         from ultravox_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -401,6 +407,15 @@ def encoder_forward(
             # 9 MB of VMEM and measures ~3% faster than block_q=768 on v5e
             block_q=1500,
         )
+        # the forward-only fast path also takes the fused LayerNorm (XLA's
+        # LN measures ~4.6x its traffic bound at these shapes; two LNs per
+        # layer made it the largest non-matmul cost in the encode)
+        from ultravox_tpu.ops.pallas import layer_norm as pln
+
+        if pln.supports_shape(x.shape[1], cfg.d_model):
+            ln_fn = lambda h, scale, bias: pln.fused_layer_norm(
+                h, scale, bias
+            )
     else:
         if mel_lens is not None:
             feat_lens = feat_extract_output_length(mel_lens)
@@ -413,7 +428,9 @@ def encoder_forward(
             lat = block_causal_bias(T, latency_block_size)
             bias = lat if bias is None else jnp.minimum(bias, lat)
 
-    layer_fn = lambda h, p: (_encoder_layer(cfg, h, bias, p, attn_fn=attn_fn), None)
+    layer_fn = lambda h, p: (
+        _encoder_layer(cfg, h, bias, p, attn_fn=attn_fn, ln_fn=ln_fn), None
+    )
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
     x, _ = jax.lax.scan(layer_fn, x, params["layers"])

@@ -39,6 +39,37 @@ def fence(*arrays) -> None:
             float(jnp.sum(leaf[-1].astype(jnp.float32)).ravel()[0])
 
 
+def bench_op(make_out, x0, *, n_inner: int = 20, iters: int = 5) -> float:
+    """Per-op microbenchmark that survives a high-latency dispatch path.
+
+    Per-dispatch latency through the remote TPU tunnel (~1.7 ms) swamps
+    sub-millisecond ops, so ``make_out(x)`` runs inside a ``lax.scan`` of
+    ``n_inner`` iterations in ONE compiled program. The scalar sum of each
+    output feeds back into the next input (scaled to ~0) so XLA can neither
+    hoist the body out of the loop nor elide it. Returns seconds per op.
+    """
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            x_i, acc = c
+            out = make_out(x_i)
+            s = jnp.sum(out.astype(jnp.float32))
+            x_i = x_i + (s * 1e-30).astype(x_i.dtype)
+            return (x_i, acc + s), None
+
+        (_, acc), _ = jax.lax.scan(body, (x, 0.0), None, length=n_inner)
+        return acc
+
+    float(run(x0))  # compile
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(iters):
+        acc = run(x0)
+    float(acc)
+    return (time.perf_counter() - t0) / (iters * n_inner)
+
+
 class StepTimer:
     """Rolling step timing + throughput accounting for train loops."""
 
