@@ -16,6 +16,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# v5e chip peaks (the driver benches on one v5e): MXU bf16 FLOP/s and HBM
+# bandwidth — the denominators for the mfu/roofline percentage fields
+PEAK_BF16_FLOPS = 197e12
+HBM_GBPS = 819e9
+
 
 def main():
     from ultravox_tpu.models import WhisperEncoderConfig
@@ -30,8 +35,8 @@ def main():
         ffn_dim=5120,
         max_source_positions=1500,
     )
-    params = whisper_encoder.init_params(
-        cfg, jax.random.key(0), dtype=jnp.bfloat16
+    params = whisper_encoder.fuse_encoder_inference_params(
+        whisper_encoder.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     )
 
     BATCH = 8  # 30 s chunks per iteration
@@ -79,7 +84,7 @@ def main():
 
     # int8 (w8a8) encoder variant — the encoder is frozen in every reference
     # recipe, so weight-only quantization is a pure serving win
-    params_q = whisper_encoder.quantize_encoder_int8(params)
+    params_q = whisper_encoder.quantize_encoder_int8(params)  # fused qkv stays fused
     float(encode_sum(params_q, audio, lens))  # compile
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -88,9 +93,25 @@ def main():
     dt_q = max(time.perf_counter() - t0 - roundtrip, 1e-6)
     rtfx_q = audio_seconds / dt_q
 
-    ttft_ms, decode_tps, decode_tps_2k, decode_tps_q = _flagship_metrics()
+    # MFU accounting for the headline iteration (FLOPs model mirrors
+    # scripts/profile_encoder.py: matmuls + attention + conv stem)
+    D, F, T, L = 1280, 5120, 1500, 32
+    flops_iter = (
+        2 * (4 * D * D + 2 * D * F) * T * BATCH * L
+        + 2 * 2 * T * T * D * BATCH * L
+        + 2 * 3 * (128 * D * 3000 + D * D * 1500) * BATCH
+    )
+    encoder_mfu_pct = flops_iter / (dt / iters) / PEAK_BF16_FLOPS * 100
+
+    flag = _flagship_metrics()
+    serving = _serving_metrics(flag["decode_tok_s_batch8_1b_2k_ctx"])
+    train = _train_metrics()
     m8 = _8b_metrics()
-    m8.update(_8b_int8_measured_subprocess())
+    m8.update(_subprocess_metrics("_8b_int8_measured"))
+    # 70B runs in a fresh process: its 3-layer slice + fused copies peaks
+    # near the whole 16 GB chip, which an HBM fragmented by the earlier
+    # sections cannot serve (observed RESOURCE_EXHAUSTED in-process)
+    m70 = _subprocess_metrics("_70b_dims_metrics")
     print(
         json.dumps(
             {
@@ -101,21 +122,31 @@ def main():
                 "encoder": "whisper-large-v3-turbo-class (1280d x 32L, bf16)",
                 "batch_30s_chunks": BATCH,
                 "wall_s_per_iter": round(dt / iters, 4),
+                "encoder_mfu_pct": round(encoder_mfu_pct, 1),
                 "audio_encoder_rtfx_per_chip_int8": round(rtfx_q, 2),
-                "ttft_ms_p50_10s_audio_1b": ttft_ms,
-                "decode_tok_s_batch8_1b": decode_tps,
-                "decode_tok_s_batch8_1b_2k_ctx": decode_tps_2k,
-                "decode_tok_s_batch8_1b_int8": decode_tps_q,
+                **flag,
+                **serving,
+                **train,
                 **m8,
+                **m70,
                 "device": str(jax.devices()[0]),
             }
         )
     )
 
 
+def _lm_weight_bytes(params) -> int:
+    return sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(params["language_model"])
+    )
+
+
 def _flagship_metrics():
     """TTFT (10 s audio -> first-token logits) and fused-decode throughput on
-    the 1B-class flagship (whisper-small + llama-3.2-1B dims, bf16).
+    the 1B-class flagship (whisper-small + llama-3.2-1B dims, bf16), plus
+    weight-traffic roofline percentages (ideal step = LM weight bytes / HBM
+    bandwidth; VERDICT r2 targets bf16 >=70%, int8 >=65%).
 
     The 8B target config does not fit a single 16 GB v5e chip; multi-chip
     serving shards it over the mesh (see parallel/)."""
@@ -188,24 +219,36 @@ def _flagship_metrics():
 
     ttft_once()  # compile
     times = sorted(ttft_once() for _ in range(10))
-    return (
-        round(times[5] * 1000, 1),
-        round(decode_tps, 1),
-        round(decode_tps_2k, 1),
-        round(decode_tps_q, 1),
-    )
+
+    # weight-traffic rooflines: the engines fuse (and for _q, quantize) the
+    # LM tree at construction — measure the bytes a decode step actually
+    # streams, not the fp32 source tree
+    ideal_ms = _lm_weight_bytes(engine.params) / HBM_GBPS * 1e3
+    ideal_ms_q = _lm_weight_bytes(engine_q.params) / HBM_GBPS * 1e3
+    step_ms = B / decode_tps * 1e3
+    step_ms_q = B / decode_tps_q * 1e3
+    return {
+        "ttft_ms_p50_10s_audio_1b": round(times[5] * 1000, 1),
+        "decode_tok_s_batch8_1b": round(decode_tps, 1),
+        "decode_tok_s_batch8_1b_2k_ctx": round(decode_tps_2k, 1),
+        "decode_tok_s_batch8_1b_int8": round(decode_tps_q, 1),
+        "decode_roofline_pct_bf16": round(ideal_ms / step_ms * 100, 1),
+        "decode_roofline_pct_int8": round(ideal_ms_q / step_ms_q * 100, 1),
+    }
 
 
-def _8b_metrics():
-    """Llama-3.1-8B-dims perf story (BASELINE north star: TTFT <200 ms for
-    Ultravox-8B on v5p-8). 16 GB of bf16 weights don't fit one 16 GB v5e
-    chip, so this measures layer-sliced models at the exact 8B layer dims
-    (4096 hidden / 14336 ffn / 32q+8kv heads / 128 head_dim / 128256 vocab)
-    and extrapolates: per-layer cost = (t(8 layers) - t(4 layers)) / 4,
-    fixed cost (embed + LM head + sampling) = t(4) - 4x per-layer. The
-    '1chip_equiv' numbers are the 32-layer extrapolation on ONE chip; the
-    v5e-8 TTFT estimate divides the layer-parallelizable part by 8 chips
-    (weights sharded over tensor/fsdp axes, ICI collective overhead not
+def _layer_sliced_metrics(
+    text_kwargs: dict,
+    layer_counts: tuple,
+    full_layers: int,
+    prefix: str,
+    n_chips: int = 8,
+):
+    """Layer-sliced measurement at exact big-model layer dims: per-layer
+    cost = slope between the two slice sizes, fixed cost (embed + LM head +
+    sampling) = intercept; the '1chip_equiv' numbers extrapolate to the full
+    depth on ONE chip, and the TTFT estimate divides the layer-parallel part
+    by ``n_chips`` (weights sharded over tensor/fsdp; ICI overhead not
     modeled) and adds the measured 10 s-audio encoder time."""
     import time
 
@@ -213,17 +256,12 @@ def _8b_metrics():
     from ultravox_tpu.models import DecoderConfig, UltravoxConfig
 
     B = 8
-    results = {}
     times_decode = {}
     times_prefill = {}
-    for n_layers in (4, 8):
+    lo, hi = layer_counts
+    for n_layers in layer_counts:
         cfg = UltravoxConfig(
-            text_config=DecoderConfig(
-                arch="llama", vocab_size=128256, hidden_size=4096,
-                intermediate_size=14336, num_layers=n_layers, num_heads=32,
-                num_kv_heads=8, head_dim=128, rope_theta=500000.0,
-                max_position_embeddings=8192,
-            ),
+            text_config=DecoderConfig(num_layers=n_layers, **text_kwargs),
             llm_only_training=True,
         )
         from ultravox_tpu.models import decoder as decoder_lib
@@ -234,6 +272,10 @@ def _8b_metrics():
             )
         }
         engine = GenerationEngine(params, cfg, max_cache_len=512, prefill_attn_impl="fused")
+        # free the unfused source layer kernels (the engine holds fused
+        # copies): the 70B 3-layer slice + embeddings only fits one 16 GB
+        # chip once, not twice
+        del params
         prompt = np.full((B, 192), 7, np.int32)  # ~128 text + 63 audio tokens
         batch = {"input_ids": prompt, "attention_mask": np.ones_like(prompt)}
         engine.generate_greedy_fused(batch, max_new_tokens=32)  # compile
@@ -257,31 +299,194 @@ def _8b_metrics():
         pf()
         times_prefill[n_layers] = time.perf_counter() - t0
         times_decode[n_layers] = (t_total - times_prefill[n_layers]) / 32
+        # drop this slice's weights/cache before the next slice initialises
+        # (two 70B slices co-resident exceed the 16 GB chip)
+        del engine, cache, jb
 
-    per_layer_decode = (times_decode[8] - times_decode[4]) / 4
-    fixed_decode = times_decode[4] - 4 * per_layer_decode
-    per_layer_prefill = (times_prefill[8] - times_prefill[4]) / 4
-    fixed_prefill = times_prefill[4] - 4 * per_layer_prefill
+    span = hi - lo
+    per_layer_decode = (times_decode[hi] - times_decode[lo]) / span
+    fixed_decode = times_decode[lo] - lo * per_layer_decode
+    per_layer_prefill = (times_prefill[hi] - times_prefill[lo]) / span
+    fixed_prefill = times_prefill[lo] - lo * per_layer_prefill
 
-    decode_32 = fixed_decode + 32 * per_layer_decode
-    prefill_32 = fixed_prefill + 32 * per_layer_prefill
-    # v5e-8 plan: 32 layers' weights sharded 8-way (fsdp x tensor); the
-    # per-layer work parallelizes, the fixed (embed/head/sample) part is
-    # also sharded over tensor but kept unscaled here as margin
-    prefill_32_8chip = fixed_prefill + 32 * per_layer_prefill / 8
-    # measured 10s-audio encode (large-v3-turbo class) — reuse the headline
-    # encoder number: 10 s / rtfx; a single chunk at batch 1 is bounded by
-    # ~2x the per-chunk batch-8 time, so measure directly instead
+    decode_full = fixed_decode + full_layers * per_layer_decode
+    prefill_full = fixed_prefill + full_layers * per_layer_prefill
+    prefill_sharded = fixed_prefill + full_layers * per_layer_prefill / n_chips
     enc_ttft_s = _encoder_10s_once()
-    ttft_8b_est = (enc_ttft_s + prefill_32_8chip) * 1000
+    ttft_est = (enc_ttft_s + prefill_sharded) * 1000
 
     return {
-        "8b_dims_decode_ms_per_step_batch8_1chip_equiv": round(decode_32 * 1e3, 2),
-        "8b_dims_decode_tok_s_batch8_1chip_equiv": round(B / decode_32, 1),
-        "8b_dims_prefill_192tok_ms_1chip_equiv": round(prefill_32 * 1e3, 1),
-        "8b_dims_ttft_ms_est_10s_audio_v5e8": round(ttft_8b_est, 1),
-        "8b_ttft_vs_200ms_target": round(200.0 / max(ttft_8b_est, 1e-9), 2),
+        f"{prefix}_decode_ms_per_step_batch8_1chip_equiv": round(
+            decode_full * 1e3, 2
+        ),
+        f"{prefix}_decode_tok_s_batch8_1chip_equiv": round(B / decode_full, 1),
+        f"{prefix}_prefill_192tok_ms_1chip_equiv": round(prefill_full * 1e3, 1),
+        f"{prefix}_ttft_ms_est_10s_audio_{n_chips}chip": round(ttft_est, 1),
+        f"{prefix}_ttft_vs_200ms_target": round(200.0 / max(ttft_est, 1e-9), 2),
     }
+
+
+def _8b_metrics():
+    """Llama-3.1-8B-dims perf story (BASELINE north star: TTFT <200 ms for
+    Ultravox-8B on v5p-8). 16 GB of bf16 weights don't fit one 16 GB v5e
+    chip — measure layer slices at the exact 8B layer dims (4096 hidden /
+    14336 ffn / 32q+8kv heads / 128 head_dim / 128256 vocab)."""
+    return _layer_sliced_metrics(
+        dict(
+            arch="llama", vocab_size=128256, hidden_size=4096,
+            intermediate_size=14336, num_heads=32, num_kv_heads=8,
+            head_dim=128, rope_theta=500000.0,
+            max_position_embeddings=8192,
+        ),
+        layer_counts=(4, 8),
+        full_layers=32,
+        prefix="8b_dims",
+    )
+
+
+def _70b_dims_metrics():
+    """Llama-3.3-70B flagship dims (8192 hidden / 28672 ffn / 64q+8kv heads;
+    see docs/70b.md for the full fits-and-runs plan). A 2/3-layer slice plus
+    embeddings is ~8-10 GB bf16 — the largest pair that fits one v5e chip
+    alongside caches; extrapolation to 80 layers mirrors the 8B story."""
+    return _layer_sliced_metrics(
+        dict(
+            arch="llama", vocab_size=128256, hidden_size=8192,
+            intermediate_size=28672, num_heads=64, num_kv_heads=8,
+            head_dim=128, rope_theta=500000.0,
+            max_position_embeddings=8192,
+        ),
+        layer_counts=(2, 3),
+        full_layers=80,
+        prefix="70b_dims",
+    )
+
+
+def _serving_metrics(fused_2k_tps: float):
+    """End-to-end ServingEngine throughput at DEFAULT (auto) flags: 1B
+    flagship, 8 slots, 1.5K-token prompts, ~2K live context, paged cache +
+    multi-step decode blocks (VERDICT r2 #1: must land >=50% of the
+    fused-scan decode rate at the same batch/context)."""
+    import time
+
+    import __graft_entry__ as graft
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+    from ultravox_tpu.models import ultravox as uv_model
+
+    cfg = graft._flagship_config()
+    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    engine = ServingEngine(
+        params, cfg, num_slots=8, max_seq_len=2048,
+        mel_len_buckets=(400,),
+    )
+    engine.start()
+    B, PROMPT, NEW = 8, 1500, 400
+    rng = np.random.default_rng(0)
+
+    def submit_all():
+        reqs = []
+        for _ in range(B):
+            ids = rng.integers(1, cfg.text_config.vocab_size, (1, PROMPT))
+            reqs.append(
+                engine.submit(
+                    {
+                        "input_ids": ids.astype(np.int32),
+                        "attention_mask": np.ones_like(ids, np.int32),
+                    },
+                    max_tokens=NEW,
+                )
+            )
+        return reqs
+
+    def drain(reqs):
+        tokens = 0
+        for r in reqs:
+            for ev in engine.stream(r):
+                if ev.token_id is not None:
+                    tokens += 1
+        return tokens
+
+    try:
+        drain(submit_all())  # compile all buckets + block program
+        t0 = time.perf_counter()
+        tokens = drain(submit_all())
+        dt = time.perf_counter() - t0
+    finally:
+        engine.stop()
+    tok_s = tokens / dt
+    return {
+        "serving_tok_s_8slots_1.5k_prompt_2k_ctx_paged": round(tok_s, 1),
+        "serving_vs_fused_decode_pct": round(
+            tok_s / max(fused_2k_tps, 1e-9) * 100, 1
+        ),
+    }
+
+
+def _train_metrics():
+    """Training samples/s on a FIXED tiny recipe the driver can audit:
+    KL-distillation projector training on the 1B flagship, batch 8, 10 s
+    audio per sample, bf16 + remat + chunked vocab loss (the
+    v0.6-recipe defaults)."""
+    import time
+
+    import __graft_entry__ as graft
+    from ultravox_tpu.models import LossConfig, LossFunction
+    from ultravox_tpu.models import ultravox as uv_model
+    from ultravox_tpu.training import train_step as ts
+
+    cfg = graft._flagship_config()
+    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    opt = ts.make_optimizer(1e-3, warmup_steps=0, total_steps=100)
+    state, template = ts.init_train_state(
+        params, opt, trainable_patterns=[r".*projector/.*"]
+    )
+    step_fn = jax.jit(
+        ts.make_train_step(
+            cfg,
+            LossConfig(loss_function=LossFunction.KL_DIVERGENCE),
+            opt,
+            template,
+            remat=True,
+            vocab_chunk=256,
+        ),
+        donate_argnums=(0,),
+    )
+    B, mel_frames = 8, 1000
+    n_audio_tok = mel_frames // 2 // 8
+    T, T2 = 64 + n_audio_tok + 64, 128
+    rng = np.random.default_rng(0)
+    labels = np.full((B, T), -100, np.int32)
+    labels[:, -40:] = rng.integers(1, cfg.vocab_size, (B, 40))
+    alt_labels = np.full((B, T2), -100, np.int32)
+    alt_labels[:, -40:] = labels[:, -40:]
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (B, T)), jnp.int32
+        ),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "alt_input_ids": jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (B, T2)), jnp.int32
+        ),
+        "alt_attention_mask": jnp.ones((B, T2), jnp.int32),
+        "alt_labels": jnp.asarray(alt_labels),
+        "audio_values": jnp.asarray(
+            rng.standard_normal((B, 80, mel_frames)) * 0.1, jnp.float32
+        ),
+        "audio_lens": jnp.full((B,), mel_frames, jnp.int32),
+        "audio_token_len": jnp.full((B,), n_audio_tok, jnp.int32),
+        "audio_token_start_idx": jnp.full((B,), 4, jnp.int32),
+        "audio_chunk_batch_idx": jnp.arange(B, dtype=jnp.int32),
+    }
+    state, metrics = step_fn(state, batch)  # compile
+    float(metrics["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch)
+    float(metrics["loss"])  # fence
+    dt = (time.perf_counter() - t0) / iters
+    return {"train_samples_s_1b_kl_10s_audio_batch8": round(B / dt, 1)}
 
 
 def _encoder_10s_once() -> float:
@@ -383,10 +588,11 @@ def _init_8b_int8_fused(cfg, seed: int = 0):
     return {"language_model": lm}
 
 
-def _8b_int8_measured_subprocess():
-    """Run the 8B int8 measurement in a fresh process: the ~8 GB weight tree
-    plus caches needs a clean HBM, not one fragmented by the earlier bench
-    sections. Degrades to an empty dict on failure."""
+def _subprocess_metrics(func_name: str):
+    """Run a zero-arg metrics function from this module in a fresh process:
+    the big-model sections (8B int8 tree, 70B layer slices) peak near the
+    whole 16 GB chip and need a clean HBM, not one fragmented by earlier
+    bench sections. Degrades to a tagged failure dict on any error."""
     import json as _json
     import os
     import subprocess
@@ -397,7 +603,7 @@ def _8b_int8_measured_subprocess():
         "import sys, json\n"
         f"sys.path.insert(0, {repo!r})\n"
         "import bench\n"
-        "print('INT8RESULT ' + json.dumps(bench._8b_int8_measured()))\n"
+        f"print('SUBRESULT ' + json.dumps(bench.{func_name}()))\n"
     )
     try:
         proc = subprocess.run(
@@ -405,12 +611,12 @@ def _8b_int8_measured_subprocess():
             capture_output=True, text=True, timeout=2400, cwd=repo,
         )
         for line in proc.stdout.splitlines():
-            if line.startswith("INT8RESULT "):
-                return _json.loads(line[len("INT8RESULT "):])
+            if line.startswith("SUBRESULT "):
+                return _json.loads(line[len("SUBRESULT "):])
         sys.stderr.write(proc.stderr[-2000:] + "\n")
     except Exception as e:  # noqa: BLE001 — bench must still print its line
-        sys.stderr.write(f"8b int8 subprocess failed: {e}\n")
-    return {"8b_int8_measured": "failed"}
+        sys.stderr.write(f"{func_name} subprocess failed: {e}\n")
+    return {func_name.strip("_"): "failed"}
 
 
 def _8b_int8_measured():

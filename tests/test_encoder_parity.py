@@ -158,6 +158,22 @@ def test_int8_encoder_quantization(tiny_whisper):
     cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.995, cos
 
+    # int8 composes with the fused forward-only path (eager qkv concat of
+    # kernel_q+scale via fuse_encoder_inference_params, tanh GELU, Pallas
+    # LN when the slab fits)
+    fused_params = whisper_encoder.fuse_encoder_inference_params(qparams)
+    assert "qkv_proj" in fused_params["layers"]
+    assert "kernel_q" in fused_params["layers"]["qkv_proj"]
+    fused = np.asarray(
+        whisper_encoder.encoder_forward(
+            fused_params, cfg, jnp.asarray(mel),
+            mel_lens=jnp.full((2,), 256, jnp.int32), attn_impl="fused",
+        )
+    )
+    c = fused.ravel()
+    cos_f = np.dot(a, c) / (np.linalg.norm(a) * np.linalg.norm(c))
+    assert cos_f > 0.995, cos_f
+
 
 def test_int8_engine_quantizes_whisper_tower():
     """GenerationEngine(quantize="int8") quantizes the whisper audio tower

@@ -79,6 +79,25 @@ def test_stream_step_matches_batch_block_causal_encode():
     assert streamed.shape == (40, cfg.d_model)
     np.testing.assert_allclose(streamed, full[:40], atol=2e-5, rtol=2e-5)
 
+    # an inference-fused tower (eager qkv concat) streams identically —
+    # the serving engine fuses self.params["audio_tower"] and the
+    # incremental voice path then runs encoder_stream_step on it
+    fparams = whisper_encoder.fuse_encoder_inference_params(params)
+    state = whisper_encoder.EncoderStreamState.zeros(cfg)
+    outs_f = []
+    for k in range(5):
+        n_valid = int(np.clip(feat_len - k * C, 0, C))
+        state, out = whisper_encoder.encoder_stream_step(
+            fparams, state,
+            jnp.asarray(_window(mel, k, C)),
+            jnp.asarray(n_valid, jnp.int32),
+            cfg=cfg, block_size=C,
+        )
+        outs_f.append(np.asarray(out))
+    np.testing.assert_allclose(
+        np.concatenate(outs_f, axis=0), streamed, atol=2e-5, rtol=2e-5
+    )
+
 
 def test_stream_step_state_is_blockwise_final():
     """Feeding more blocks must not change earlier blocks' outputs (the

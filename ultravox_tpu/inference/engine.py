@@ -96,6 +96,19 @@ class GenerationEngine:
                 self.params["audio_tower"] = quantize_encoder_int8(tower)
         elif quantize:
             raise ValueError(f"unsupported quantize={quantize!r}")
+        if encoder_attn_impl == "fused":
+            # the fused (forward-only) encoder path also wants q/k/v as one
+            # wide matmul — eager one-time concat, same no-op rules as the
+            # decoder fusion above
+            tower = self.params.get("audio_tower")
+            if tower is not None and "conv1" in tower:
+                from ultravox_tpu.models.whisper_encoder import (
+                    fuse_encoder_inference_params,
+                )
+
+                self.params["audio_tower"] = fuse_encoder_inference_params(
+                    tower
+                )
         self.cfg = cfg
         self.max_cache_len = max_cache_len
         self.batch_buckets = batch_buckets

@@ -253,6 +253,16 @@ class ServingEngine:
                 )
             elif quantize:
                 raise ValueError(f"unsupported quantize={quantize!r}")
+            if encoder_attn_impl == "fused":
+                tower = self.params.get("audio_tower")
+                if tower is not None and "conv1" in tower:
+                    from ultravox_tpu.models.whisper_encoder import (
+                        fuse_encoder_inference_params,
+                    )
+
+                    self.params["audio_tower"] = (
+                        fuse_encoder_inference_params(tower)
+                    )
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len

@@ -146,22 +146,34 @@ def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
 
 
 def _encoder_layer(
-    cfg: WhisperEncoderConfig, x, bias, p, *, attn_fn=None, ln_fn=None
+    cfg: WhisperEncoderConfig, x, bias, p, *,
+    attn_fn=None, ln_fn=None, approx_gelu=False,
 ):
     """One pre-norm transformer encoder layer. x: (B, T, D).
     ``ln_fn``: LayerNorm implementation (defaults to the XLA path; the
-    forward-only fused path passes the Pallas kernel)."""
+    forward-only fused path passes the Pallas kernel).
+    ``approx_gelu``: tanh-approximation GELU — on v5e the exact-erf GELU
+    costs ~0.73 ms/layer of pure VPU time at the 30 s batch-8 window while
+    the tanh form is literally free (0.843 ms vs relu's 0.857 ms traffic
+    bound; scripts/profile_encoder_experiments.py). Max |erf-tanh| GELU
+    deviation is ~3e-3 absolute — below bf16 resolution at typical
+    activation scales — so the forward-only fused path turns it on.
+
+    When ``p`` carries a fused ``qkv_proj`` (see ``_fuse_qkv_stacked``),
+    q/k/v run as ONE (D, 3D) matmul: DxD matmuls only reach ~74 TF/s on
+    v5e (output too narrow to fill the MXU pipeline) vs 125 TF/s at 3D
+    wide — worth ~0.4 ms/layer net of the slice round-trips."""
     B, T, D = x.shape
     ln = ln_fn or layer_norm
     h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
-    # NB: q/k/v deliberately stay three separate matmuls — a decoder-style
-    # fused qkv matmul measures ~0.2 ms/layer SLOWER here (the concatenated
-    # (B, T, 3D) output plus its three slices add ~90 MB of HBM round-trips
-    # at the 30 s batch-8 window, dwarfing the saved launch overhead)
-    q = proj_apply(h, p["q_proj"])
-    k = proj_apply(h, p["k_proj"])
-    v = proj_apply(h, p["v_proj"])
     shape = (B, T, cfg.num_heads, cfg.head_dim)
+    if "qkv_proj" in p:
+        qkv = proj_apply(h, p["qkv_proj"]).reshape(B, T, 3, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:
+        q = proj_apply(h, p["q_proj"])
+        k = proj_apply(h, p["k_proj"])
+        v = proj_apply(h, p["v_proj"])
     if attn_fn is not None:
         attn = attn_fn(q.reshape(shape), k.reshape(shape), v.reshape(shape))
     else:
@@ -176,9 +188,57 @@ def _encoder_layer(
     x = x + proj_apply(attn, p["out_proj"])
 
     h = ln(x, p["final_ln"]["scale"], p["final_ln"]["bias"])
-    h = jax.nn.gelu(proj_apply(h, p["fc1"]), approximate=False)
+    h = jax.nn.gelu(proj_apply(h, p["fc1"]), approximate=approx_gelu)
     x = x + proj_apply(h, p["fc2"])
     return x
+
+
+def fuse_encoder_inference_params(params: Params) -> Params:
+    """Inference-optimised encoder tree: q/k/v concatenated into one
+    ``qkv_proj`` (one-time eager HBM copy, like the decoder's
+    ``fuse_inference_params``). Apply ONCE at engine/bench setup — never
+    inside a jitted forward, where the concat of closed-over weights
+    constant-folds into the HLO and chokes compilation. No-op when LoRA
+    adapters sit on q/k/v or the tree is already fused; the canonical
+    (trainable / exportable / shardable) layout is untouched."""
+    ly = params["layers"]
+    if "qkv_proj" in ly:
+        return params
+    for name in ("q_proj", "k_proj", "v_proj"):
+        if "lora_a" in ly.get(name, {}):
+            return params
+    out = dict(params)
+    out["layers"] = _fuse_qkv_stacked(ly)
+    return out
+
+
+def _fuse_qkv_stacked(layers: Params) -> Params:
+    """Stacked-layer params with q/k/v concatenated into one ``qkv_proj``:
+    DxD matmuls only reach ~74 TF/s on v5e (output too narrow to fill the
+    MXU pipeline) vs 125 TF/s at 3D wide — ~0.4 ms/layer net of the slice
+    round-trips at the 30 s batch-8 window. Handles both bf16 ({kernel})
+    and int8 ({kernel_q, scale}) projections. Whisper's k_proj has no
+    bias; the fused bias uses zeros for the k third."""
+    q, k, v = layers["q_proj"], layers["k_proj"], layers["v_proj"]
+    fused = {}
+    if "kernel_q" in q:
+        fused["kernel_q"] = jnp.concatenate(
+            [q["kernel_q"], k["kernel_q"], v["kernel_q"]], axis=-1
+        )
+        fused["scale"] = jnp.concatenate(
+            [q["scale"], k["scale"], v["scale"]], axis=-1
+        )
+    else:
+        fused["kernel"] = jnp.concatenate(
+            [q["kernel"], k["kernel"], v["kernel"]], axis=-1
+        )
+    if "bias" in q:
+        kb = k.get("bias", jnp.zeros_like(q["bias"]))
+        fused["bias"] = jnp.concatenate([q["bias"], kb, v["bias"]], axis=-1)
+    out = {n: p for n, p in layers.items()
+           if n not in ("q_proj", "k_proj", "v_proj")}
+    out["qkv_proj"] = fused
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -309,9 +369,15 @@ def encoder_stream_step(
         h_in = carry
         p, ck, cv = xs
         h = layer_norm(h_in, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
-        q = proj_apply(h, p["q_proj"]).reshape(1, C, H, Dh)
-        k = proj_apply(h, p["k_proj"]).reshape(C, H, Dh)
-        v = proj_apply(h, p["v_proj"]).reshape(C, H, Dh)
+        if "qkv_proj" in p:  # inference-fused tower (fuse_encoder_inference_params)
+            qkv = proj_apply(h, p["qkv_proj"]).reshape(1, C, 3, cfg.d_model)
+            q = qkv[:, :, 0].reshape(1, C, H, Dh)
+            k = qkv[0, :, 1].reshape(C, H, Dh)
+            v = qkv[0, :, 2].reshape(C, H, Dh)
+        else:
+            q = proj_apply(h, p["q_proj"]).reshape(1, C, H, Dh)
+            k = proj_apply(h, p["k_proj"]).reshape(C, H, Dh)
+            v = proj_apply(h, p["v_proj"]).reshape(C, H, Dh)
         ck = jax.lax.dynamic_update_slice(
             ck, k.astype(ck.dtype), (pos, 0, 0)
         )
@@ -366,13 +432,17 @@ def encoder_forward(
             f"mel length {mel.shape[-1]} exceeds encoder context "
             f"{cfg.max_context_length}; chunk the audio first."
         )
+    # the forward-only fused path takes tanh GELU everywhere (incl. the two
+    # stem GELUs over ~46M elements): exact-erf GELU is pure VPU cost on
+    # TPU while tanh sits at the traffic bound (_encoder_layer docstring)
+    stem_approx = attn_impl == "fused"
     x = jax.nn.gelu(
         _conv1d(mel, params["conv1"]["kernel"], params["conv1"]["bias"], cfg.conv1_stride),
-        approximate=False,
+        approximate=stem_approx,
     )
     x = jax.nn.gelu(
         _conv1d(x, params["conv2"]["kernel"], params["conv2"]["bias"], cfg.conv2_stride),
-        approximate=False,
+        approximate=stem_approx,
     )
     x = jnp.transpose(x, (0, 2, 1))  # (B, T, D)
     T = x.shape[1]
@@ -381,6 +451,8 @@ def encoder_forward(
     bias = None
     attn_fn = None
     ln_fn = None
+    layers = params["layers"]
+    approx_gelu = False
     if attn_impl == "flash":
         from ultravox_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -416,6 +488,12 @@ def encoder_forward(
             ln_fn = lambda h, scale, bias: pln.fused_layer_norm(
                 h, scale, bias
             )
+        # forward-only fast path: tanh GELU (see _encoder_layer docstring).
+        # The fused qkv matmul is NOT built here: callers opt in by passing
+        # params through fuse_encoder_inference_params() ONCE at setup — an
+        # in-graph concat of closed-over weights becomes a giant HLO
+        # constant-fold that chokes compilation.
+        approx_gelu = True
     else:
         if mel_lens is not None:
             feat_lens = feat_extract_output_length(mel_lens)
@@ -429,11 +507,15 @@ def encoder_forward(
             bias = lat if bias is None else jnp.minimum(bias, lat)
 
     layer_fn = lambda h, p: (
-        _encoder_layer(cfg, h, bias, p, attn_fn=attn_fn, ln_fn=ln_fn), None
+        _encoder_layer(
+            cfg, h, bias, p,
+            attn_fn=attn_fn, ln_fn=ln_fn, approx_gelu=approx_gelu,
+        ),
+        None,
     )
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
-    x, _ = jax.lax.scan(layer_fn, x, params["layers"])
+    x, _ = jax.lax.scan(layer_fn, x, layers)
     return layer_norm(
         x, params["layer_norm"]["scale"], params["layer_norm"]["bias"]
     )
