@@ -81,11 +81,16 @@ def test_encoder_fused_matches_xla(qkv):
         fa.fused_attention = orig
     n0 = whisper_encoder.feat_extract_output_length(256)
     n1 = whisper_encoder.feat_extract_output_length(120)
+    # the fused path runs tanh-approximation GELU (stem + MLP) while the
+    # default path keeps exact erf — |erf-tanh| contributes up to ~3e-3
+    # absolute here. Strict kernel parity (2e-5/2e-6) is asserted by the
+    # dedicated attention/LayerNorm tests above; this checks the fused
+    # encoder wiring end-to-end.
     np.testing.assert_allclose(
-        np.asarray(out)[0, :n0], np.asarray(ref)[0, :n0], atol=1e-4
+        np.asarray(out)[0, :n0], np.asarray(ref)[0, :n0], atol=3e-3
     )
     np.testing.assert_allclose(
-        np.asarray(out)[1, :n1], np.asarray(ref)[1, :n1], atol=1e-4
+        np.asarray(out)[1, :n1], np.asarray(ref)[1, :n1], atol=3e-3
     )
 
 
