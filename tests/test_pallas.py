@@ -204,3 +204,45 @@ def test_fused_layer_norm_parity():
     )
     assert ln_supports(1500, 1280)
     assert not ln_supports(1500, 1284)  # lane-misaligned D
+
+
+def test_decode_matmul_parity():
+    """Skinny decode matmul kernel vs XLA dot: bf16 and w8a16 (int8 weights
+    + per-channel scale), including a non-divisible N (128256-style)."""
+    from ultravox_tpu.ops.pallas.decode_matmul import decode_matmul, supports
+
+    key = jax.random.key(0)
+    for M, K, N in ((8, 256, 384), (8, 256, 1664), (1, 128, 256)):
+        assert supports((M, K), K, N)
+        x = jax.random.normal(key, (M, K), jnp.float32).astype(jnp.bfloat16)
+        w = jax.random.normal(jax.random.key(1), (K, N), jnp.float32).astype(
+            jnp.bfloat16
+        )
+        ref = jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = decode_matmul(x, w, out_dtype=jnp.float32, block_n=256)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+        # w8a16: int8 weights + (N,) scale, fp32 accumulate, scale after
+        sc = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) / sc), -127, 127).astype(
+            jnp.int8
+        )
+        ref_q = (
+            jax.lax.dot_general(
+                x, wq.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sc
+        ).astype(jnp.bfloat16)
+        out_q = decode_matmul(
+            x, wq, sc.astype(jnp.bfloat16), out_dtype=jnp.bfloat16,
+            block_n=256,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_q).astype(np.float32),
+            np.asarray(ref_q).astype(np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
