@@ -243,6 +243,7 @@ def _layer_sliced_metrics(
     full_layers: int,
     prefix: str,
     n_chips: int = 8,
+    extra_chips: tuple = (),
 ):
     """Layer-sliced measurement at exact big-model layer dims: per-layer
     cost = slope between the two slice sizes, fixed cost (embed + LM head +
@@ -311,19 +312,24 @@ def _layer_sliced_metrics(
 
     decode_full = fixed_decode + full_layers * per_layer_decode
     prefill_full = fixed_prefill + full_layers * per_layer_prefill
-    prefill_sharded = fixed_prefill + full_layers * per_layer_prefill / n_chips
     enc_ttft_s = _encoder_10s_once()
-    ttft_est = (enc_ttft_s + prefill_sharded) * 1000
-
-    return {
+    out = {
         f"{prefix}_decode_ms_per_step_batch8_1chip_equiv": round(
             decode_full * 1e3, 2
         ),
         f"{prefix}_decode_tok_s_batch8_1chip_equiv": round(B / decode_full, 1),
         f"{prefix}_prefill_192tok_ms_1chip_equiv": round(prefill_full * 1e3, 1),
-        f"{prefix}_ttft_ms_est_10s_audio_{n_chips}chip": round(ttft_est, 1),
-        f"{prefix}_ttft_vs_200ms_target": round(200.0 / max(ttft_est, 1e-9), 2),
     }
+    for chips in (n_chips,) + tuple(extra_chips):
+        sharded = fixed_prefill + full_layers * per_layer_prefill / chips
+        ttft_est = (enc_ttft_s + sharded) * 1000
+        out[f"{prefix}_ttft_ms_est_10s_audio_{chips}chip"] = round(ttft_est, 1)
+        # the <200 ms north-star ratio quotes the LARGEST (deepest-sharded)
+        # slice — the slice size a model this large actually serves on
+        out[f"{prefix}_ttft_vs_200ms_target"] = round(
+            200.0 / max(ttft_est, 1e-9), 2
+        )
+    return out
 
 
 def _8b_metrics():
@@ -359,6 +365,10 @@ def _70b_dims_metrics():
         layer_counts=(2, 3),
         full_layers=80,
         prefix="70b_dims",
+        # 140 GB of bf16 weights serve on a v5e-16 (8.75 GB/chip + caches)
+        # — quote the 8-chip estimate for comparability and the 16-chip
+        # one as the realistic deployment slice
+        extra_chips=(16,),
     )
 
 

@@ -225,14 +225,19 @@ def test_serving_rejects_oversized_prompt(setup):
 def test_decode_cadence_during_long_prefill(setup):
     """Chunked prefill: an active stream keeps receiving tokens while a
     long-prompt request prefills (VERDICT r1 weak #4 — head-of-line
-    blocking). With chunk size 16 and a ~128-token prompt, the prefill takes
-    >=8 loop iterations; the active request must collect tokens in between."""
+    blocking). With chunk size 16, one chunk per tick, and a ~128-token
+    prompt, the prefill takes >=8 loop iterations; the active request must
+    collect tokens in between. prefill_tokens_per_tick is pinned to one
+    chunk so the cadence contract under test stays exact (the default
+    dispatches 4 async chunks per tick — same bounded-stall property,
+    fewer interleave points)."""
     cfg, params, processor, collator = setup
     serving = ServingEngine(
         params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
         prefill_len_buckets=(64, 128, 256), mel_len_buckets=(400,),
         prefill_chunk_tokens=16,
     )
+    serving.prefill_tokens_per_tick = 16  # one chunk per scheduler tick
     serving.start()
     try:
         short = _mini_batch(processor, collator, "hello world")

@@ -32,12 +32,16 @@ one cached prefix (system-prompt caching); the source is pin-counted
 against eviction until each adopter has read it.
 
 All device work is jitted with static shapes; the scheduler is host Python
-(cheap — one dispatch per decode step for the whole batch) and the hot loop
-is XLA.
+and the hot loop is XLA. Decode dispatches are PIPELINED: the scheduler
+keeps up to two dispatches (single steps or K-step blocks) in flight and
+fetches sampled tokens one-to-two dispatches behind, overlapping host
+dispatch/fetch latency with device compute; prefill chunks dispatch
+asynchronously several-per-tick. See _decode_tick for the safety argument.
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import itertools
@@ -277,6 +281,11 @@ class ServingEngine:
         self.mel_len_buckets = mel_len_buckets
         self.max_prefills_per_step = max_prefills_per_step
         self.prefill_chunk_tokens = prefill_chunk_tokens
+        # prompt tokens dispatched per scheduler tick: chunks are async
+        # dispatches, so several per tick amortize the tick's fixed
+        # dispatch/fetch latency; the active streams' decode stall is the
+        # chunks' device compute (~a decode block), not the chunk count
+        self.prefill_tokens_per_tick = 4 * prefill_chunk_tokens
 
         tc = cfg.text_config
         self.cache_mode = cache_mode
@@ -391,6 +400,13 @@ class ServingEngine:
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._active: Dict[int, Request] = {}  # slot -> request
         self._prefilling: List[PrefillJob] = []  # chunked prefill queue
+        # pipelined decode: dispatched-but-not-yet-fetched decode calls
+        # (device-array results + the active-set snapshot they were
+        # dispatched against). Fetching one-to-two dispatches behind keeps
+        # the device busy while the host pays dispatch/fetch latency.
+        self._inflight: "collections.deque" = collections.deque()
+        self._max_inflight = 2
+        self._mask_cache = None  # (key, device active_mask, device temps)
         self._free_slots = list(range(num_slots))
         # conversation-prefix reuse: finished slots keep their cache rows
         # until reallocated; min_reuse_tokens gates trivial matches
@@ -539,6 +555,11 @@ class ServingEngine:
     def _loop(self):
         while self._running:
             did_work = False
+            # admissions mutate slot/page ownership: retire any in-flight
+            # decode work first so lagged finishes free their slots/pages
+            # before the new request looks for one
+            if self._inflight and not self._pending.empty():
+                self._drain_decodes()
             # admit new requests: embed the prompt (one device call, incl.
             # the audio tower) and enqueue a chunked prefill job
             admitted = 0
@@ -567,34 +588,11 @@ class ServingEngine:
 
             if self._active:
                 try:
-                    n_steps = 1
-                    # blocks engage only in pure steady-state decode (no
-                    # prefill work, nothing queued). Measured on the remote-
-                    # tunnel env: engaging them while requests queue delays
-                    # admissions/prefills by K steps per iteration and LOWERS
-                    # aggregate throughput under churn (161 vs 242 tok/s at
-                    # 32 req / 16 slots); in steady-state long decodes they
-                    # win 2.5x (525 vs 212 tok/s at 16 req / 16 slots).
-                    if (
-                        self.decode_block_steps > 1
-                        and not self._prefilling
-                        and self._pending.empty()
-                    ):
-                        # cache-capacity bound must hold for the whole block;
-                        # per-request token budgets need not (mid-block
-                        # stop/length finishes drop the leftover columns —
-                        # the same up-to-K-1-wasted-steps trade-off as stop
-                        # tokens). Exactly 1 or the full block: every
-                        # distinct n_steps is its own compiled program.
-                        cap = self.max_seq_len - 1 - max(
-                            r.prompt_len + r.generated
-                            for r in self._active.values()
-                        )
-                        if cap >= self.decode_block_steps:
-                            n_steps = self.decode_block_steps
-                    self._decode_step(n_steps)
+                    self._decode_tick()
                 except Exception:  # noqa: BLE001 — fail active requests, keep serving
                     logger.exception("decode step failed; failing active requests")
+                    self._inflight.clear()  # results are worthless now
+                    self._mask_cache = None
                     for slot, req in list(self._active.items()):
                         req.out_queue.put(
                             StreamEvent(token_id=None, finish_reason="error")
@@ -607,12 +605,19 @@ class ServingEngine:
                         self._requests.pop(req.request_id, None)
                 did_work = True
 
-            # advance ONE prefill job by one chunk — decode cadence for the
-            # active slots is maintained while long prompts prefill
+            # advance the HEAD prefill job by up to prefill_tokens_per_tick
+            # tokens (several async chunk dispatches — chunk compute is
+            # small next to one scheduler tick's dispatch/fetch latency,
+            # so the decode stall stays bounded by ~one block's compute
+            # while long prompts finish in 4x fewer loop iterations)
             if self._prefilling:
                 job = self._prefilling[0]
                 try:
-                    finished = self._prefill_one_chunk(job)
+                    budget = self.prefill_tokens_per_tick
+                    finished = False
+                    while budget > 0 and not finished:
+                        budget -= job.chunk
+                        finished = self._prefill_one_chunk(job)
                 except Exception:  # noqa: BLE001
                     logger.exception(
                         "prefill chunk failed for request %d",
@@ -635,8 +640,18 @@ class ServingEngine:
                 did_work = True
 
             if not did_work:
+                # nothing to dispatch: deliver any in-flight tokens now
+                # rather than sleeping on them
+                if self._inflight:
+                    self._drain_decodes()
+                    continue
                 self._wake.wait(timeout=0.01)
                 self._wake.clear()
+        # loop exit (stop()): deliver whatever was already computed
+        try:
+            self._drain_decodes()
+        except Exception:  # noqa: BLE001 — shutdown must not raise
+            self._inflight.clear()
 
     def _pad_request(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         batch = dict(batch)
@@ -898,26 +913,97 @@ class ServingEngine:
             self.cache = self._scratch_to_pages(
                 self.cache, self._scratch, self.page_table[req.slot][None]
             )
-        # prompt complete: sample the first token and activate the slot
+        # prompt complete: sample the first token and activate the slot.
+        # The token VALUE stays on device (last_tokens gets the device
+        # scalar); its host fetch + emit ride the in-flight queue so the
+        # round-trip overlaps later dispatches instead of stalling the tick
         self._rng, rng = jax.random.split(self._rng)
         tok = self._sample(
             logits_last, rng, temperature=req.temperature, top_k=0, top_p=1.0
         )
-        tok_i = int(tok[0])
         self.cache_lens = self.cache_lens.at[req.slot].set(req.prompt_len)
-        self.last_tokens = self.last_tokens.at[req.slot].set(tok_i)
+        self.last_tokens = self.last_tokens.at[req.slot].set(tok[0])
         self._active[req.slot] = req
+        self._mask_cache = None  # active set changed
         req.first_token_time = time.monotonic()
-        self._emit(req, tok_i)
+        self._inflight.append(("first", tok, req))
         return True
 
-    def _decode_step(self, n_steps: int = 1):
+    def _decode_tick(self):
+        """One scheduler decision: dispatch the next decode call (a K-step
+        block in pure steady-state decode, else a single step) WITHOUT
+        waiting for its tokens, and fetch the oldest in-flight result once
+        more than ``_max_inflight`` dispatches are outstanding. The lagged
+        fetch overlaps host dispatch/fetch latency with device compute —
+        the dominant serving-loop cost on remote-attached backends and a
+        strict win on any backend.
+
+        Safety of the lag: a request that finishes inside an in-flight
+        dispatch keeps decoding wasted columns, which processing drops
+        (the same up-to-K-1-steps trade as mid-block stop tokens). Cache
+        writes stay in bounds because the dispatch guard reserves
+        (in-flight + next) steps of headroom against max_seq_len. Freed
+        pages reused by a later admission cannot be corrupted by an
+        in-flight block's stray writes: device execution is in-order, so
+        the adopting request's (later-dispatched) prefill publish lands
+        after them, and unwritten tails beyond cache_lens are never read.
+        """
+        # blocks engage only in pure steady-state decode (no prefill work,
+        # nothing queued). Measured on the remote-tunnel env: engaging
+        # them while requests queue delays admissions/prefills by K steps
+        # per iteration and LOWERS aggregate throughput under churn (161
+        # vs 242 tok/s at 32 req / 16 slots); in steady-state long decodes
+        # they win 2.5x+ (525 vs 212 tok/s at 16 req / 16 slots).
+        churn = bool(self._prefilling) or not self._pending.empty()
+        lag = sum(e[3] for e in self._inflight if e[0] == "decode")
+        cap = self.max_seq_len - 1 - max(
+            r.prompt_len + r.generated for r in self._active.values()
+        )
+        n_steps = 1
+        if (
+            self.decode_block_steps > 1
+            and not churn
+            and cap - lag >= self.decode_block_steps
+        ):
+            # cache-capacity bound must hold for the whole block (plus the
+            # in-flight lag); per-request token budgets need not (mid-block
+            # stop/length finishes drop the leftover columns). Exactly 1 or
+            # the full block: every distinct n_steps is its own program.
+            n_steps = self.decode_block_steps
+        elif cap - lag < 1:
+            # near the cache edge the host view lags too far to prove the
+            # next write in bounds: retire in-flight work (processing the
+            # lagged finishes frees the edge rows) and re-decide
+            if not self._inflight:
+                # unreachable: _emit finishes any request reaching
+                # max_seq_len - 1, so lag-free cap is always >= 1
+                logger.error("no cache headroom with nothing in flight")
+                return
+            self._drain_decodes()
+            if not self._active:
+                return
+            return self._decode_tick()
+        self._dispatch_decode(n_steps)
+        while len(self._inflight) > self._max_inflight:
+            self._process_oldest_decode()
+
+    def _dispatch_decode(self, n_steps: int):
+        """Enqueue one decode call (single step or K-step block) for the
+        current active set; the device-array result and the active-set
+        snapshot go on ``_inflight`` for lagged processing."""
         slots = sorted(self._active)
-        active_mask = np.zeros((self.num_slots,), bool)
-        active_mask[slots] = True
-        temps = np.zeros((self.num_slots,), np.float32)
-        for s in slots:
-            temps[s] = self._active[s].temperature
+        snapshot = [(s, self._active[s]) for s in slots]
+        key = (tuple(slots), tuple(req.temperature for _, req in snapshot))
+        if self._mask_cache is None or self._mask_cache[0] != key:
+            active_mask = np.zeros((self.num_slots,), bool)
+            active_mask[slots] = True
+            temps = np.zeros((self.num_slots,), np.float32)
+            for s, req in snapshot:
+                temps[s] = req.temperature
+            self._mask_cache = (
+                key, jnp.asarray(active_mask), jnp.asarray(temps)
+            )
+        _, mask_dev, temps_dev = self._mask_cache
         self._rng, rng = jax.random.split(self._rng)
         if n_steps == 1:
             # ONE device call: decode all slots AND sample with per-slot
@@ -928,21 +1014,20 @@ class ServingEngine:
                     self.cache,
                     self.last_tokens,
                     self.cache_lens,
-                    jnp.asarray(active_mask),
-                    jnp.asarray(temps),
+                    mask_dev,
+                    temps_dev,
                     rng,
                     self.page_table if self.paged else None,
                 )
             )
-            sampled_np = np.asarray(sampled)[:, None]
         else:
             block_args = (
                 self.params,
                 self.cache,
                 self.last_tokens,
                 self.cache_lens,
-                jnp.asarray(active_mask),
-                jnp.asarray(temps),
+                mask_dev,
+                temps_dev,
                 rng,
             )
             if self.paged:
@@ -950,13 +1035,35 @@ class ServingEngine:
             sampled, self.cache, self.cache_lens, self.last_tokens = (
                 self._decode_block(*block_args, n_steps=n_steps)
             )
-            sampled_np = np.asarray(sampled)
-        for s in slots:
-            req = self._active[s]
+        self._inflight.append(("decode", sampled, snapshot, n_steps))
+
+    def _process_oldest_decode(self):
+        """Fetch the oldest in-flight result and emit its tokens. Slots
+        whose request finished in an earlier (lagged) dispatch — or was
+        replaced by a newer admission — drop their columns."""
+        entry = self._inflight.popleft()
+        if entry[0] == "first":
+            # a prefill-completion token: fetch + emit (stream order is
+            # preserved — the queue is FIFO and this was appended before
+            # any decode dispatch that includes the slot)
+            _, tok, req = entry
+            tok_i = int(np.asarray(tok)[0])
+            if self._active.get(req.slot) is req:
+                self._emit(req, tok_i)
+            return
+        _, sampled, snapshot, n_steps = entry
+        sampled_np = np.asarray(sampled)
+        if sampled_np.ndim == 1:
+            sampled_np = sampled_np[:, None]
+        for s, req in snapshot:
             for j in range(sampled_np.shape[1]):
-                if req.slot not in self._active:
-                    break  # finished mid-block; later columns are dropped
+                if self._active.get(s) is not req:
+                    break  # finished; later columns are dropped
                 self._emit(req, int(sampled_np[s, j]))
+
+    def _drain_decodes(self):
+        while self._inflight:
+            self._process_oldest_decode()
 
     def _emit(self, req: Request, token_id: int):
         finish = None
