@@ -400,6 +400,40 @@ def test_paged_block_decode_matches_single_step(setup):
     assert ids1 == expected[1] and fin1 == "length"
 
 
+def test_paged_block_decode_to_cache_edge(setup):
+    """Paged twin of the cache-edge test: blocks + pipelined dispatch up to
+    cache_full must stay inside the page reservation (a lagged write past
+    the table width would be dropped — or corrupt a neighbour if the guard
+    math were wrong), match offline greedy, and keep page accounting
+    exact."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world")
+    prompt_len = int(batch["attention_mask"].sum())
+    MAX_SEQ = 64
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=MAX_SEQ, cache_dtype=jnp.float32
+    )
+    n_fit = MAX_SEQ - 1 - prompt_len
+    expected = offline.generate(batch, max_new_tokens=n_fit).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=MAX_SEQ,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+        mel_len_buckets=(400,), cache_mode="paged", page_size=16,
+        num_pages=8, decode_block_steps=4,
+    )
+    serving.start()
+    try:
+        req = serving.submit(dict(batch), max_tokens=500)
+        ids, fin = _drain(serving, req)
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+    assert fin == "cache_full"
+    assert len(ids) == n_fit
+    assert ids == expected
+
+
 def test_paged_block_decode_preserves_retained_prefix(setup):
     """Block decode on OTHER slots must not corrupt a finished slot's
     retained pages (inactive slots' tail writes redirect out of range), and

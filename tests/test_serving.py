@@ -487,6 +487,39 @@ def test_block_decode_matches_single_step(setup):
     assert ids1 == expected[1] and fin1 == "length"
 
 
+def test_block_decode_to_cache_edge(setup):
+    """Requests decoding all the way to cache_full under decode blocks +
+    pipelined dispatch: near the edge the host view lags by the in-flight
+    steps, so the scheduler must drain and fall back to single steps
+    rather than dispatch a write past max_seq_len. Tokens must still match
+    offline greedy exactly and finish with cache_full at max_seq_len - 1."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world")
+    prompt_len = int(batch["attention_mask"].sum())
+    MAX_SEQ = 64
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=MAX_SEQ, cache_dtype=jnp.float32
+    )
+    n_fit = MAX_SEQ - 1 - prompt_len
+    expected = offline.generate(batch, max_new_tokens=n_fit).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=MAX_SEQ,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+        mel_len_buckets=(400,), decode_block_steps=4,
+    )
+    serving.start()
+    try:
+        # max_tokens far beyond capacity: the engine must stop at the edge
+        req = serving.submit(dict(batch), max_tokens=500)
+        ids, fin = _drain(serving, req)
+    finally:
+        serving.stop()
+    assert fin == "cache_full"
+    assert len(ids) == n_fit
+    assert ids == expected
+
+
 def test_retained_cache_survives_other_slots_decoding(setup):
     """Regression: while OTHER slots keep decoding after a request finishes,
     the finished slot's retained cache must not be corrupted by inactive-slot
