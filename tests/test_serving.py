@@ -487,6 +487,112 @@ def test_block_decode_matches_single_step(setup):
     assert ids1 == expected[1] and fin1 == "length"
 
 
+def test_sample_slots_filters():
+    """Unit: per-row dynamic top-k / top-p / min-p in sample_slots. Rows
+    that filter down to a single candidate must be exact; a top-k=3 row
+    must only ever draw from its top-3 logits."""
+    from ultravox_tpu.ops.sampling import sample_slots
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((5, 64)) * 3, jnp.float32)
+    best = np.argmax(np.asarray(logits), axis=-1)
+    samp = np.array(
+        [
+            [0.0, 0, 1.0, 0.0],  # greedy
+            [0.9, 1, 1.0, 0.0],  # top-k=1 == greedy
+            [0.7, 0, 1e-6, 0.0],  # top-p -> top-1 == greedy
+            [1.3, 0, 1.0, 1.0],  # min-p=1.0 -> only argmax survives
+            [1.0, 3, 1.0, 0.0],  # top-k=3: any of the top 3
+        ],
+        np.float32,
+    )
+    top3 = np.argsort(np.asarray(logits)[4])[-3:]
+    for seed in range(4):
+        out = np.asarray(
+            sample_slots(logits, jnp.asarray(samp), jax.random.key(seed))
+        )
+        assert (out[:4] == best[:4]).all(), out
+        assert out[4] in top3, (out[4], top3)
+
+
+def test_per_slot_sampling_filters_reduce_to_greedy(setup):
+    """End-to-end: per-request top_k=1 / tiny top_p / min_p=1.0 at
+    temperature > 0 each collapse to the greedy tokens — exact determinism
+    through the dynamic filter path, mixed with a plain greedy slot in the
+    same decode program (and inside decode blocks)."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(batch, max_new_tokens=6).token_ids[0]
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(dict(batch), max_tokens=6),
+            serving.submit(
+                dict(batch), max_tokens=6, temperature=0.9, top_k=1
+            ),
+            serving.submit(
+                dict(batch), max_tokens=6, temperature=0.7, top_p=1e-6
+            ),
+            serving.submit(
+                dict(batch), max_tokens=6, temperature=1.3, min_p=1.0
+            ),
+        ]
+        outs = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for ids, fin in outs:
+        assert ids == expected and fin == "length"
+
+
+def test_sampling_penalties(setup):
+    """vLLM-semantics penalties: a huge repetition penalty at greedy must
+    never emit a token already in the prompt or output; a huge presence
+    penalty must never repeat an OUTPUT token (prompt repeats allowed);
+    and a penalty-free request in the same batch must be byte-identical
+    to the no-penalty engine output (penalties are per-slot no-ops)."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    prompt_ids = set(
+        np.asarray(batch["input_ids"]).reshape(-1)[
+            : int(batch["attention_mask"].sum())
+        ].tolist()
+    )
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(batch, max_new_tokens=12).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        r_plain = serving.submit(dict(batch), max_tokens=12)
+        r_rep = serving.submit(
+            dict(batch), max_tokens=12, repetition_penalty=1e9
+        )
+        r_pres = serving.submit(
+            dict(batch), max_tokens=12, presence_penalty=1e9
+        )
+        ids_plain, _ = _drain(serving, r_plain)
+        ids_rep, _ = _drain(serving, r_rep)
+        ids_pres, _ = _drain(serving, r_pres)
+    finally:
+        serving.stop()
+    assert ids_plain == expected
+    assert len(set(ids_rep)) == len(ids_rep)
+    assert not (set(ids_rep) & prompt_ids)
+    assert len(set(ids_pres)) == len(ids_pres)
+
+
 def test_block_decode_to_cache_edge(setup):
     """Requests decoding all the way to cache_full under decode blocks +
     pipelined dispatch: near the edge the host view lags by the in-flight

@@ -129,11 +129,11 @@ class GenerationEngine:
             donate_argnames=("cache",),
         )
         self._sample = jax.jit(
-            sample_token, static_argnames=("temperature", "top_k", "top_p")
+            sample_token, static_argnames=("temperature", "top_k", "top_p", "min_p")
         )
         self._decode_scan = jax.jit(
             functools.partial(_decode_scan_segmented, cfg=cfg),
-            static_argnames=("n_steps", "temperature", "top_k", "top_p"),
+            static_argnames=("n_steps", "temperature", "top_k", "top_p", "min_p"),
         )
 
     def _check_cache_budget(
@@ -207,6 +207,7 @@ class GenerationEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         rng: Optional[jax.Array] = None,
         token_callback=None,
         cache: Optional[decoder_lib.KVCache] = None,
@@ -244,7 +245,8 @@ class GenerationEngine:
         for step in range(max_new_tokens):
             rng, step_rng = jax.random.split(rng)
             next_tok = self._sample(
-                logits, step_rng, temperature=temperature, top_k=top_k, top_p=top_p
+                logits, step_rng, temperature=temperature, top_k=top_k,
+                top_p=top_p, min_p=min_p
             )
             tok_np = np.asarray(next_tok)
             for b in range(true_B):
@@ -276,6 +278,7 @@ class GenerationEngine:
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        min_p: float = 0.0,
         rng: Optional[jax.Array] = None,
     ) -> GenerationResult:
         """Offline generation with the whole decode loop fused into one
@@ -300,13 +303,15 @@ class GenerationEngine:
             self._rng, rng = jax.random.split(self._rng)
         rng, first_rng = jax.random.split(rng)
         first = self._sample(
-            logits, first_rng, temperature=temperature, top_k=top_k, top_p=top_p
+            logits, first_rng, temperature=temperature, top_k=top_k,
+            top_p=top_p, min_p=min_p
         )
         all_toks = np.asarray(
             self._decode_scan(
                 self.params, cache, first, seq_lens, rng,
                 n_steps=max_new_tokens - 1,
                 temperature=temperature, top_k=top_k, top_p=top_p,
+                min_p=min_p,
             )
         )
         out_ids: List[List[int]] = []
@@ -340,6 +345,7 @@ def _grow_cache(cache, length: int):
 def _decode_scan_segmented(
     params, cache, tokens, cache_pos, rng, *, cfg, n_steps: int,
     temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+    min_p: float = 0.0,
 ):
     """Decode ``n_steps + 1`` tokens in ONE compiled call via the segmented
     scan (read-only prompt cache + small carried tail —
@@ -349,7 +355,8 @@ def _decode_scan_segmented(
 
     def sample_fn(logits, key):
         return sample_token(
-            logits, key, temperature=temperature, top_k=top_k, top_p=top_p
+            logits, key, temperature=temperature, top_k=top_k, top_p=top_p,
+            min_p=min_p,
         )
 
     return decoder_lib.segmented_decode_scan(

@@ -9,7 +9,8 @@ iteration:
    (audio tower + projector + splice, bucketed by prompt/mel length) and
    queued as a *chunked prefill job*;
 3. one compiled decode step advances ALL active slots by one token, with
-   per-slot temperature sampling fused into the same device call;
+   per-slot sampling (temperature / top-k / top-p / min-p) fused into the
+   same device call;
 4. at most ``prefill_chunk_tokens`` prompt tokens of ONE prefill job run
    through the LLM, writing directly into the job's cache row.
 
@@ -59,7 +60,7 @@ import jax.numpy as jnp
 from ultravox_tpu.models import decoder as decoder_lib
 from ultravox_tpu.models import ultravox as uv
 from ultravox_tpu.models.config import UltravoxConfig
-from ultravox_tpu.ops.sampling import sample_token
+from ultravox_tpu.ops.sampling import sample_slots
 
 logger = logging.getLogger(__name__)
 
@@ -70,6 +71,12 @@ class Request:
     batch: Dict[str, np.ndarray]  # single-row collated features
     max_tokens: int = 256
     temperature: float = 0.0
+    top_k: int = 0  # 0 = disabled
+    top_p: float = 1.0  # 1.0 = disabled
+    min_p: float = 0.0  # 0 = disabled
+    presence_penalty: float = 0.0  # 0 = disabled (output tokens)
+    frequency_penalty: float = 0.0  # 0 = disabled (output counts)
+    repetition_penalty: float = 1.0  # 1 = disabled (prompt+output)
     stop_token_ids: Tuple[int, ...] = ()
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
     submit_time: float = dataclasses.field(default_factory=time.monotonic)
@@ -164,6 +171,14 @@ def _match_prefix(tokens, spans, retained: "RetainedCache") -> int:
                 m = s
                 changed = True
     return m
+
+
+def _uses_penalties(req: "Request") -> bool:
+    return bool(
+        req.presence_penalty
+        or req.frequency_penalty
+        or req.repetition_penalty != 1.0
+    )
 
 
 def _bucket(n: int, buckets) -> int:
@@ -376,9 +391,20 @@ class ServingEngine:
             ),
             donate_argnums=(1,),
         )
-        self._sample = jax.jit(
-            sample_token, static_argnames=("temperature", "top_k", "top_p")
+        # penalized variant: carries per-slot output-token counts (donated)
+        # and the prompt-token mask; compiled only if a request uses
+        # penalties (the fast path never pays for them)
+        self._decode_pen = jax.jit(
+            functools.partial(
+                _decode_all_slots, cfg=cfg,
+                decode_kernel=decode_attn_impl == "kernel",
+                with_counts=True,
+            ),
+            donate_argnums=(1, 7),
         )
+        self._pen_counts = None  # (num_slots, V) int32, lazily created
+        self._pen_prompt_mask = None  # (num_slots, V) bool
+        self._sample = jax.jit(sample_slots)
         # multi-step decode: K decode steps per dispatch (vLLM-style
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
@@ -406,7 +432,7 @@ class ServingEngine:
         # the device busy while the host pays dispatch/fetch latency.
         self._inflight: "collections.deque" = collections.deque()
         self._max_inflight = 2
-        self._mask_cache = None  # (key, device active_mask, device temps)
+        self._mask_cache = None  # (key, device active_mask, device samp)
         self._free_slots = list(range(num_slots))
         # conversation-prefix reuse: finished slots keep their cache rows
         # until reallocated; min_reuse_tokens gates trivial matches
@@ -518,6 +544,12 @@ class ServingEngine:
         *,
         max_tokens: int = 256,
         temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        min_p: float = 0.0,
+        presence_penalty: float = 0.0,
+        frequency_penalty: float = 0.0,
+        repetition_penalty: float = 1.0,
         stop_token_ids: Tuple[int, ...] = (),
         audio_embeds=None,
         audio_spans: Optional[Tuple] = None,
@@ -526,12 +558,26 @@ class ServingEngine:
         (N_chunks, Ta, D) — the batch then carries splice coordinates but
         no audio_values, and admission skips the audio tower (streaming
         voice path). ``audio_spans`` supplies the prefix-matching content
-        fingerprints normally derived from audio_values."""
+        fingerprints normally derived from audio_values.
+
+        Sampling: per-request temperature / top_k / top_p / min_p, applied
+        slot-wise inside the one shared decode program (ops/sampling.py::
+        sample_slots). Penalties (presence / frequency over output tokens,
+        repetition over prompt+output — vLLM semantics) run through a
+        separate single-step program that carries per-slot token counts;
+        while any active request uses them, decode blocks are disabled for
+        exact per-step semantics (the pipelined dispatch still applies)."""
         req = Request(
             request_id=next(self._id_counter),
             batch=batch,
             max_tokens=max_tokens,
             temperature=temperature,
+            top_k=int(top_k),
+            top_p=float(top_p),
+            min_p=float(min_p),
+            presence_penalty=float(presence_penalty),
+            frequency_penalty=float(frequency_penalty),
+            repetition_penalty=float(repetition_penalty),
             stop_token_ids=tuple(stop_token_ids),
             audio_embeds=audio_embeds,
         )
@@ -831,6 +877,22 @@ class ServingEngine:
             self._free_slots.append(slot)  # the slot must not leak
             req.slot = -1
             raise
+        if _uses_penalties(req) and self._pen_counts is None:
+            # lazily created: the fast path never allocates or reads them
+            V = self.cfg.text_config.vocab_size
+            self._pen_counts = jnp.zeros((self.num_slots, V), jnp.int32)
+            self._pen_prompt_mask = jnp.zeros((self.num_slots, V), bool)
+        if self._pen_counts is not None:
+            # reset this slot's rows; non-penalized requests keep exact
+            # no-op penalties (0/0/1) so stale rows elsewhere are harmless
+            ids = jnp.asarray(np.asarray(req.token_ids, np.int32))
+            self._pen_counts = self._pen_counts.at[slot].set(0)
+            self._pen_prompt_mask = (
+                self._pen_prompt_mask.at[slot]
+                .set(False)
+                .at[slot, ids]
+                .set(True)
+            )
         self._prefilling.append(
             PrefillJob(
                 req=req, embeds=embeds, chunk=chunk, pos=start,
@@ -918,9 +980,10 @@ class ServingEngine:
         # scalar); its host fetch + emit ride the in-flight queue so the
         # round-trip overlaps later dispatches instead of stalling the tick
         self._rng, rng = jax.random.split(self._rng)
-        tok = self._sample(
-            logits_last, rng, temperature=req.temperature, top_k=0, top_p=1.0
+        samp1 = jnp.asarray(
+            [[req.temperature, req.top_k, req.top_p, req.min_p]], jnp.float32
         )
+        tok = self._sample(logits_last, samp1, rng)
         self.cache_lens = self.cache_lens.at[req.slot].set(req.prompt_len)
         self.last_tokens = self.last_tokens.at[req.slot].set(tok[0])
         self._active[req.slot] = req
@@ -959,10 +1022,17 @@ class ServingEngine:
         cap = self.max_seq_len - 1 - max(
             r.prompt_len + r.generated for r in self._active.values()
         )
+        # penalties need per-step count updates: exact only on the
+        # single-step (penalized) program, so blocks disengage while any
+        # active request uses them (pipelined dispatch still applies)
+        penalized = any(
+            _uses_penalties(r) for r in self._active.values()
+        )
         n_steps = 1
         if (
             self.decode_block_steps > 1
             and not churn
+            and not penalized
             and cap - lag >= self.decode_block_steps
         ):
             # cache-capacity bound must hold for the whole block (plus the
@@ -993,19 +1063,50 @@ class ServingEngine:
         snapshot go on ``_inflight`` for lagged processing."""
         slots = sorted(self._active)
         snapshot = [(s, self._active[s]) for s in slots]
-        key = (tuple(slots), tuple(req.temperature for _, req in snapshot))
+        key = (
+            tuple(slots),
+            tuple(
+                (req.temperature, req.top_k, req.top_p, req.min_p,
+                 req.presence_penalty, req.frequency_penalty,
+                 req.repetition_penalty)
+                for _, req in snapshot
+            ),
+        )
         if self._mask_cache is None or self._mask_cache[0] != key:
             active_mask = np.zeros((self.num_slots,), bool)
             active_mask[slots] = True
-            temps = np.zeros((self.num_slots,), np.float32)
+            # per-slot sampling params: [temperature, top_k, top_p, min_p,
+            # presence_penalty, frequency_penalty, repetition_penalty]
+            samp = np.zeros((self.num_slots, 7), np.float32)
+            samp[:, 2] = 1.0
+            samp[:, 6] = 1.0
             for s, req in snapshot:
-                temps[s] = req.temperature
+                samp[s] = (
+                    req.temperature, req.top_k, req.top_p, req.min_p,
+                    req.presence_penalty, req.frequency_penalty,
+                    req.repetition_penalty,
+                )
             self._mask_cache = (
-                key, jnp.asarray(active_mask), jnp.asarray(temps)
+                key, jnp.asarray(active_mask), jnp.asarray(samp)
             )
-        _, mask_dev, temps_dev = self._mask_cache
+        _, mask_dev, samp_dev = self._mask_cache
         self._rng, rng = jax.random.split(self._rng)
-        if n_steps == 1:
+        if n_steps == 1 and any(_uses_penalties(r) for _, r in snapshot):
+            # penalized single step: counts advance inside the program
+            (sampled, self.cache, self.cache_lens, self.last_tokens,
+             self._pen_counts) = self._decode_pen(
+                self.params,
+                self.cache,
+                self.last_tokens,
+                self.cache_lens,
+                mask_dev,
+                samp_dev,
+                rng,
+                self._pen_counts,
+                self._pen_prompt_mask,
+                page_table=self.page_table if self.paged else None,
+            )
+        elif n_steps == 1:
             # ONE device call: decode all slots AND sample with per-slot
             # temperature (greedy where temperature == 0)
             sampled, self.cache, self.cache_lens, self.last_tokens = (
@@ -1015,9 +1116,9 @@ class ServingEngine:
                     self.last_tokens,
                     self.cache_lens,
                     mask_dev,
-                    temps_dev,
+                    samp_dev,
                     rng,
-                    self.page_table if self.paged else None,
+                    page_table=self.page_table if self.paged else None,
                 )
             )
         else:
@@ -1027,7 +1128,7 @@ class ServingEngine:
                 self.last_tokens,
                 self.cache_lens,
                 mask_dev,
-                temps_dev,
+                samp_dev,
                 rng,
             )
             if self.paged:
@@ -1240,18 +1341,17 @@ def _scratch_to_pages(pool, scratch, table_row):
     )
 
 
-def _sample_slots(logits, temps, key):
-    """Per-slot sampling: greedy where temperature == 0, else categorical at
-    the slot's temperature. One device-side computation for all slots."""
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
-    keys = jax.random.split(key, logits.shape[0])
-    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
-    return jnp.where(temps > 0, drawn, greedy)
+def _sample_slots(logits, samp, key):
+    """Per-slot sampling: greedy where temperature == 0, with per-slot
+    dynamic top-k / top-p / min-p (``samp`` is the (num_slots, 4) params
+    array). One device-side computation for all slots."""
+    from ultravox_tpu.ops.sampling import sample_slots
+
+    return sample_slots(logits, samp, key)
 
 
 def _decode_block(
-    params, cache, tokens, cache_lens, active_mask, temps, rng, *, cfg,
+    params, cache, tokens, cache_lens, active_mask, samp, rng, *, cfg,
     n_steps: int,
 ):
     """``n_steps`` decode steps for every slot in ONE dispatch (vLLM-style
@@ -1263,7 +1363,7 @@ def _decode_block(
     tc = cfg.text_config
 
     def sample_fn(logits, key):
-        return _sample_slots(logits, temps, key)
+        return _sample_slots(logits, samp, key)
 
     toks, tail = decoder_lib.segmented_decode_scan(
         params["language_model"],
@@ -1301,7 +1401,7 @@ def _decode_block(
 
 
 def _decode_block_paged(
-    params, pool, tokens, cache_lens, active_mask, temps, rng, page_table,
+    params, pool, tokens, cache_lens, active_mask, samp, rng, page_table,
     *, cfg, n_steps: int,
 ):
     """Paged-mode multi-step decode: ``n_steps`` steps in ONE dispatch.
@@ -1329,7 +1429,7 @@ def _decode_block_paged(
     prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
 
     def sample_fn(logits, key):
-        return _sample_slots(logits, temps, key)
+        return _sample_slots(logits, samp, key)
 
     toks, tail = decoder_lib.segmented_decode_scan(
         params["language_model"],
@@ -1362,12 +1462,18 @@ def _decode_block_paged(
 
 
 def _decode_all_slots(
-    params, cache, tokens, cache_lens, active_mask, temps, rng,
-    page_table=None, *, cfg, decode_kernel: bool = False,
+    params, cache, tokens, cache_lens, active_mask, samp, rng,
+    out_counts=None, prompt_mask=None, page_table=None,
+    *, cfg, decode_kernel: bool = False, with_counts: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
     fused in (ONE device call per step). Inactive slots keep cache_len and
     their last token; their logits are computed-but-ignored garbage.
+
+    ``with_counts``: the penalized variant — applies presence/frequency/
+    repetition penalties (samp cols 4..6) from per-slot output-token counts
+    and the prompt-token mask, and returns the counts advanced by the
+    sampled tokens (inactive slots' count writes drop out of bounds).
 
     Inactive slots' KV writes are redirected OUT OF BOUNDS (scatter drops
     them): a freed slot's cache_len is 0, so an unmasked write would corrupt
@@ -1395,7 +1501,18 @@ def _decode_all_slots(
         decode_kernel=decode_kernel,
     )
     logits = logits[:, 0]
-    sampled = _sample_slots(logits, temps, rng)
+    if with_counts:
+        from ultravox_tpu.ops.sampling import apply_penalties
+
+        logits = apply_penalties(logits, out_counts, prompt_mask, samp)
+    sampled = _sample_slots(logits, samp, rng)
     new_lens = jnp.where(active_mask, cache_lens + 1, cache_lens)
     new_last = jnp.where(active_mask, sampled, tokens)
+    if with_counts:
+        V = out_counts.shape[1]
+        tok_idx = jnp.where(active_mask, sampled, V)  # inactive: dropped
+        new_counts = out_counts.at[jnp.arange(B), tok_idx].add(
+            1, mode="drop", unique_indices=True
+        )
+        return sampled, cache, new_lens, new_last, new_counts
     return sampled, cache, new_lens, new_last

@@ -18,6 +18,7 @@ class SamplingParams:
     temperature: float = 0.0  # 0 => greedy
     top_k: int = 0  # 0 => disabled
     top_p: float = 1.0  # 1.0 => disabled
+    min_p: float = 0.0  # 0 => disabled (vLLM-style min-p)
     max_tokens: int = 512
 
 
@@ -28,6 +29,7 @@ def sample_token(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    min_p: float = 0.0,
 ) -> jax.Array:
     """Sample next token ids (B,) int32. Static sampling config (baked into
     the compiled decode step)."""
@@ -48,4 +50,77 @@ def sample_token(
             jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
         )
         logits = jnp.where(logits < cutoff_logit, -jnp.inf, logits)
+    if min_p > 0.0:
+        probs = jax.nn.softmax(logits, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        logits = jnp.where(probs < min_p * pmax, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_slots(
+    logits: jax.Array,  # (B, V) float
+    samp: jax.Array,  # (B, 4) float32: [temperature, top_k, top_p, min_p]
+    rng: jax.Array,
+) -> jax.Array:
+    """Per-row DYNAMIC sampling for the serving engine: each row carries its
+    own temperature / top-k / top-p / min-p, so one compiled program serves
+    every mix of per-request configs (vLLM sampling-params parity; the
+    reference deploys through vLLM, run_vllm_inference.py:185-199).
+
+    Greedy where temperature == 0. The filters need a descending sort of
+    the row; that cost is paid only when some row actually enables top-k /
+    top-p / min-p (device-side cond — the all-plain branch is the common
+    chat case and stays sort-free)."""
+    temps = samp[:, 0]
+    top_ks = samp[:, 1]
+    top_ps = samp[:, 2]
+    min_ps = samp[:, 3]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+
+    def plain(x):
+        return x
+
+    def filtered(x):
+        V = x.shape[-1]
+        desc = -jnp.sort(-x, axis=-1)  # descending
+        probs = jax.nn.softmax(desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        ranks = jnp.arange(V, dtype=jnp.int32)[None]
+        k = top_ks.astype(jnp.int32)[:, None]
+        keep = jnp.where(k > 0, ranks < k, True)
+        # keep tokens until cumulative prob exceeds top_p (top-1 always kept)
+        keep &= (cum - probs) <= top_ps[:, None]
+        keep &= probs >= min_ps[:, None] * probs[:, :1]
+        cutoff = jnp.min(
+            jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
+        )
+        return jnp.where(x < cutoff, -jnp.inf, x)
+
+    need = jnp.any((top_ks > 0) | (top_ps < 1.0) | (min_ps > 0))
+    scaled = jax.lax.cond(need, filtered, plain, scaled)
+    keys = jax.random.split(rng, logits.shape[0])
+    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, drawn, greedy)
+
+
+def apply_penalties(
+    logits: jax.Array,  # (B, V) float
+    out_counts: jax.Array,  # (B, V) int32 — per-row OUTPUT token counts
+    prompt_mask: jax.Array,  # (B, V) bool — tokens present in the prompt
+    samp: jax.Array,  # (B, >=7) float32; cols 4..6 = presence, freq, rep
+) -> jax.Array:
+    """vLLM-semantics sampling penalties, vectorized per row: repetition
+    penalty over prompt+output tokens (divide positive / multiply negative
+    logits), then presence (flat) and frequency (count-proportional)
+    penalties over output tokens. Disabled rows (0 / 0 / 1) are exact
+    no-ops, so penalized and penalty-free requests share one program."""
+    pres = samp[:, 4:5]
+    freq = samp[:, 5:6]
+    rep = jnp.where(samp[:, 6:7] <= 0, 1.0, samp[:, 6:7])
+    lf = logits.astype(jnp.float32)
+    cnt = out_counts.astype(jnp.float32)
+    seen = (out_counts > 0) | prompt_mask
+    lf = jnp.where(seen, jnp.where(lf > 0, lf / rep, lf * rep), lf)
+    lf = lf - pres * (out_counts > 0) - freq * cnt
+    return lf
