@@ -593,6 +593,42 @@ def test_sampling_penalties(setup):
     assert len(set(ids_pres)) == len(ids_pres)
 
 
+def test_logit_bias(setup):
+    """OpenAI-style logit_bias: +100 on a chosen token forces it every
+    step; -100 on each step's natural greedy choice bans it. A bias-free
+    request in the same batch stays byte-identical to plain greedy."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(batch, max_new_tokens=8).token_ids[0]
+    forced = (expected[0] + 7) % V or 1
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        r_plain = serving.submit(dict(batch), max_tokens=8)
+        r_force = serving.submit(
+            dict(batch), max_tokens=8, logit_bias={forced: 100.0}
+        )
+        r_ban = serving.submit(
+            dict(batch), max_tokens=8,
+            logit_bias={t: -100.0 for t in set(expected)},
+        )
+        ids_plain, _ = _drain(serving, r_plain)
+        ids_force, _ = _drain(serving, r_force)
+        ids_ban, _ = _drain(serving, r_ban)
+    finally:
+        serving.stop()
+    assert ids_plain == expected
+    assert ids_force == [forced] * 8
+    assert not (set(ids_ban) & set(expected))
+
+
 def test_block_decode_to_cache_edge(setup):
     """Requests decoding all the way to cache_full under decode blocks +
     pipelined dispatch: near the edge the host view lags by the in-flight

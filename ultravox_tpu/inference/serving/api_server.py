@@ -91,6 +91,7 @@ class ServingAPI:
             presence_penalty=float(body.get("presence_penalty") or 0.0),
             frequency_penalty=float(body.get("frequency_penalty") or 0.0),
             repetition_penalty=float(body.get("repetition_penalty") or 1.0),
+            logit_bias=(body.get("logit_bias") or {}),
             stop_token_ids=tuple(stop_ids),
         )
 

@@ -77,6 +77,7 @@ class Request:
     presence_penalty: float = 0.0  # 0 = disabled (output tokens)
     frequency_penalty: float = 0.0  # 0 = disabled (output counts)
     repetition_penalty: float = 1.0  # 1 = disabled (prompt+output)
+    logit_bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, bias) pairs
     stop_token_ids: Tuple[int, ...] = ()
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
     submit_time: float = dataclasses.field(default_factory=time.monotonic)
@@ -173,11 +174,27 @@ def _match_prefix(tokens, spans, retained: "RetainedCache") -> int:
     return m
 
 
+MAX_LOGIT_BIAS = 32
+
+
+def _normalize_logit_bias(bias) -> Tuple[Tuple[int, float], ...]:
+    items = bias.items() if hasattr(bias, "items") else bias
+    out = tuple(sorted((int(t), float(b)) for t, b in items))
+    if len(out) > MAX_LOGIT_BIAS:
+        raise ValueError(
+            f"logit_bias supports at most {MAX_LOGIT_BIAS} entries"
+        )
+    return out
+
+
 def _uses_penalties(req: "Request") -> bool:
+    """True when the request needs the stateful (extras) decode program:
+    penalties and/or logit_bias."""
     return bool(
         req.presence_penalty
         or req.frequency_penalty
         or req.repetition_penalty != 1.0
+        or req.logit_bias
     )
 
 
@@ -405,6 +422,7 @@ class ServingEngine:
         self._pen_counts = None  # (num_slots, V) int32, lazily created
         self._pen_prompt_mask = None  # (num_slots, V) bool
         self._sample = jax.jit(sample_slots)
+        self._first_extras = jax.jit(_first_token_extras)
         # multi-step decode: K decode steps per dispatch (vLLM-style
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
@@ -550,6 +568,7 @@ class ServingEngine:
         presence_penalty: float = 0.0,
         frequency_penalty: float = 0.0,
         repetition_penalty: float = 1.0,
+        logit_bias=(),  # mapping or (token_id, bias) pairs, max 32
         stop_token_ids: Tuple[int, ...] = (),
         audio_embeds=None,
         audio_spans: Optional[Tuple] = None,
@@ -578,6 +597,7 @@ class ServingEngine:
             presence_penalty=float(presence_penalty),
             frequency_penalty=float(frequency_penalty),
             repetition_penalty=float(repetition_penalty),
+            logit_bias=_normalize_logit_bias(logit_bias),
             stop_token_ids=tuple(stop_token_ids),
             audio_embeds=audio_embeds,
         )
@@ -981,8 +1001,28 @@ class ServingEngine:
         # round-trip overlaps later dispatches instead of stalling the tick
         self._rng, rng = jax.random.split(self._rng)
         samp1 = jnp.asarray(
-            [[req.temperature, req.top_k, req.top_p, req.min_p]], jnp.float32
+            [[req.temperature, req.top_k, req.top_p, req.min_p,
+              req.presence_penalty, req.frequency_penalty,
+              req.repetition_penalty]],
+            jnp.float32,
         )
+        if _uses_penalties(req):
+            # the first token must honor repetition penalty (over the
+            # prompt) and logit_bias exactly like every later step
+            V = self.cfg.text_config.vocab_size
+            bias_ids = np.full((1, MAX_LOGIT_BIAS), V, np.int32)
+            bias_vals = np.zeros((1, MAX_LOGIT_BIAS), np.float32)
+            for j, (t, b) in enumerate(req.logit_bias):
+                bias_ids[0, j] = t
+                bias_vals[0, j] = b
+            logits_last = self._first_extras(
+                logits_last,
+                samp1,
+                self._pen_counts[req.slot][None],
+                self._pen_prompt_mask[req.slot][None],
+                jnp.asarray(bias_ids),
+                jnp.asarray(bias_vals),
+            )
         tok = self._sample(logits_last, samp1, rng)
         self.cache_lens = self.cache_lens.at[req.slot].set(req.prompt_len)
         self.last_tokens = self.last_tokens.at[req.slot].set(tok[0])
@@ -1068,7 +1108,7 @@ class ServingEngine:
             tuple(
                 (req.temperature, req.top_k, req.top_p, req.min_p,
                  req.presence_penalty, req.frequency_penalty,
-                 req.repetition_penalty)
+                 req.repetition_penalty, req.logit_bias)
                 for _, req in snapshot
             ),
         )
@@ -1080,16 +1120,24 @@ class ServingEngine:
             samp = np.zeros((self.num_slots, 7), np.float32)
             samp[:, 2] = 1.0
             samp[:, 6] = 1.0
+            # logit_bias pairs, padded with out-of-vocab ids (writes drop)
+            V = self.cfg.text_config.vocab_size
+            bias_ids = np.full((self.num_slots, MAX_LOGIT_BIAS), V, np.int32)
+            bias_vals = np.zeros((self.num_slots, MAX_LOGIT_BIAS), np.float32)
             for s, req in snapshot:
                 samp[s] = (
                     req.temperature, req.top_k, req.top_p, req.min_p,
                     req.presence_penalty, req.frequency_penalty,
                     req.repetition_penalty,
                 )
+                for j, (t, b) in enumerate(req.logit_bias):
+                    bias_ids[s, j] = t
+                    bias_vals[s, j] = b
             self._mask_cache = (
-                key, jnp.asarray(active_mask), jnp.asarray(samp)
+                key, jnp.asarray(active_mask), jnp.asarray(samp),
+                jnp.asarray(bias_ids), jnp.asarray(bias_vals),
             )
-        _, mask_dev, samp_dev = self._mask_cache
+        _, mask_dev, samp_dev, bias_ids_dev, bias_vals_dev = self._mask_cache
         self._rng, rng = jax.random.split(self._rng)
         if n_steps == 1 and any(_uses_penalties(r) for _, r in snapshot):
             # penalized single step: counts advance inside the program
@@ -1104,6 +1152,8 @@ class ServingEngine:
                 rng,
                 self._pen_counts,
                 self._pen_prompt_mask,
+                bias_ids_dev,
+                bias_vals_dev,
                 page_table=self.page_table if self.paged else None,
             )
         elif n_steps == 1:
@@ -1341,6 +1391,20 @@ def _scratch_to_pages(pool, scratch, table_row):
     )
 
 
+def _first_token_extras(logits, samp, counts_row, mask_row, bias_ids,
+                        bias_vals):
+    """Penalties + logit_bias for the prefill-completion (first) token:
+    output counts are all zero at this point, so presence/frequency are
+    no-ops and repetition applies over the prompt mask — identical math to
+    the per-step extras program."""
+    from ultravox_tpu.ops.sampling import apply_penalties
+
+    logits = apply_penalties(logits, counts_row, mask_row, samp)
+    return logits.at[jnp.arange(1)[:, None], bias_ids].add(
+        bias_vals, mode="drop"
+    )
+
+
 def _sample_slots(logits, samp, key):
     """Per-slot sampling: greedy where temperature == 0, with per-slot
     dynamic top-k / top-p / min-p (``samp`` is the (num_slots, 4) params
@@ -1463,7 +1527,8 @@ def _decode_block_paged(
 
 def _decode_all_slots(
     params, cache, tokens, cache_lens, active_mask, samp, rng,
-    out_counts=None, prompt_mask=None, page_table=None,
+    out_counts=None, prompt_mask=None, bias_ids=None, bias_vals=None,
+    page_table=None,
     *, cfg, decode_kernel: bool = False, with_counts: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
@@ -1505,6 +1570,10 @@ def _decode_all_slots(
         from ultravox_tpu.ops.sampling import apply_penalties
 
         logits = apply_penalties(logits, out_counts, prompt_mask, samp)
+        # per-request logit_bias: padded entries point out of vocab (drop)
+        logits = logits.at[
+            jnp.arange(B)[:, None], bias_ids
+        ].add(bias_vals, mode="drop")
     sampled = _sample_slots(logits, samp, rng)
     new_lens = jnp.where(active_mask, cache_lens + 1, cache_lens)
     new_last = jnp.where(active_mask, sampled, tokens)
