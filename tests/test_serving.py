@@ -629,6 +629,48 @@ def test_logit_bias(setup):
     assert not (set(ids_ban) & set(expected))
 
 
+def test_seeded_sampling_is_cobatch_independent(setup):
+    """A seeded temperature>0 request must produce IDENTICAL tokens no
+    matter what other traffic is co-batched (the sampling key derives only
+    from (seed, position), never from the shared engine rng) — and a
+    different seed must be able to produce a different draw."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    other = _mini_batch(processor, collator, "the quick brown fox")
+
+    def run(seed, with_noise):
+        serving = ServingEngine(
+            params, cfg, num_slots=4, max_seq_len=128,
+            cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+            mel_len_buckets=(400,),
+        )
+        serving.start()
+        try:
+            noise = []
+            if with_noise:
+                noise = [
+                    serving.submit(
+                        dict(other), max_tokens=16, temperature=1.0
+                    )
+                    for _ in range(2)
+                ]
+            r = serving.submit(
+                dict(batch), max_tokens=10, temperature=1.0, seed=seed
+            )
+            ids, _ = _drain(serving, r)
+            for n in noise:
+                _drain(serving, n)
+        finally:
+            serving.stop()
+        return ids
+
+    alone = run(1234, with_noise=False)
+    crowded = run(1234, with_noise=True)
+    assert alone == crowded
+    # across many seeds at temperature 1.0, draws must not all coincide
+    assert any(run(seed, False) != alone for seed in (7, 99, 4242))
+
+
 def test_block_decode_to_cache_edge(setup):
     """Requests decoding all the way to cache_full under decode blocks +
     pipelined dispatch: near the edge the host view lags by the in-flight

@@ -92,6 +92,7 @@ class ServingAPI:
             frequency_penalty=float(body.get("frequency_penalty") or 0.0),
             repetition_penalty=float(body.get("repetition_penalty") or 1.0),
             logit_bias=(body.get("logit_bias") or {}),
+            seed=body.get("seed"),
             stop_token_ids=tuple(stop_ids),
         )
 

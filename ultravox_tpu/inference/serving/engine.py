@@ -78,6 +78,7 @@ class Request:
     frequency_penalty: float = 0.0  # 0 = disabled (output counts)
     repetition_penalty: float = 1.0  # 1 = disabled (prompt+output)
     logit_bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, bias) pairs
+    seed: Optional[int] = None  # co-batch-independent reproducible sampling
     stop_token_ids: Tuple[int, ...] = ()
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
     submit_time: float = dataclasses.field(default_factory=time.monotonic)
@@ -196,6 +197,13 @@ def _uses_penalties(req: "Request") -> bool:
         or req.repetition_penalty != 1.0
         or req.logit_bias
     )
+
+
+def _needs_single_step(req: "Request") -> bool:
+    """Penalties/bias need per-step count state; a seed needs the
+    per-(request, position) key derivation — both are exact only on the
+    single-step programs, so decode blocks disengage while active."""
+    return _uses_penalties(req) or req.seed is not None
 
 
 def _bucket(n: int, buckets) -> int:
@@ -569,6 +577,7 @@ class ServingEngine:
         frequency_penalty: float = 0.0,
         repetition_penalty: float = 1.0,
         logit_bias=(),  # mapping or (token_id, bias) pairs, max 32
+        seed: Optional[int] = None,
         stop_token_ids: Tuple[int, ...] = (),
         audio_embeds=None,
         audio_spans: Optional[Tuple] = None,
@@ -598,6 +607,7 @@ class ServingEngine:
             frequency_penalty=float(frequency_penalty),
             repetition_penalty=float(repetition_penalty),
             logit_bias=_normalize_logit_bias(logit_bias),
+            seed=None if seed is None else int(seed),
             stop_token_ids=tuple(stop_token_ids),
             audio_embeds=audio_embeds,
         )
@@ -1023,7 +1033,14 @@ class ServingEngine:
                 jnp.asarray(bias_ids),
                 jnp.asarray(bias_vals),
             )
-        tok = self._sample(logits_last, samp1, rng)
+        if req.seed is not None:
+            tok = self._sample(
+                logits_last, samp1, rng,
+                jnp.asarray([req.seed], jnp.int32),
+                jnp.asarray([req.prompt_len], jnp.int32),
+            )
+        else:
+            tok = self._sample(logits_last, samp1, rng)
         self.cache_lens = self.cache_lens.at[req.slot].set(req.prompt_len)
         self.last_tokens = self.last_tokens.at[req.slot].set(tok[0])
         self._active[req.slot] = req
@@ -1066,7 +1083,7 @@ class ServingEngine:
         # single-step (penalized) program, so blocks disengage while any
         # active request uses them (pipelined dispatch still applies)
         penalized = any(
-            _uses_penalties(r) for r in self._active.values()
+            _needs_single_step(r) for r in self._active.values()
         )
         n_steps = 1
         if (
@@ -1108,7 +1125,7 @@ class ServingEngine:
             tuple(
                 (req.temperature, req.top_k, req.top_p, req.min_p,
                  req.presence_penalty, req.frequency_penalty,
-                 req.repetition_penalty, req.logit_bias)
+                 req.repetition_penalty, req.logit_bias, req.seed)
                 for _, req in snapshot
             ),
         )
@@ -1124,6 +1141,7 @@ class ServingEngine:
             V = self.cfg.text_config.vocab_size
             bias_ids = np.full((self.num_slots, MAX_LOGIT_BIAS), V, np.int32)
             bias_vals = np.zeros((self.num_slots, MAX_LOGIT_BIAS), np.float32)
+            seeds = np.full((self.num_slots,), -1, np.int32)
             for s, req in snapshot:
                 samp[s] = (
                     req.temperature, req.top_k, req.top_p, req.min_p,
@@ -1133,11 +1151,15 @@ class ServingEngine:
                 for j, (t, b) in enumerate(req.logit_bias):
                     bias_ids[s, j] = t
                     bias_vals[s, j] = b
+                if req.seed is not None:
+                    seeds[s] = req.seed
             self._mask_cache = (
                 key, jnp.asarray(active_mask), jnp.asarray(samp),
                 jnp.asarray(bias_ids), jnp.asarray(bias_vals),
+                jnp.asarray(seeds),
             )
-        _, mask_dev, samp_dev, bias_ids_dev, bias_vals_dev = self._mask_cache
+        (_, mask_dev, samp_dev, bias_ids_dev, bias_vals_dev,
+         seeds_dev) = self._mask_cache
         self._rng, rng = jax.random.split(self._rng)
         if n_steps == 1 and any(_uses_penalties(r) for _, r in snapshot):
             # penalized single step: counts advance inside the program
@@ -1154,6 +1176,7 @@ class ServingEngine:
                 self._pen_prompt_mask,
                 bias_ids_dev,
                 bias_vals_dev,
+                seeds=seeds_dev,
                 page_table=self.page_table if self.paged else None,
             )
         elif n_steps == 1:
@@ -1168,6 +1191,7 @@ class ServingEngine:
                     mask_dev,
                     samp_dev,
                     rng,
+                    seeds=seeds_dev,
                     page_table=self.page_table if self.paged else None,
                 )
             )
@@ -1405,13 +1429,14 @@ def _first_token_extras(logits, samp, counts_row, mask_row, bias_ids,
     )
 
 
-def _sample_slots(logits, samp, key):
+def _sample_slots(logits, samp, key, seeds=None, positions=None):
     """Per-slot sampling: greedy where temperature == 0, with per-slot
-    dynamic top-k / top-p / min-p (``samp`` is the (num_slots, 4) params
-    array). One device-side computation for all slots."""
+    dynamic top-k / top-p / min-p (``samp`` is the (num_slots, >=4) params
+    array) and optional per-slot seeded keys. One device-side computation
+    for all slots."""
     from ultravox_tpu.ops.sampling import sample_slots
 
-    return sample_slots(logits, samp, key)
+    return sample_slots(logits, samp, key, seeds, positions)
 
 
 def _decode_block(
@@ -1528,7 +1553,7 @@ def _decode_block_paged(
 def _decode_all_slots(
     params, cache, tokens, cache_lens, active_mask, samp, rng,
     out_counts=None, prompt_mask=None, bias_ids=None, bias_vals=None,
-    page_table=None,
+    seeds=None, page_table=None,
     *, cfg, decode_kernel: bool = False, with_counts: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
@@ -1574,7 +1599,10 @@ def _decode_all_slots(
         logits = logits.at[
             jnp.arange(B)[:, None], bias_ids
         ].add(bias_vals, mode="drop")
-    sampled = _sample_slots(logits, samp, rng)
+    # seeded-key position = tokens resident AFTER this step's write: the
+    # prefill-completion token used position prompt_len, so step n uses
+    # prompt_len + n — every sample of a request gets a distinct key
+    sampled = _sample_slots(logits, samp, rng, seeds, cache_lens + 1)
     new_lens = jnp.where(active_mask, cache_lens + 1, cache_lens)
     new_last = jnp.where(active_mask, sampled, tokens)
     if with_counts:

@@ -59,8 +59,10 @@ def sample_token(
 
 def sample_slots(
     logits: jax.Array,  # (B, V) float
-    samp: jax.Array,  # (B, 4) float32: [temperature, top_k, top_p, min_p]
+    samp: jax.Array,  # (B, >=4) float32: [temperature, top_k, top_p, min_p]
     rng: jax.Array,
+    seeds: jax.Array | None = None,  # (B,) int32, -1 = unseeded
+    positions: jax.Array | None = None,  # (B,) int32 per-request progress
 ) -> jax.Array:
     """Per-row DYNAMIC sampling for the serving engine: each row carries its
     own temperature / top-k / top-p / min-p, so one compiled program serves
@@ -70,7 +72,13 @@ def sample_slots(
     Greedy where temperature == 0. The filters need a descending sort of
     the row; that cost is paid only when some row actually enables top-k /
     top-p / min-p (device-side cond — the all-plain branch is the common
-    chat case and stays sort-free)."""
+    chat case and stays sort-free).
+
+    ``seeds``/``positions``: rows with seed >= 0 draw from a key derived
+    ONLY from (seed, position) — the same request replayed with the same
+    seed produces identical samples regardless of what other requests are
+    co-batched (continuous-batching-independent reproducibility; OpenAI
+    ``seed`` semantics)."""
     temps = samp[:, 0]
     top_ks = samp[:, 1]
     top_ps = samp[:, 2]
@@ -100,6 +108,22 @@ def sample_slots(
     need = jnp.any((top_ks > 0) | (top_ps < 1.0) | (min_ps > 0))
     scaled = jax.lax.cond(need, filtered, plain, scaled)
     keys = jax.random.split(rng, logits.shape[0])
+    if seeds is not None:
+        base = jax.random.key(0x5EED)
+
+        def mk(s, p):
+            return jax.random.fold_in(
+                jax.random.fold_in(base, s.astype(jnp.uint32)),
+                p.astype(jnp.uint32),
+            )
+
+        seeded = jax.vmap(mk)(seeds, positions)
+        kd = jnp.where(
+            (seeds >= 0)[:, None],
+            jax.random.key_data(seeded),
+            jax.random.key_data(keys),
+        )
+        keys = jax.random.wrap_key_data(kd)
     drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
     return jnp.where(temps > 0, drawn, greedy)
 
