@@ -363,3 +363,35 @@ def test_int8_quantization_accuracy(tiny_llm):
     g1 = q8.generate(batch, max_new_tokens=8)
     g2 = q8.generate_fused(batch, max_new_tokens=8)
     assert g1.token_ids == g2.token_ids
+
+
+def test_tied_int8_pretransposed_head_exact():
+    """quantize_decoder_int8 on a TIED model materializes a transposed int8
+    lm_head (decode skips the per-step .T view); logits must be bit-equal
+    to the embedding-path formula it replaces."""
+    import jax
+    import jax.numpy as jnp
+
+    from ultravox_tpu.models import decoder as decoder_lib
+    from ultravox_tpu.models.config import DecoderConfig
+    from ultravox_tpu.models.lora import proj_apply
+
+    cfg = DecoderConfig(
+        vocab_size=V, hidden_size=48, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=12, tie_word_embeddings=True,
+    )
+    params = decoder_lib.init_params(cfg, jax.random.key(3))
+    assert "lm_head" not in params
+    q = decoder_lib.quantize_decoder_int8(
+        decoder_lib.fuse_inference_params(params, cfg)
+    )
+    assert "kernel_q" in q["lm_head"]
+    hidden = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 48)), jnp.float32
+    ).astype(jnp.bfloat16)
+    via_head = decoder_lib.compute_logits(q, cfg, hidden)
+    via_embed = proj_apply(
+        hidden,
+        {"kernel_q": q["embed_tokens_q"].T, "scale": q["embed_scale"][None]},
+    ).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(via_head), np.asarray(via_embed))

@@ -558,7 +558,16 @@ def compute_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax
     softcapping. Callers that only need one position (prefill TTFT) pass the
     gathered hidden state — computing the full (B, T, V) logits for a long
     prompt wastes ~V×T×D FLOPs and O(GB) of HBM."""
-    if cfg.tie_word_embeddings or "lm_head" not in params:
+    head = params.get("lm_head")
+    # tied models use the embedding matrix — EXCEPT the quantized
+    # inference tree, which materializes a pre-transposed int8 head
+    # (quantize_decoder_int8) so decode skips the per-step .T view; a
+    # tied model's stray bf16 lm_head (some HF exports duplicate it)
+    # still routes through the embedding so training gradients tie
+    use_head = head is not None and (
+        not cfg.tie_word_embeddings or "kernel_q" in head
+    )
+    if not use_head:
         if "embed_tokens_q" in params:
             logits = _proj(
                 hidden,
@@ -570,7 +579,6 @@ def compute_logits(params: Params, cfg: DecoderConfig, hidden: jax.Array) -> jax
         else:
             logits = (hidden @ params["embed_tokens"].T).astype(jnp.float32)
     else:
-        head = params["lm_head"]
         if "kernel_q" in head:
             logits = _proj(hidden, head).astype(jnp.float32)
         else:
@@ -888,4 +896,15 @@ def quantize_decoder_int8(params: Params) -> Params:
     if "lm_head" in params:
         q, scale = _quantize_kernel(params["lm_head"]["kernel"])
         out["lm_head"] = {"kernel_q": q, "scale": scale}
+    else:
+        # tied embeddings: materialize the (D, V) transposed int8 head once
+        # — the per-step embed_tokens_q.T view costs a measured ~0.085 ms
+        # per 1B decode step on v5e (~3% of the step) that a one-time HBM
+        # copy (V*D bytes) removes; compute_logits prefers lm_head when
+        # present and the math is identical (same int8 values and scales)
+        out["lm_head"] = {
+            # jnp.copy forces a real (D, V)-layout buffer, not a .T view
+            "kernel_q": jnp.copy(out["embed_tokens_q"].T),
+            "scale": out["embed_scale"][None],
+        }
     return out
