@@ -400,6 +400,56 @@ def test_paged_block_decode_matches_single_step(setup):
     assert ids1 == expected[1] and fin1 == "length"
 
 
+def test_paged_cancel_releases_pages(setup):
+    """Cancelling a paged request — mid-prefill or mid-decode — must
+    release its page reservation exactly (accounting stays consistent)
+    and leave the pool fully serviceable."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(batch, max_new_tokens=8).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=16,
+        prefill_chunk_tokens=16,
+    )
+    serving.prefill_tokens_per_tick = 16  # one chunk/tick: stay prefilling
+    serving.start()
+    try:
+        long_prompt = {
+            "input_ids": np.ones((1, 120), np.int32) * 5,
+            "attention_mask": np.ones((1, 120), np.int32),
+        }
+        r1 = serving.submit(long_prompt, max_tokens=500)
+        serving.cancel(r1)  # likely mid-prefill (8 chunks)
+        ev = r1.out_queue.get(timeout=60)
+        while ev.token_id is not None:
+            ev = r1.out_queue.get(timeout=60)
+        assert ev.finish_reason == "cancelled"
+        _check_page_accounting(serving)
+
+        r2 = serving.submit(dict(batch), max_tokens=5000)
+        first = r2.out_queue.get(timeout=60)
+        assert first.token_id is not None
+        serving.cancel(r2)  # mid-decode
+        ev = r2.out_queue.get(timeout=60)
+        while ev.token_id is not None:
+            ev = r2.out_queue.get(timeout=60)
+        assert ev.finish_reason == "cancelled"
+        _check_page_accounting(serving)
+
+        r3 = serving.submit(dict(batch), max_tokens=8)
+        ids, fin = _drain(serving, r3)
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
+    assert ids == expected and fin == "length"
+
+
 def test_paged_block_decode_to_cache_edge(setup):
     """Paged twin of the cache-edge test: blocks + pipelined dispatch up to
     cache_full must stay inside the page reservation (a lagged write past

@@ -671,6 +671,56 @@ def test_seeded_sampling_is_cobatch_independent(setup):
     assert any(run(seed, False) != alone for seed in (7, 99, 4242))
 
 
+def test_cancel_active_pending_and_prefilling(setup):
+    """cancel(): an ACTIVE request stops mid-stream with finish_reason
+    "cancelled" and frees its slot for the next request; cancelling a
+    finished id is a harmless no-op; a co-active request is unaffected."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    other = _mini_batch(processor, collator, "the quick brown fox")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected_other = offline.generate(other, max_new_tokens=12).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        victim = serving.submit(dict(batch), max_tokens=5000)  # endless-ish
+        survivor = serving.submit(dict(other), max_tokens=12)
+        # wait until the victim is actually streaming, then cancel it
+        first = victim.out_queue.get(timeout=60)
+        assert first.token_id is not None
+        serving.cancel(victim)
+        got = [first.token_id]
+        fin = None
+        import queue as _q
+
+        while True:
+            try:
+                ev = victim.out_queue.get(timeout=60)
+            except _q.Empty:
+                break
+            if ev.token_id is None:
+                fin = ev.finish_reason
+                break
+            got.append(ev.token_id)
+        assert fin == "cancelled"
+        assert len(got) < 5000
+        ids_other, fin_other = _drain(serving, survivor)
+        assert ids_other == expected_other and fin_other == "length"
+        serving.cancel(victim)  # finished id: no-op
+        # the freed slot must serve a fresh request normally
+        again = serving.submit(dict(other), max_tokens=12)
+        ids_again, _ = _drain(serving, again)
+        assert ids_again == expected_other
+    finally:
+        serving.stop()
+
+
 def test_block_decode_to_cache_edge(setup):
     """Requests decoding all the way to cache_full under decode blocks +
     pipelined dispatch: near the edge the host view lags by the in-flight

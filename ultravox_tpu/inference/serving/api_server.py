@@ -106,21 +106,29 @@ class ServingAPI:
             def sse():
                 token_ids: List[int] = []
                 emitted = 0
-                for event in self.engine.stream(req):
-                    if event.token_id is None:
-                        yield _sse_chunk(rid, created, self.model_name, None,
-                                         finish=event.finish_reason)
-                        yield "data: [DONE]\n\n"
-                        return
-                    token_ids.append(event.token_id)
-                    text = self.tokenizer.decode(
-                        token_ids, skip_special_tokens=True
-                    )
-                    if not text.endswith("�") and len(text) > emitted:
-                        yield _sse_chunk(
-                            rid, created, self.model_name, text[emitted:]
+                try:
+                    for event in self.engine.stream(req):
+                        if event.token_id is None:
+                            yield _sse_chunk(
+                                rid, created, self.model_name, None,
+                                finish=event.finish_reason,
+                            )
+                            yield "data: [DONE]\n\n"
+                            return
+                        token_ids.append(event.token_id)
+                        text = self.tokenizer.decode(
+                            token_ids, skip_special_tokens=True
                         )
-                        emitted = len(text)
+                        if not text.endswith("�") and len(text) > emitted:
+                            yield _sse_chunk(
+                                rid, created, self.model_name, text[emitted:]
+                            )
+                            emitted = len(text)
+                finally:
+                    # client gone mid-stream (GeneratorExit) or any other
+                    # early exit: abort the request so it stops burning
+                    # decode steps and holding a slot. No-op when finished.
+                    self.engine.cancel(req)
             return sse()
 
         token_ids = []

@@ -79,6 +79,7 @@ class Request:
     repetition_penalty: float = 1.0  # 1 = disabled (prompt+output)
     logit_bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, bias) pairs
     seed: Optional[int] = None  # co-batch-independent reproducible sampling
+    cancelled: bool = False  # set via ServingEngine.cancel()
     stop_token_ids: Tuple[int, ...] = ()
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
     submit_time: float = dataclasses.field(default_factory=time.monotonic)
@@ -450,6 +451,7 @@ class ServingEngine:
         )
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
+        self._cancels: "queue.Queue[int]" = queue.Queue()
         self._active: Dict[int, Request] = {}  # slot -> request
         self._prefilling: List[PrefillJob] = []  # chunked prefill queue
         # pipelined decode: dispatched-but-not-yet-fetched decode calls
@@ -626,16 +628,41 @@ class ServingEngine:
             if event.token_id is None:
                 return
 
+    def cancel(self, req_or_id) -> None:
+        """Abort a request (thread-safe, idempotent; unknown/finished ids
+        are ignored). The loop retires it at the next safe point: pending
+        requests finish with "cancelled" instead of admitting, prefilling
+        jobs drop (slot/pages freed, adoption pins released), active slots
+        stop decoding and free immediately — in-flight decode results for
+        the slot are discarded. The OpenAI server calls this when a
+        streaming client disconnects, so abandoned requests stop burning
+        decode steps and holding slots (vLLM abort parity)."""
+        rid = (
+            req_or_id.request_id
+            if isinstance(req_or_id, Request)
+            else int(req_or_id)
+        )
+        self._cancels.put(rid)
+        self._wake.set()
+
     # -- serving loop ----------------------------------------------------------
 
     def _loop(self):
         while self._running:
             did_work = False
-            # admissions mutate slot/page ownership: retire any in-flight
-            # decode work first so lagged finishes free their slots/pages
-            # before the new request looks for one
-            if self._inflight and not self._pending.empty():
+            # admissions/cancellations mutate slot/page ownership: retire
+            # any in-flight decode work first so lagged finishes free their
+            # slots/pages and cancelled requests get their final tokens
+            if self._inflight and not (
+                self._pending.empty() and self._cancels.empty()
+            ):
                 self._drain_decodes()
+            while not self._cancels.empty():
+                try:
+                    self._cancel_one(self._cancels.get_nowait())
+                except queue.Empty:  # pragma: no cover — single consumer
+                    break
+                did_work = True
             # admit new requests: embed the prompt (one device call, incl.
             # the audio tower) and enqueue a chunked prefill job
             admitted = 0
@@ -748,6 +775,9 @@ class ServingEngine:
         return batch
 
     def _admit(self, req: Request):
+        if req.cancelled:
+            self._finish_cancelled(req)
+            return
         prompt_len = int(np.asarray(req.batch["attention_mask"]).sum())
         # a prompt of max_seq_len - 1 is servable (one token, then
         # cache_full); anything beyond that — or beyond the largest prefill
@@ -1239,6 +1269,36 @@ class ServingEngine:
     def _drain_decodes(self):
         while self._inflight:
             self._process_oldest_decode()
+
+    def _cancel_one(self, rid: int):
+        req = self._requests.get(rid)
+        if req is None:
+            return  # already finished (or never existed) — idempotent
+        req.cancelled = True  # pending requests drop at admission
+        for i, job in enumerate(self._prefilling):
+            if job.req.request_id == rid:
+                self._prefilling.pop(i)
+                if self.paged:
+                    self._release_slot_pages(req.slot)
+                if job.prefix_src_slot >= 0:
+                    self._unpin(job.prefix_src_slot)
+                self._free_slots.append(req.slot)
+                req.slot = -1
+                self._finish_cancelled(req)
+                return
+        if self._active.get(req.slot) is req:
+            del self._active[req.slot]
+            self._free_slots.append(req.slot)
+            if self.paged:
+                self._release_slot_pages(req.slot)
+            self.cache_lens = self.cache_lens.at[req.slot].set(0)
+            self._finish_cancelled(req)
+
+    def _finish_cancelled(self, req: Request):
+        req.out_queue.put(
+            StreamEvent(token_id=None, finish_reason="cancelled")
+        )
+        self._requests.pop(req.request_id, None)
 
     def _emit(self, req: Request, token_id: int):
         finish = None
