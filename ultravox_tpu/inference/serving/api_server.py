@@ -306,19 +306,25 @@ class ServingAPI:
             token_ids: List[int] = []
             emitted = 0
             ttft = None
-            for event in self.engine.stream(req):
-                if event.token_id is None:
-                    ttft = event.ttft_s
-                    break
-                token_ids.append(event.token_id)
-                full = self.tokenizer.decode(
-                    token_ids, skip_special_tokens=True
-                )
-                if not full.endswith("�") and len(full) > emitted:
-                    conn.send_text(json.dumps(
-                        {"type": "token", "text": full[emitted:]}
-                    ))
-                    emitted = len(full)
+            try:
+                for event in self.engine.stream(req):
+                    if event.token_id is None:
+                        ttft = event.ttft_s
+                        break
+                    token_ids.append(event.token_id)
+                    full = self.tokenizer.decode(
+                        token_ids, skip_special_tokens=True
+                    )
+                    if not full.endswith("�") and len(full) > emitted:
+                        conn.send_text(json.dumps(
+                            {"type": "token", "text": full[emitted:]}
+                        ))
+                        emitted = len(full)
+            except BaseException:
+                # socket gone (or handler torn down) mid-reply: stop the
+                # request so it frees its slot instead of decoding on
+                self.engine.cancel(req)
+                raise
             reply = self.tokenizer.decode(token_ids, skip_special_tokens=True)
             messages.append({"role": "assistant", "content": reply})
             conn.send_text(json.dumps(
