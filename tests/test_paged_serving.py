@@ -575,3 +575,64 @@ def test_paged_scheduler_stress_random_mix(setup):
         _check_page_accounting(serving)
     finally:
         serving.stop()
+
+
+def test_paged_scheduler_stress_with_cancels_and_sampling(setup):
+    """Churn + the round-3 machinery together: randomized cancels land on
+    pending/prefilling/active requests while others use seeds, penalties,
+    top-p, and logit_bias. Every stream must terminate with a legal finish
+    reason, cancelled ones with \"cancelled\", and the page allocator must
+    balance exactly afterwards."""
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(7)
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=24,
+    )
+    serving.start()
+    try:
+        reqs = []
+        for i in range(20):
+            text = "user " + " ".join(
+                rng.choice(["one", "two", "red", "blue", "go"],
+                           size=rng.integers(1, 8))
+            )
+            kw = {}
+            pick = i % 5
+            if pick == 1:
+                kw = dict(temperature=0.8, seed=int(rng.integers(1, 999)))
+            elif pick == 2:
+                kw = dict(presence_penalty=0.5, frequency_penalty=0.1)
+            elif pick == 3:
+                kw = dict(temperature=0.7, top_p=0.9, top_k=20)
+            elif pick == 4:
+                kw = dict(logit_bias={int(rng.integers(1, V)): 5.0})
+            reqs.append(
+                serving.submit(
+                    _mini_batch(processor, collator, text),
+                    max_tokens=int(rng.integers(2, 12)),
+                    **kw,
+                )
+            )
+            if i % 4 == 3:
+                # cancel a random earlier request: may be pending,
+                # prefilling, active, or already finished
+                serving.cancel(reqs[int(rng.integers(0, len(reqs)))])
+        results = [_drain(serving, r) for r in reqs]
+        finishes = {f for _, f in results}
+        assert finishes <= {"stop", "length", "cache_full", "cancelled"}, (
+            finishes
+        )
+        assert not serving._pinned
+        _check_page_accounting(serving)
+        # the engine must still serve cleanly after the churn
+        ids, fin = _drain(
+            serving,
+            serving.submit(
+                _mini_batch(processor, collator, "hello world"), max_tokens=4
+            ),
+        )
+        assert len(ids) == 4 and fin == "length"
+    finally:
+        serving.stop()
