@@ -191,6 +191,33 @@ def test_api_server_end_to_end(setup):
         assert lines[-1] == "data: [DONE]"
         chunks = [json.loads(l[6:]) for l in lines[:-1]]
         assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+
+        # sampling-params plumbing over HTTP: a seeded temperature request
+        # is reproducible, and logit_bias +100 forces its token
+        def post(extra):
+            b = {
+                "model": "ultravox-tpu",
+                "max_tokens": 6,
+                "messages": [{"role": "user", "content": "hello world"}],
+                **extra,
+            }
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/chat/completions",
+                data=json.dumps(b).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(rq) as rr:
+                return json.load(rr)["choices"][0]["message"]["content"]
+
+        s1 = post({"temperature": 0.9, "seed": 77})
+        s2 = post({"temperature": 0.9, "seed": 77})
+        assert s1 == s2
+        forced_id = 123
+        forced_text = processor.tokenizer.decode([forced_id] * 6)
+        got = post({"logit_bias": {str(forced_id): 100.0}})
+        assert got == forced_text.strip() or forced_id in (
+            processor.tokenizer(got)["input_ids"]
+        )
     finally:
         server.shutdown()
         engine.stop()
