@@ -81,6 +81,14 @@ class ServingAPI:
         features = self.processor(text=text, audios=audios or None)
         batch = self.collator([features])
         stop_ids = [self.tokenizer.eos_token_id]
+        # multi-LoRA: requesting "model": "<adapter-name>" routes to that
+        # adapter (the vLLM served-LoRA convention); the base model serves
+        # under its own name or any unrecognized/absent model string
+        lora = body.get("model")
+        if lora is not None and lora not in getattr(
+            self.engine, "_lora_index", {}
+        ):
+            lora = None
         return self.engine.submit(
             batch,
             max_tokens=int(body.get("max_tokens") or 256),
@@ -93,6 +101,7 @@ class ServingAPI:
             repetition_penalty=float(body.get("repetition_penalty") or 1.0),
             logit_bias=(body.get("logit_bias") or {}),
             seed=body.get("seed"),
+            lora=lora,
             stop_token_ids=tuple(stop_ids),
         )
 
@@ -405,15 +414,17 @@ def make_handler(api: ServingAPI):
                     stats["page_size"] = eng.page_size
                 self._json(200, stats)
             elif self.path == "/v1/models":
-                self._json(
-                    200,
-                    {
-                        "object": "list",
-                        "data": [
-                            {"id": api.model_name, "object": "model"}
-                        ],
-                    },
-                )
+                # base model + every served LoRA adapter (multi-LoRA:
+                # request an adapter by putting its name in "model")
+                data = [{"id": api.model_name, "object": "model"}]
+                data += [
+                    {"id": name, "object": "model",
+                     "parent": api.model_name}
+                    for name in sorted(
+                        getattr(api.engine, "_lora_index", {})
+                    )
+                ]
+                self._json(200, {"object": "list", "data": data})
             else:
                 self._json(404, {"error": "not found"})
 

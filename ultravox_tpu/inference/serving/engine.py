@@ -79,6 +79,7 @@ class Request:
     repetition_penalty: float = 1.0  # 1 = disabled (prompt+output)
     logit_bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, bias) pairs
     seed: Optional[int] = None  # co-batch-independent reproducible sampling
+    lora: Optional[str] = None  # adapter name (multi-LoRA serving)
     cancelled: bool = False  # set via ServingEngine.cancel()
     stop_token_ids: Tuple[int, ...] = ()
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
@@ -107,6 +108,10 @@ class RetainedCache:
     token_ids: np.ndarray  # tokens whose k/v live in the slot cache
     # audio chunks inside those tokens: (start_idx, token_len, sha1-hex)
     audio_spans: Tuple[Tuple[int, int, str], ...]
+    # adapter the KV was computed under — a prefix is only reusable by a
+    # request running the SAME adapter (multi-LoRA serving: the cached
+    # k/v differ per adapter even for identical tokens)
+    lora: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -271,6 +276,7 @@ class ServingEngine:
         decode_attn_impl: str = "auto",
         prefill_attn_impl: str = "auto",  # "fused" = pallas causal prefill
         quantize: Optional[str] = None,  # "int8" = weight-only w8a16
+        lora_adapters: Optional[Dict[str, Any]] = None,  # name -> LoRA tree
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -286,7 +292,38 @@ class ServingEngine:
                 encoder_attn_impl, decode_block_steps, max_seq_len,
             )
         self.params = dict(params)
-        if mesh is None:  # fused matmuls don't compose with TP sharding
+        # multi-LoRA serving: one base model + N adapters, each request
+        # picks one (or none) — per-slot adapters are gathered from banks
+        # inside every decode/prefill program (models/lora.py::
+        # build_lora_banks / apply_lora_banks). Needs the canonical
+        # (unfused) projections, so fusing/quantization are mutually
+        # exclusive with it.
+        self._lora_banks = None
+        self._lora_index: Dict[str, int] = {}
+        if lora_adapters:
+            if mesh is not None:
+                raise ValueError("lora_adapters do not compose with mesh=")
+            if quantize:
+                raise ValueError(
+                    "lora_adapters do not compose with quantize="
+                )
+            from ultravox_tpu.models.lora import build_lora_banks
+
+            lms = {}
+            for name, tree in lora_adapters.items():
+                tower = tree.get("audio_tower")
+                if tower is not None and any(
+                    "lora_a" in jax.tree_util.keystr(path)
+                    for path, _ in jax.tree_util.tree_leaves_with_path(tower)
+                ):
+                    raise NotImplementedError(
+                        f"adapter {name!r} has encoder LoRA — multi-LoRA "
+                        "serving currently banks decoder adapters only"
+                    )
+                lms[name] = tree.get("language_model", tree)
+            self._lora_banks, self._lora_index = build_lora_banks(lms)
+        if mesh is None and self._lora_banks is None:
+            # fused matmuls don't compose with TP sharding or LoRA banks
             self.params["language_model"] = decoder_lib.fuse_inference_params(
                 params["language_model"], cfg.text_config
             )
@@ -580,6 +617,7 @@ class ServingEngine:
         repetition_penalty: float = 1.0,
         logit_bias=(),  # mapping or (token_id, bias) pairs, max 32
         seed: Optional[int] = None,
+        lora: Optional[str] = None,  # adapter name from lora_adapters
         stop_token_ids: Tuple[int, ...] = (),
         audio_embeds=None,
         audio_spans: Optional[Tuple] = None,
@@ -610,6 +648,7 @@ class ServingEngine:
             repetition_penalty=float(repetition_penalty),
             logit_bias=_normalize_logit_bias(logit_bias),
             seed=None if seed is None else int(seed),
+            lora=lora,
             stop_token_ids=tuple(stop_token_ids),
             audio_embeds=audio_embeds,
         )
@@ -778,6 +817,12 @@ class ServingEngine:
         if req.cancelled:
             self._finish_cancelled(req)
             return
+        if req.lora is not None and req.lora not in self._lora_index:
+            req.out_queue.put(
+                StreamEvent(token_id=None, finish_reason="unknown_lora")
+            )
+            self._requests.pop(req.request_id, None)
+            return
         prompt_len = int(np.asarray(req.batch["attention_mask"]).sum())
         # a prompt of max_seq_len - 1 is servable (one token, then
         # cache_full); anything beyond that — or beyond the largest prefill
@@ -798,6 +843,8 @@ class ServingEngine:
         for slot_r, entry in self._retained.items():
             if slot_r not in self._free_slots:
                 continue
+            if entry.lora != req.lora:
+                continue  # KV computed under a different adapter
             m = _match_prefix(req.token_ids, req.audio_spans, entry)
             if m > best_m:
                 best_m, best_slot = m, slot_r
@@ -996,6 +1043,14 @@ class ServingEngine:
         start = job.pos
         end = start + C
         chunk = jax.lax.dynamic_slice_in_dim(job.embeds, start, C, 1)
+        lora_kw = {}
+        if self._lora_banks is not None:
+            lora_kw = dict(
+                lora_banks=self._lora_banks,
+                lora_idx=jnp.asarray(
+                    [self._lora_index.get(req.lora, 0)], jnp.int32
+                ),
+            )
         if self.paged:
             if job.needs_scratch_load:
                 # conversation reuse: the retained prefix lives in pages —
@@ -1017,6 +1072,7 @@ class ServingEngine:
                 chunk,
                 jnp.asarray(start, jnp.int32),
                 jnp.asarray(req.prompt_len, jnp.int32),
+                **lora_kw,
             )
         else:
             logits_last, self.cache = self._prefill_chunk(
@@ -1026,6 +1082,7 @@ class ServingEngine:
                 jnp.asarray(req.slot, jnp.int32),
                 jnp.asarray(start, jnp.int32),
                 jnp.asarray(req.prompt_len, jnp.int32),
+                **lora_kw,
             )
         job.pos = end
         if job.pos < min(req.prompt_len, T_padded):
@@ -1155,7 +1212,8 @@ class ServingEngine:
             tuple(
                 (req.temperature, req.top_k, req.top_p, req.min_p,
                  req.presence_penalty, req.frequency_penalty,
-                 req.repetition_penalty, req.logit_bias, req.seed)
+                 req.repetition_penalty, req.logit_bias, req.seed,
+                 req.lora)
                 for _, req in snapshot
             ),
         )
@@ -1172,6 +1230,7 @@ class ServingEngine:
             bias_ids = np.full((self.num_slots, MAX_LOGIT_BIAS), V, np.int32)
             bias_vals = np.zeros((self.num_slots, MAX_LOGIT_BIAS), np.float32)
             seeds = np.full((self.num_slots,), -1, np.int32)
+            lora_idx = np.zeros((self.num_slots,), np.int32)  # 0 = base
             for s, req in snapshot:
                 samp[s] = (
                     req.temperature, req.top_k, req.top_p, req.min_p,
@@ -1183,13 +1242,19 @@ class ServingEngine:
                     bias_vals[s, j] = b
                 if req.seed is not None:
                     seeds[s] = req.seed
+                if req.lora is not None:
+                    lora_idx[s] = self._lora_index[req.lora]
             self._mask_cache = (
                 key, jnp.asarray(active_mask), jnp.asarray(samp),
                 jnp.asarray(bias_ids), jnp.asarray(bias_vals),
                 jnp.asarray(seeds),
+                jnp.asarray(lora_idx) if self._lora_banks else None,
             )
         (_, mask_dev, samp_dev, bias_ids_dev, bias_vals_dev,
-         seeds_dev) = self._mask_cache
+         seeds_dev, lora_idx_dev) = self._mask_cache
+        lora_kw = {}
+        if self._lora_banks is not None:
+            lora_kw = dict(lora_banks=self._lora_banks, lora_idx=lora_idx_dev)
         self._rng, rng = jax.random.split(self._rng)
         if n_steps == 1 and any(_uses_penalties(r) for _, r in snapshot):
             # penalized single step: counts advance inside the program
@@ -1208,6 +1273,7 @@ class ServingEngine:
                 bias_vals_dev,
                 seeds=seeds_dev,
                 page_table=self.page_table if self.paged else None,
+                **lora_kw,
             )
         elif n_steps == 1:
             # ONE device call: decode all slots AND sample with per-slot
@@ -1223,6 +1289,7 @@ class ServingEngine:
                     rng,
                     seeds=seeds_dev,
                     page_table=self.page_table if self.paged else None,
+                    **lora_kw,
                 )
             )
         else:
@@ -1238,7 +1305,7 @@ class ServingEngine:
             if self.paged:
                 block_args += (self.page_table,)
             sampled, self.cache, self.cache_lens, self.last_tokens = (
-                self._decode_block(*block_args, n_steps=n_steps)
+                self._decode_block(*block_args, n_steps=n_steps, **lora_kw)
             )
         self._inflight.append(("decode", sampled, snapshot, n_steps))
 
@@ -1343,6 +1410,7 @@ class ServingEngine:
                              np.asarray(kept, req.token_ids.dtype)]
                         ),
                         audio_spans=req.audio_spans,
+                        lora=req.lora,
                     )
                     self._retained[req.slot] = entry
                     if self.paged:
@@ -1373,9 +1441,24 @@ def _embed_precomputed(params, input_ids, audio_embeds, starts, lens, bidx):
     )
 
 
+def _with_lora(params, lora_banks, lora_idx):
+    """Per-row adapter injection for multi-LoRA serving: gather each row's
+    adapter from the banks into the LM tree (models/lora.py::
+    apply_lora_banks). No-op (and no trace overhead) when banks is None."""
+    if lora_banks is None:
+        return params
+    from ultravox_tpu.models.lora import apply_lora_banks
+
+    out = dict(params)
+    out["language_model"] = apply_lora_banks(
+        params["language_model"], lora_banks, lora_idx
+    )
+    return out
+
+
 def _prefill_chunk_impl(
     params, cache, embeds_chunk, slot, start_pos, prompt_len, *, cfg,
-    prefill_kernel: bool = False,
+    prefill_kernel: bool = False, lora_banks=None, lora_idx=None,
 ):
     """Prefill one chunk of prompt embeddings into a single cache row.
 
@@ -1392,7 +1475,8 @@ def _prefill_chunk_impl(
     )
     last, row = _prefill_chunk_scratch_impl(
         params, row, embeds_chunk, start_pos, prompt_len, cfg=cfg,
-        prefill_kernel=prefill_kernel,
+        prefill_kernel=prefill_kernel, lora_banks=lora_banks,
+        lora_idx=lora_idx,
     )
     cache = decoder_lib.KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, row.k, (0, slot, 0, 0, 0)),
@@ -1403,12 +1487,13 @@ def _prefill_chunk_impl(
 
 def _prefill_chunk_scratch_impl(
     params, scratch, embeds_chunk, start_pos, prompt_len, *, cfg,
-    prefill_kernel: bool = False,
+    prefill_kernel: bool = False, lora_banks=None, lora_idx=None,
 ):
     """Paged-mode prefill chunk: runs against a CONTIGUOUS one-row scratch
     cache (so the fused Pallas prefill kernel applies and no page gather
     happens per chunk); the finished prompt is scattered into the pool as
     whole pages once, by ``_scratch_to_pages``."""
+    params = _with_lora(params, lora_banks, lora_idx)
     tc = cfg.text_config
     _, C, _ = embeds_chunk.shape
     positions = (start_pos + jnp.arange(C, dtype=jnp.int32))[None]
@@ -1501,7 +1586,7 @@ def _sample_slots(logits, samp, key, seeds=None, positions=None):
 
 def _decode_block(
     params, cache, tokens, cache_lens, active_mask, samp, rng, *, cfg,
-    n_steps: int,
+    n_steps: int, lora_banks=None, lora_idx=None,
 ):
     """``n_steps`` decode steps for every slot in ONE dispatch (vLLM-style
     multi-step scheduling — amortizes host dispatch latency on
@@ -1509,6 +1594,7 @@ def _decode_block(
     cache (read-only; new kv goes to a small tail) and scatters the tail
     back at per-slot offsets afterwards; inactive slots' tail writes are
     redirected out of bounds and dropped."""
+    params = _with_lora(params, lora_banks, lora_idx)
     tc = cfg.text_config
 
     def sample_fn(logits, key):
@@ -1551,7 +1637,7 @@ def _decode_block(
 
 def _decode_block_paged(
     params, pool, tokens, cache_lens, active_mask, samp, rng, page_table,
-    *, cfg, n_steps: int,
+    *, cfg, n_steps: int, lora_banks=None, lora_idx=None,
 ):
     """Paged-mode multi-step decode: ``n_steps`` steps in ONE dispatch.
 
@@ -1565,6 +1651,7 @@ def _decode_block_paged(
     (paged_write_indices). Peak HBM during a block is pool + one
     slot-layout view of it; operators trading HBM for dispatch amortisation
     can lower decode_block_steps to 1 to avoid the view entirely."""
+    params = _with_lora(params, lora_banks, lora_idx)
     tc = cfg.text_config
     L, P, ps, Hkv, D = pool.k.shape
     B = tokens.shape[0]
@@ -1613,7 +1700,7 @@ def _decode_block_paged(
 def _decode_all_slots(
     params, cache, tokens, cache_lens, active_mask, samp, rng,
     out_counts=None, prompt_mask=None, bias_ids=None, bias_vals=None,
-    seeds=None, page_table=None,
+    seeds=None, page_table=None, lora_banks=None, lora_idx=None,
     *, cfg, decode_kernel: bool = False, with_counts: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
@@ -1629,6 +1716,7 @@ def _decode_all_slots(
     them): a freed slot's cache_len is 0, so an unmasked write would corrupt
     position 0 of its RETAINED cache on every step other slots decode —
     silently breaking conversation-prefix reuse."""
+    params = _with_lora(params, lora_banks, lora_idx)
     B = tokens.shape[0]
     if page_table is not None:
         # paged: logical capacity is the table width; inactive slots'

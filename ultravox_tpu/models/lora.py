@@ -187,3 +187,78 @@ def merge_lora(
 
 def lora_trainable_patterns() -> Tuple[str, ...]:
     return (r".*lora_[ab]$",)
+
+
+def build_lora_banks(adapters: Dict[str, Params]):
+    """Stack several LoRA adapters into per-target banks for multi-LoRA
+    serving (one base model serving many fine-tunes concurrently — the
+    vLLM multi-LoRA role, which the reference's single-adapter peft
+    integration cannot do).
+
+    ``adapters``: name -> LM params tree whose ``layers`` subtree carries
+    ``lora_a``/``lora_b``/``lora_scale`` leaves on some projections (the
+    shape ``add_lora`` produces and adapter-diff checkpoints store).
+
+    Returns ``(banks, index)``: ``banks[target] = {"a": (L, N+1, d_in, r),
+    "b": (L, N+1, r, d_out), "scale": (L, N+1, 1, 1)}`` with bank slot 0
+    all-zeros (= base model, exact no-op), and ``index[name] = 1..N``.
+    Adapters may target different projections (missing targets are zero
+    rows) but must share the rank within each target. Bank dtype follows
+    the adapter leaves (bf16 in production serving; fp32 tests stay
+    fp32-exact vs the unbanked LoRA math)."""
+    index = {name: i + 1 for i, name in enumerate(sorted(adapters))}
+    n_banks = len(index) + 1
+    targets: Dict[str, Tuple[int, int, int, int]] = {}
+    dtype = None
+    for name, tree in adapters.items():
+        for tgt, proj in tree["layers"].items():
+            if isinstance(proj, dict) and "lora_a" in proj:
+                L, d_in, r = proj["lora_a"].shape
+                d_out = proj["lora_b"].shape[-1]
+                dtype = proj["lora_a"].dtype if dtype is None else dtype
+                prev = targets.get(tgt)
+                if prev is not None and prev != (L, d_in, r, d_out):
+                    raise ValueError(
+                        f"adapter {name!r} target {tgt!r} shape "
+                        f"{(L, d_in, r, d_out)} != {prev} of another adapter"
+                        " — multi-LoRA banks need matching ranks per target"
+                    )
+                targets[tgt] = (L, d_in, r, d_out)
+    if not targets:
+        raise ValueError("no lora_a leaves found in any adapter")
+    banks = {}
+    for tgt, (L, d_in, r, d_out) in targets.items():
+        a = jnp.zeros((L, n_banks, d_in, r), dtype)
+        b = jnp.zeros((L, n_banks, r, d_out), dtype)
+        sc = jnp.zeros((L, n_banks, 1, 1), dtype)
+        for name, tree in adapters.items():
+            proj = tree["layers"].get(tgt)
+            if not (isinstance(proj, dict) and "lora_a" in proj):
+                continue
+            i = index[name]
+            a = a.at[:, i].set(proj["lora_a"].astype(dtype))
+            b = b.at[:, i].set(proj["lora_b"].astype(dtype))
+            scale = proj["lora_scale"].astype(dtype)  # (L,)
+            sc = sc.at[:, i].set(scale[:, None, None])
+        banks[tgt] = {"a": a, "b": b, "scale": sc}
+    return banks, index
+
+
+def apply_lora_banks(lm_params: Params, banks: Params, idx: jax.Array):
+    """Inject per-ROW adapters into an (unfused) LM tree: for each banked
+    target, gather the rows' adapters so ``lora_a`` becomes (L, B, d_in, r)
+    etc. ``proj_apply``'s LoRA math then broadcasts batchwise
+    ((B, T, d) @ (B, d, r) @ (B, r, out) * (B, 1, 1)), so every sequence in
+    one decode/prefill dispatch runs its own adapter; bank slot 0 is zeros
+    (base model). Traced inside the serving jit — the gather is per
+    dispatch and amortizes over block steps."""
+    layers = dict(lm_params["layers"])
+    for tgt, bank in banks.items():
+        proj = dict(layers[tgt])
+        proj["lora_a"] = bank["a"][:, idx]
+        proj["lora_b"] = bank["b"][:, idx]
+        proj["lora_scale"] = bank["scale"][:, idx]
+        layers[tgt] = proj
+    out = dict(lm_params)
+    out["layers"] = layers
+    return out
