@@ -1,0 +1,255 @@
+"""Prompt-lookup speculative decoding: device-side n-gram drafting + one
+(K+1)-token verify per dispatch. Greedy outputs must be EXACTLY the
+non-speculative outputs — speculation only changes how many weight reads
+they cost (beyond-reference: the reference serves via vLLM, whose
+prompt-lookup speculation this mirrors TPU-natively)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.helpers import make_tiny_tokenizer
+from ultravox_tpu.inference.engine import GenerationEngine
+from ultravox_tpu.inference.serving.engine import (
+    ServingEngine,
+    _ngram_drafts,
+)
+from ultravox_tpu.models import (
+    DecoderConfig,
+    UltravoxConfig,
+    WhisperEncoderConfig,
+)
+from ultravox_tpu.models import ultravox as uv
+from ultravox_tpu.models.processor import DataCollatorWithAudio, UltravoxProcessor
+
+V = 384
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UltravoxConfig(
+        audio_config=WhisperEncoderConfig(
+            d_model=32, num_layers=1, num_heads=2, ffn_dim=64
+        ),
+        text_config=DecoderConfig(
+            vocab_size=V, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+        ),
+        hidden_size=64,
+    )
+    params = uv.init_params(cfg, jax.random.key(0))
+    tokenizer = make_tiny_tokenizer()
+    processor = UltravoxProcessor(tokenizer)
+    collator = DataCollatorWithAudio(
+        pad_token_id=tokenizer.pad_token_id, pad_multiple=1,
+        mel_pad_multiple=400,
+    )
+    return cfg, params, processor, collator
+
+
+def _mini_batch(processor, collator, text):
+    return collator([processor(text=text)])
+
+
+def _drain(engine, req):
+    ids, finish = [], None
+    for ev in engine.stream(req):
+        if ev.token_id is None:
+            finish = ev.finish_reason
+            break
+        ids.append(ev.token_id)
+    return ids, finish
+
+
+def test_ngram_drafts_unit():
+    """Drafting finds the most recent prior occurrence of the final bigram
+    and proposes its continuation; rows without a match are harmless."""
+    S, K = 32, 4
+    hist = np.zeros((3, S), np.int32)
+    # row 0: [5 6 7 8 5 6] — final bigram (5,6) matched at j=0, drafts 7 8 5 6
+    hist[0, :6] = [5, 6, 7, 8, 5, 6]
+    # row 1: two occurrences — [1 2 9 1 2 3 1 2]: most recent PRIOR match of
+    # (1,2) is j=3 (continuation 3 1 2 ...), not j=0
+    hist[1, :8] = [1, 2, 9, 1, 2, 3, 1, 2]
+    # row 2: no repeat — [10 11 12 13]
+    hist[2, :4] = [10, 11, 12, 13]
+    hl = jnp.asarray([6, 8, 4], jnp.int32)
+    drafts = np.asarray(_ngram_drafts(jnp.asarray(hist), hl, K, 2))
+    assert drafts[0].tolist() == [7, 8, 5, 6]
+    assert drafts[1].tolist() == [3, 1, 2, 0]  # continuation from j=3
+    # row 2: whatever came back, it must not crash; shape is (K,)
+    assert drafts.shape == (3, K)
+
+
+@pytest.mark.parametrize("cache_mode", ["slots", "paged"])
+def test_spec_decode_matches_offline(setup, cache_mode):
+    """Speculative serving emits EXACTLY the offline greedy tokens for
+    concurrent mixed prompts, and speculation actually engages."""
+    cfg, params, processor, collator = setup
+    texts = [
+        "hello world how are you",
+        "the quick brown fox the quick brown fox the quick brown fox",
+        "one two three one two three one two",
+    ]
+    batches = [_mini_batch(processor, collator, t) for t in texts]
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    expected = [
+        offline.generate(b, max_new_tokens=40).token_ids[0] for b in batches
+    ]
+
+    kw = {"page_size": 16} if cache_mode == "paged" else {}
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=256,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64, 128),
+        mel_len_buckets=(400,), cache_mode=cache_mode,
+        spec_decode="ngram", spec_k=4, **kw,
+    )
+    serving.start()
+    try:
+        reqs = [serving.submit(b, max_tokens=40) for b in batches]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+    assert serving.spec_dispatches > 0
+    # tiny random models decode into short greedy cycles, which prompt
+    # lookup exploits: this deterministic setup must accept >1 token per
+    # speculative dispatch on average
+    assert serving.spec_emitted_tokens > serving.spec_dispatches
+
+
+def test_spec_disengages_for_sampling_and_penalties(setup):
+    """Temperature>0 or penalties must force the exact non-speculative
+    programs (speculative acceptance is greedy-only)."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+
+    base = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    base.start()
+    try:
+        r = base.submit(batch, max_tokens=10, temperature=0.8, seed=7)
+        sampled_ref, _ = _drain(base, r)
+        r = base.submit(batch, max_tokens=10, repetition_penalty=1.3)
+        pen_ref, _ = _drain(base, r)
+    finally:
+        base.stop()
+
+    spec = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        spec_decode="ngram", spec_k=4,
+    )
+    spec.start()
+    try:
+        r = spec.submit(batch, max_tokens=10, temperature=0.8, seed=7)
+        sampled, _ = _drain(spec, r)
+        r = spec.submit(batch, max_tokens=10, repetition_penalty=1.3)
+        pen, _ = _drain(spec, r)
+    finally:
+        spec.stop()
+    assert sampled == sampled_ref
+    assert pen == pen_ref
+    assert spec.spec_dispatches == 0  # never engaged
+
+
+def test_spec_with_churn_and_stop_tokens(setup):
+    """Requests arriving mid-speculation (disengage -> re-engage with a
+    history resync) and stop tokens that cut an accepted run short both
+    preserve exact greedy outputs."""
+    cfg, params, processor, collator = setup
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    b1 = _mini_batch(
+        processor, collator,
+        "the quick brown fox the quick brown fox",
+    )
+    b2 = _mini_batch(processor, collator, "one two three one two three")
+    exp1 = offline.generate(b1, max_new_tokens=32).token_ids[0]
+    exp2_free = offline.generate(b2, max_new_tokens=32).token_ids[0]
+    stop = exp2_free[5]
+    exp2 = exp2_free[:exp2_free.index(stop)]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        spec_decode="ngram", spec_k=4,
+    )
+    serving.start()
+    try:
+        r1 = serving.submit(b1, max_tokens=32)
+        got1 = []
+        it = serving.stream(r1)
+        for ev in it:
+            if ev.token_id is None:
+                break
+            got1.append(ev.token_id)
+            if len(got1) == 6:
+                # mid-stream arrival: spec must disengage for the prefill
+                # then re-engage with a fresh history
+                r2 = serving.submit(
+                    b2, max_tokens=32, stop_token_ids=(stop,)
+                )
+        got2, fin2 = _drain(serving, r2)
+    finally:
+        serving.stop()
+    assert got1 == exp1
+    assert got2 == exp2 and fin2 == "stop"
+
+
+def test_spec_composes_with_multi_lora(setup):
+    """Speculative decode + multi-LoRA banks: per-slot adapters apply
+    inside the verify forward too."""
+    from ultravox_tpu.models import lora as lora_lib
+    from ultravox_tpu.models.config import LoraConfig
+
+    cfg, params, processor, collator = setup
+    lcfg = LoraConfig(r=4, target_modules=("q_proj", "v_proj"))
+    lm = lora_lib.add_lora(
+        params["language_model"], lcfg, jax.random.key(11),
+        lora_lib.DECODER_TARGETS,
+    )
+    for tgt in ("q_proj", "v_proj"):
+        shp = lm["layers"][tgt]["lora_b"].shape
+        lm["layers"][tgt]["lora_b"] = (
+            jax.random.normal(jax.random.key(101), shp) * 0.5
+        )
+    adapters = {"styled": {"language_model": lm}}
+
+    batch = _mini_batch(
+        processor, collator, "the quick brown fox the quick brown fox"
+    )
+    p_ad = dict(params)
+    p_ad["language_model"] = lm
+    exp_base = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    ).generate(batch, max_new_tokens=24).token_ids[0]
+    exp_ad = GenerationEngine(
+        p_ad, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    ).generate(batch, max_new_tokens=24).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        lora_adapters=adapters, spec_decode="ngram", spec_k=4,
+    )
+    serving.start()
+    try:
+        r_base = serving.submit(batch, max_tokens=24)
+        r_ad = serving.submit(batch, max_tokens=24, lora="styled")
+        got_base, _ = _drain(serving, r_base)
+        got_ad, _ = _drain(serving, r_ad)
+    finally:
+        serving.stop()
+    assert got_base == exp_base
+    assert got_ad == exp_ad
+    assert serving.spec_dispatches > 0

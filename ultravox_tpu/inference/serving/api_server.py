@@ -412,6 +412,9 @@ def make_handler(api: ServingAPI):
                     stats["pages_in_use"] = eng.pages_in_use
                     stats["pages_total"] = eng.num_pages
                     stats["page_size"] = eng.page_size
+                if getattr(eng, "spec_decode", None):
+                    stats["spec_dispatches"] = eng.spec_dispatches
+                    stats["spec_emitted_tokens"] = eng.spec_emitted_tokens
                 self._json(200, stats)
             elif self.path == "/v1/models":
                 # base model + every served LoRA adapter (multi-LoRA:
@@ -536,6 +539,13 @@ def main():
         help="KV pool size in pages (default: same HBM as slot mode; "
         "smaller pools trade HBM for admission backpressure)",
     )
+    parser.add_argument(
+        "--spec-decode", default=None, choices=[None, "ngram"],
+        help="ngram = prompt-lookup speculative decoding (greedy requests "
+        "emit up to spec-k+1 tokens per weight read; big win for "
+        "transcription/repetitive outputs, near-free when drafts miss)",
+    )
+    parser.add_argument("--spec-k", type=int, default=8)
     args = parser.parse_args()
 
     import transformers
@@ -569,6 +579,8 @@ def main():
         cache_mode=args.cache_mode,
         page_size=args.page_size,
         num_pages=args.num_pages,
+        spec_decode=args.spec_decode,
+        spec_k=args.spec_k,
     )
     serve(
         ServingAPI(engine, processor, collator),

@@ -277,6 +277,9 @@ class ServingEngine:
         prefill_attn_impl: str = "auto",  # "fused" = pallas causal prefill
         quantize: Optional[str] = None,  # "int8" = weight-only w8a16
         lora_adapters: Optional[Dict[str, Any]] = None,  # name -> LoRA tree
+        spec_decode: Optional[str] = None,  # "ngram" = prompt-lookup spec dec
+        spec_k: int = 8,  # drafted tokens per speculative dispatch
+        spec_ngram: int = 2,  # context n-gram matched against the history
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -486,6 +489,35 @@ class ServingEngine:
             static_argnames=("n_steps",),
             donate_argnums=(1,),
         )
+        # prompt-lookup speculative decoding (opt-in): drafts are looked up
+        # in an on-device token history, so consecutive speculative
+        # dispatches pipeline without host round-trips; the history is
+        # (re)uploaded from host truth only when it went stale (any
+        # non-speculative dispatch, or a change of the active set)
+        if spec_decode in ("none", ""):
+            spec_decode = None
+        if spec_decode not in (None, "ngram"):
+            raise ValueError(f"unsupported spec_decode={spec_decode!r}")
+        self.spec_decode = spec_decode
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
+        self.spec_emitted_tokens = 0  # observability: tokens via spec
+        self.spec_dispatches = 0
+        if spec_decode:
+            if self.spec_k < 1 or self.spec_ngram < 1:
+                raise ValueError("spec_k and spec_ngram must be >= 1")
+            self.token_hist = jnp.zeros(
+                (num_slots, max_seq_len), jnp.int32
+            )
+            self._spec = jax.jit(
+                functools.partial(
+                    _spec_decode_all_slots, cfg=cfg, K=self.spec_k,
+                    ngram=self.spec_ngram,
+                ),
+                donate_argnums=(1, 2),  # cache and history carry in place
+            )
+        self._hist_dirty = True
+        self._spec_key = None  # (slot, request_id) set the history matches
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._cancels: "queue.Queue[int]" = queue.Queue()
@@ -1162,7 +1194,11 @@ class ServingEngine:
         # vs 242 tok/s at 32 req / 16 slots); in steady-state long decodes
         # they win 2.5x+ (525 vs 212 tok/s at 16 req / 16 slots).
         churn = bool(self._prefilling) or not self._pending.empty()
-        lag = sum(e[3] for e in self._inflight if e[0] == "decode")
+        lag = sum(
+            e[3] if e[0] == "decode"
+            else (self.spec_k + 1) if e[0] == "spec" else 0
+            for e in self._inflight
+        )
         cap = self.max_seq_len - 1 - max(
             r.prompt_len + r.generated for r in self._active.values()
         )
@@ -1172,6 +1208,22 @@ class ServingEngine:
         penalized = any(
             _needs_single_step(r) for r in self._active.values()
         )
+        # prompt-lookup speculation: greedy-only (acceptance compares the
+        # model's argmax), penalty-free, steady-state, and with the same
+        # worst-case (K+1)-token cache-capacity guard as blocks
+        if (
+            self.spec_decode
+            and not churn
+            and not penalized
+            and cap - lag >= self.spec_k + 1
+            and all(r.temperature == 0 for r in self._active.values())
+        ):
+            if self._dispatch_spec():
+                while len(self._inflight) > self._max_inflight:
+                    self._process_oldest_decode()
+            # False: draining for the history sync finished every active
+            # request; either way this tick's decision is made
+            return
         n_steps = 1
         if (
             self.decode_block_steps > 1
@@ -1201,10 +1253,78 @@ class ServingEngine:
         while len(self._inflight) > self._max_inflight:
             self._process_oldest_decode()
 
+    def _sync_spec_hist(self):
+        """Upload the active slots' token histories (prompt + everything
+        emitted) to the device. Called only after a drain, when host truth
+        is exact: hist_len == cache_lens + 1 (the last sampled token is in
+        the history but not yet written to the KV cache)."""
+        hist = np.zeros((self.num_slots, self.max_seq_len), np.int32)
+        for s, req in self._active.items():
+            toks = np.concatenate(
+                [req.token_ids, np.asarray(req.emitted_ids, np.int32)]
+            )[: self.max_seq_len]
+            hist[s, : len(toks)] = toks
+        self.token_hist = jnp.asarray(hist)
+        self._hist_dirty = False
+
+    def _dispatch_spec(self) -> bool:
+        """Enqueue one prompt-lookup speculative dispatch (draft + verify in
+        one program). Returns False when the pre-dispatch drain finished
+        every active request (nothing left to decode this tick)."""
+        key = tuple(
+            (s, self._active[s].request_id) for s in sorted(self._active)
+        )
+        if self._hist_dirty or self._spec_key != key:
+            # the on-device history is stale (a non-speculative dispatch
+            # ran, or the active set changed): retire in-flight work so
+            # host-side token truth is exact, then re-upload
+            self._drain_decodes()
+            if not self._active:
+                return False
+            cap = self.max_seq_len - 1 - max(
+                r.prompt_len + r.generated for r in self._active.values()
+            )
+            if cap < self.spec_k + 1:
+                # draining advanced someone to the cache edge; a spec
+                # dispatch could drop accepted tokens' KV writes
+                self._dispatch_decode(1)
+                return True
+            self._sync_spec_hist()
+            self._spec_key = key
+        slots = sorted(self._active)
+        snapshot = [(s, self._active[s]) for s in slots]
+        active_mask = np.zeros((self.num_slots,), bool)
+        active_mask[slots] = True
+        lora_kw = {}
+        if self._lora_banks is not None:
+            lora_idx = np.zeros((self.num_slots,), np.int32)
+            for s, req in snapshot:
+                if req.lora is not None:
+                    lora_idx[s] = self._lora_index[req.lora]
+            lora_kw = dict(
+                lora_banks=self._lora_banks,
+                lora_idx=jnp.asarray(lora_idx),
+            )
+        out, accepted, self.cache, self.cache_lens, self.last_tokens, \
+            self.token_hist = self._spec(
+                self.params,
+                self.cache,
+                self.token_hist,
+                self.last_tokens,
+                self.cache_lens,
+                jnp.asarray(active_mask),
+                page_table=self.page_table if self.paged else None,
+                **lora_kw,
+            )
+        self.spec_dispatches += 1
+        self._inflight.append(("spec", out, accepted, snapshot))
+        return True
+
     def _dispatch_decode(self, n_steps: int):
         """Enqueue one decode call (single step or K-step block) for the
         current active set; the device-array result and the active-set
         snapshot go on ``_inflight`` for lagged processing."""
+        self._hist_dirty = True  # spec histories miss these tokens
         slots = sorted(self._active)
         snapshot = [(s, self._active[s]) for s in slots]
         key = (
@@ -1322,6 +1442,20 @@ class ServingEngine:
             tok_i = int(np.asarray(tok)[0])
             if self._active.get(req.slot) is req:
                 self._emit(req, tok_i)
+            return
+        if entry[0] == "spec":
+            # speculative dispatch: emit each slot's ACCEPTED tokens (1 to
+            # K+1); a request that finished in an earlier lagged dispatch
+            # drops its columns exactly like the block path
+            _, out, accepted, snapshot = entry
+            out_np = np.asarray(out)
+            acc_np = np.asarray(accepted)
+            for s, req in snapshot:
+                for j in range(int(acc_np[s])):
+                    if self._active.get(s) is not req:
+                        break
+                    self.spec_emitted_tokens += 1
+                    self._emit(req, int(out_np[s, j]))
             return
         _, sampled, snapshot, n_steps = entry
         sampled_np = np.asarray(sampled)
@@ -1695,6 +1829,99 @@ def _decode_block_paged(
     new_toks = toks[:, 1:]
     new_last = jnp.where(active_mask, new_toks[:, -1], tokens)
     return new_toks, new_pool, new_lens, new_last
+
+
+def _ngram_drafts(hist, hist_len, K: int, ngram: int):
+    """Device-side prompt-lookup drafting (the vLLM/transformers
+    prompt_lookup_num_tokens role, moved INTO the decode program so
+    pipelined dispatches never wait on host state): for each row, find the
+    most recent PRIOR occurrence of the sequence-final ``ngram`` tokens in
+    the row's token history and propose the K tokens that followed it.
+
+    ``hist``: (B, S) int32 token history; ``hist_len``: (B,) valid tokens
+    (prompt + all sampled so far). Rows with no match return garbage
+    drafts — harmless: verification rejects them at position 0 and the
+    dispatch still emits its one guaranteed token."""
+    B, S = hist.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    W = S - ngram + 1  # candidate window starts
+    jpos = jnp.arange(W, dtype=jnp.int32)
+    # a start j matches iff hist[j:j+ngram] == hist[hl-ngram:hl] and the
+    # continuation position j+ngram is a known token (j < hl - ngram; this
+    # also excludes the final n-gram matching itself)
+    m = jpos[None] < (hist_len - ngram)[:, None]
+    for t in range(ngram):
+        ctx_t = jnp.take_along_axis(
+            hist, jnp.maximum(hist_len - ngram + t, 0)[:, None], axis=1
+        )  # (B, 1)
+        m &= hist[:, t: t + W] == ctx_t
+    jstar = jnp.max(jnp.where(m, jpos[None], -1), axis=1)  # (B,), -1 = none
+    start = jnp.clip(jstar + ngram, 0, S - K)
+    cols = start[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
+    return jnp.take_along_axis(hist, cols, axis=1)  # (B, K)
+
+
+def _spec_decode_all_slots(
+    params, cache, hist, tokens, cache_lens, active_mask,
+    page_table=None, lora_banks=None, lora_idx=None,
+    *, cfg, K: int, ngram: int,
+):
+    """Prompt-lookup speculative decode: ONE dispatch drafts K tokens per
+    slot from the on-device token history (``_ngram_drafts``), verifies
+    [last_token, draft_0..draft_{K-1}] in a single (K+1)-token forward, and
+    accepts the longest prefix the model agrees with (greedy). Emits 1 to
+    K+1 tokens per weight read — decode is weight-HBM-bound, so mean
+    accepted length is a direct multiplier on the weight-traffic roofline.
+    A fully rejected draft still emits position 0's argmax, so failed
+    speculation costs only the (negligible at decode batch sizes) extra
+    FLOPs of the K ignored positions.
+
+    Greedy-only (the scheduler gates engagement on temperature==0 and no
+    penalties/bias). KV for rejected positions is written but stays
+    invisible: cache_lens advances only past accepted tokens, and later
+    writes at those positions precede any read (in-order execution), the
+    same invariant the multi-step block path relies on. Inactive slots'
+    writes drop out of bounds; their accepted count is 0."""
+    params = _with_lora(params, lora_banks, lora_idx)
+    tc = cfg.text_config
+    B, S_hist = hist.shape
+    T = K + 1
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    hl = cache_lens + 1  # known tokens incl. the pending last_token
+    drafts = _ngram_drafts(hist, hl, K, ngram)
+    toks = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B, T)
+    if page_table is not None:
+        max_len = page_table.shape[1] * cache.page_size
+    else:
+        max_len = cache.max_len
+    positions = cache_lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    write_pos = jnp.where(active_mask, cache_lens, max_len)
+    logits, cache = decoder_lib.decoder_forward(
+        params["language_model"],
+        tc,
+        input_ids=toks,
+        positions=positions,
+        kv_valid_len=cache_lens + T,
+        cache=cache,
+        page_table=page_table,
+        write_pos=write_pos,
+    )
+    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+    match = (drafts == out[:, :K]).astype(jnp.int32)
+    accepted = jnp.where(
+        active_mask, 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1), 0
+    )
+    new_lens = cache_lens + accepted
+    new_last = jnp.where(
+        active_mask, out[bidx, jnp.maximum(accepted, 1) - 1], tokens
+    )
+    steps = jnp.arange(T, dtype=jnp.int32)[None]
+    # append the accepted tokens to the history; rejected columns (and
+    # inactive rows) redirect out of bounds and drop (duplicate dropped
+    # indices are fine without unique_indices)
+    wpos = jnp.where(steps < accepted[:, None], hl[:, None] + steps, S_hist)
+    hist = hist.at[bidx[:, None], wpos].set(out, mode="drop")
+    return out, accepted, cache, new_lens, new_last, hist
 
 
 def _decode_all_slots(
