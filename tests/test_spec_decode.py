@@ -253,3 +253,39 @@ def test_spec_composes_with_multi_lora(setup):
     assert got_base == exp_base
     assert got_ad == exp_ad
     assert serving.spec_dispatches > 0
+
+
+@pytest.mark.parametrize("cache_mode", ["slots", "paged"])
+def test_spec_block_multi_round_matches_offline(setup, cache_mode):
+    """Multi-round speculative blocks (n_rounds draft+verify rounds in one
+    dispatch, segmented tail KV) emit exactly the offline greedy tokens."""
+    cfg, params, processor, collator = setup
+    texts = [
+        "hello world how are you today my friend hello world",
+        "one two three one two three one two three one two",
+    ]
+    batches = [_mini_batch(processor, collator, t) for t in texts]
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    expected = [
+        offline.generate(b, max_new_tokens=48).token_ids[0] for b in batches
+    ]
+    kw = {"page_size": 16} if cache_mode == "paged" else {}
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+        mel_len_buckets=(400,), cache_mode=cache_mode,
+        spec_decode="ngram", spec_k=4, decode_block_steps=4, **kw,
+    )
+    assert serving.spec_rounds == 4 and hasattr(serving, "_spec_block")
+    serving.start()
+    try:
+        reqs = [serving.submit(b, max_tokens=48) for b in batches]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+    assert serving.spec_dispatches > 0

@@ -516,6 +516,21 @@ class ServingEngine:
                 ),
                 donate_argnums=(1, 2),  # cache and history carry in place
             )
+            # multi-round speculative block (steady state, ample cache
+            # headroom): decode_block_steps draft+verify rounds per
+            # dispatch — between n_rounds and n_rounds*(K+1) tokens for
+            # n_rounds weight reads and ONE host dispatch
+            self.spec_rounds = max(1, self.decode_block_steps)
+            if self.spec_rounds > 1:
+                self._spec_block = jax.jit(
+                    functools.partial(
+                        _spec_decode_block_paged if self.paged
+                        else _spec_decode_block,
+                        cfg=cfg, K=self.spec_k, ngram=self.spec_ngram,
+                        n_rounds=self.spec_rounds,
+                    ),
+                    donate_argnums=(1, 2),
+                )
         self._hist_dirty = True
         self._spec_key = None  # (slot, request_id) set the history matches
 
@@ -1196,7 +1211,7 @@ class ServingEngine:
         churn = bool(self._prefilling) or not self._pending.empty()
         lag = sum(
             e[3] if e[0] == "decode"
-            else (self.spec_k + 1) if e[0] == "spec" else 0
+            else e[4] if e[0] == "spec" else 0
             for e in self._inflight
         )
         cap = self.max_seq_len - 1 - max(
@@ -1218,7 +1233,7 @@ class ServingEngine:
             and cap - lag >= self.spec_k + 1
             and all(r.temperature == 0 for r in self._active.values())
         ):
-            if self._dispatch_spec():
+            if self._dispatch_spec(cap - lag):
                 while len(self._inflight) > self._max_inflight:
                     self._process_oldest_decode()
             # False: draining for the history sync finished every active
@@ -1267,10 +1282,12 @@ class ServingEngine:
         self.token_hist = jnp.asarray(hist)
         self._hist_dirty = False
 
-    def _dispatch_spec(self) -> bool:
-        """Enqueue one prompt-lookup speculative dispatch (draft + verify in
-        one program). Returns False when the pre-dispatch drain finished
-        every active request (nothing left to decode this tick)."""
+    def _dispatch_spec(self, headroom: int) -> bool:
+        """Enqueue one prompt-lookup speculative dispatch: a multi-round
+        speculative block when ``headroom`` (cache capacity minus in-flight
+        lag) covers the worst case, else a single draft+verify round.
+        Returns False when the pre-dispatch drain finished every active
+        request (nothing left to decode this tick)."""
         key = tuple(
             (s, self._active[s].request_id) for s in sorted(self._active)
         )
@@ -1281,16 +1298,21 @@ class ServingEngine:
             self._drain_decodes()
             if not self._active:
                 return False
-            cap = self.max_seq_len - 1 - max(
+            headroom = self.max_seq_len - 1 - max(
                 r.prompt_len + r.generated for r in self._active.values()
             )
-            if cap < self.spec_k + 1:
+            if headroom < self.spec_k + 1:
                 # draining advanced someone to the cache edge; a spec
                 # dispatch could drop accepted tokens' KV writes
                 self._dispatch_decode(1)
                 return True
             self._sync_spec_hist()
             self._spec_key = key
+        worst = self.spec_k + 1
+        n_rounds = 1
+        if self.spec_rounds > 1 and headroom >= self.spec_rounds * worst:
+            n_rounds = self.spec_rounds
+            worst = self.spec_rounds * worst
         slots = sorted(self._active)
         snapshot = [(s, self._active[s]) for s in slots]
         active_mask = np.zeros((self.num_slots,), bool)
@@ -1305,19 +1327,29 @@ class ServingEngine:
                 lora_banks=self._lora_banks,
                 lora_idx=jnp.asarray(lora_idx),
             )
-        out, accepted, self.cache, self.cache_lens, self.last_tokens, \
-            self.token_hist = self._spec(
-                self.params,
-                self.cache,
-                self.token_hist,
-                self.last_tokens,
-                self.cache_lens,
-                jnp.asarray(active_mask),
-                page_table=self.page_table if self.paged else None,
-                **lora_kw,
+        if n_rounds > 1:
+            args = (
+                self.params, self.cache, self.token_hist, self.last_tokens,
+                self.cache_lens, jnp.asarray(active_mask),
             )
-        self.spec_dispatches += 1
-        self._inflight.append(("spec", out, accepted, snapshot))
+            if self.paged:
+                args += (self.page_table,)
+            out, accepted, self.cache, self.cache_lens, self.last_tokens, \
+                self.token_hist = self._spec_block(*args, **lora_kw)
+        else:
+            out, accepted, self.cache, self.cache_lens, self.last_tokens, \
+                self.token_hist = self._spec(
+                    self.params,
+                    self.cache,
+                    self.token_hist,
+                    self.last_tokens,
+                    self.cache_lens,
+                    jnp.asarray(active_mask),
+                    page_table=self.page_table if self.paged else None,
+                    **lora_kw,
+                )
+        self.spec_dispatches += n_rounds
+        self._inflight.append(("spec", out, accepted, snapshot, worst))
         return True
 
     def _dispatch_decode(self, n_steps: int):
@@ -1445,17 +1477,21 @@ class ServingEngine:
             return
         if entry[0] == "spec":
             # speculative dispatch: emit each slot's ACCEPTED tokens (1 to
-            # K+1); a request that finished in an earlier lagged dispatch
-            # drops its columns exactly like the block path
-            _, out, accepted, snapshot = entry
+            # K+1 per round); a request that finished in an earlier lagged
+            # dispatch drops its columns exactly like the block path
+            _, out, accepted, snapshot, _worst = entry
             out_np = np.asarray(out)
             acc_np = np.asarray(accepted)
-            for s, req in snapshot:
-                for j in range(int(acc_np[s])):
-                    if self._active.get(s) is not req:
-                        break
-                    self.spec_emitted_tokens += 1
-                    self._emit(req, int(out_np[s, j]))
+            if out_np.ndim == 2:  # single round -> (1, B, K+1)
+                out_np = out_np[None]
+                acc_np = acc_np[None]
+            for r in range(out_np.shape[0]):
+                for s, req in snapshot:
+                    for j in range(int(acc_np[r, s])):
+                        if self._active.get(s) is not req:
+                            break
+                        self.spec_emitted_tokens += 1
+                        self._emit(req, int(out_np[r, s, j]))
             return
         _, sampled, snapshot, n_steps = entry
         sampled_np = np.asarray(sampled)
@@ -1922,6 +1958,102 @@ def _spec_decode_all_slots(
     wpos = jnp.where(steps < accepted[:, None], hl[:, None] + steps, S_hist)
     hist = hist.at[bidx[:, None], wpos].set(out, mode="drop")
     return out, accepted, cache, new_lens, new_last, hist
+
+
+def _spec_decode_block(
+    params, cache, hist, tokens, cache_lens, active_mask,
+    lora_banks=None, lora_idx=None,
+    *, cfg, K: int, ngram: int, n_rounds: int,
+):
+    """``n_rounds`` speculative draft+verify rounds in ONE dispatch against
+    the slot cache (decoder_lib.segmented_spec_scan): the cache is read-only
+    during the scan; the accepted tokens' tail KV publishes once at the end
+    (inactive slots and rejected positions drop out of bounds)."""
+    params = _with_lora(params, lora_banks, lora_idx)
+    tc = cfg.text_config
+
+    def draft_fn(h, hl):
+        return _ngram_drafts(h, hl, K, ngram)
+
+    outs, accepts, tail, written, last, hist = (
+        decoder_lib.segmented_spec_scan(
+            params["language_model"], tc, cache, cache_lens, tokens, hist,
+            draft_fn, n_rounds=n_rounds, K=K,
+        )
+    )
+    B = tokens.shape[0]
+    S = cache.max_len
+    Ts = n_rounds * (K + 1)
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    t = jnp.arange(Ts, dtype=jnp.int32)[None]
+    valid = (t < written[:, None]) & active_mask[:, None]
+    # distinct out-of-bounds destinations for dropped writes (duplicate
+    # indices under unique_indices are undefined behaviour)
+    tpos = jnp.where(valid, cache_lens[:, None] + t, S + bidx * Ts + t)
+    k = cache.k.at[:, bidx, tpos].set(
+        tail.k.astype(cache.k.dtype), mode="drop", unique_indices=True
+    )
+    v = cache.v.at[:, bidx, tpos].set(
+        tail.v.astype(cache.v.dtype), mode="drop", unique_indices=True
+    )
+    new_cache = decoder_lib.KVCache(k=k, v=v)
+    written = jnp.where(active_mask, written, 0)
+    accepts = accepts * active_mask[None].astype(accepts.dtype)
+    new_lens = cache_lens + written
+    new_last = jnp.where(active_mask, last, tokens)
+    return outs, accepts, new_cache, new_lens, new_last, hist
+
+
+def _spec_decode_block_paged(
+    params, pool, hist, tokens, cache_lens, active_mask, page_table,
+    lora_banks=None, lora_idx=None,
+    *, cfg, K: int, ngram: int, n_rounds: int,
+):
+    """Paged-mode speculative block: pages gather ONCE into a contiguous
+    logical view (as in _decode_block_paged), the speculative scan runs
+    against it, and the accepted tail publishes as one per-token page
+    scatter (rejected/inactive positions marked negative and dropped)."""
+    params = _with_lora(params, lora_banks, lora_idx)
+    tc = cfg.text_config
+    L, P, ps, Hkv, D = pool.k.shape
+    B = tokens.shape[0]
+    n_per = page_table.shape[1]
+    S = n_per * ps
+
+    def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
+        g = jnp.take(p, page_table, axis=1, mode="clip")
+        return g.reshape(L, B, S, Hkv, D)
+
+    prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+
+    def draft_fn(h, hl):
+        return _ngram_drafts(h, hl, K, ngram)
+
+    outs, accepts, tail, written, last, hist = (
+        decoder_lib.segmented_spec_scan(
+            params["language_model"], tc, prompt_cache, cache_lens, tokens,
+            hist, draft_fn, n_rounds=n_rounds, K=K,
+        )
+    )
+    Ts = n_rounds * (K + 1)
+    t = jnp.arange(Ts, dtype=jnp.int32)[None]
+    valid = (t < written[:, None]) & active_mask[:, None]
+    pos = jnp.where(valid, cache_lens[:, None] + t, -1)  # -1 = drop
+    write_page, write_off = decoder_lib.paged_positions_to_indices(
+        page_table, pos, ps, P
+    )
+    k = pool.k.at[:, write_page, write_off].set(
+        tail.k.astype(pool.k.dtype), mode="drop", unique_indices=True
+    )
+    v = pool.v.at[:, write_page, write_off].set(
+        tail.v.astype(pool.v.dtype), mode="drop", unique_indices=True
+    )
+    new_pool = decoder_lib.PagedKVCache(k=k, v=v)
+    written = jnp.where(active_mask, written, 0)
+    accepts = accepts * active_mask[None].astype(accepts.dtype)
+    new_lens = cache_lens + written
+    new_last = jnp.where(active_mask, last, tokens)
+    return outs, accepts, new_pool, new_lens, new_last, hist
 
 
 def _decode_all_slots(

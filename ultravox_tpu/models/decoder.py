@@ -106,8 +106,21 @@ def paged_write_indices(
     unallocated table entries) redirected to ``num_pages`` so the scatter
     drops them — the paged counterpart of the contiguous path's
     out-of-bounds write redirection."""
-    B, n_per = page_table.shape
     pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B, T)
+    return paged_positions_to_indices(page_table, pos, page_size, num_pages)
+
+
+def paged_positions_to_indices(
+    page_table: jax.Array,  # (B, pages_per_seq) int32, sentinel-padded
+    pos: jax.Array,  # (B, T) logical positions; negative = drop
+    page_size: int,
+    num_pages: int,
+):
+    """Arbitrary-position variant of :func:`paged_write_indices`: callers
+    with per-token validity (e.g. publishing only the ACCEPTED prefix of a
+    speculative block) mark positions negative to drop them."""
+    B, n_per = page_table.shape
+    T = pos.shape[1]
     blk = pos // page_size
     in_range = (pos >= 0) & (blk < n_per)
     pid = jnp.take_along_axis(
@@ -771,6 +784,161 @@ def segmented_decode_scan(
         # it back into their persistent cache at [prompt_lens + t]
         return all_toks, KVCache(k=tail_k, v=tail_v)
     return all_toks
+
+
+def segmented_spec_scan(
+    params: Params,
+    cfg: DecoderConfig,
+    prompt_cache: KVCache,  # (L, B, S, Hkv, Dh) — read-only during the scan
+    prompt_lens: jax.Array,  # (B,) valid positions in the cache
+    first_tokens: jax.Array,  # (B,) int32 — pending (sampled, unwritten)
+    hist: jax.Array,  # (B, S_hist) int32 token history (prompt + sampled)
+    draft_fn,  # (hist, hist_len (B,)) -> (B, K) int32 draft tokens
+    *,
+    n_rounds: int,
+    K: int,
+):
+    """``n_rounds`` speculative draft+verify rounds in ONE dispatch,
+    greedy-only: each round drafts K tokens from the carried token history
+    (``draft_fn``), verifies ``[pending, draft_0..draft_{K-1}]`` in a single
+    (K+1)-token forward against the read-only prompt cache plus a carried
+    KV tail, and accepts the longest prefix argmax agrees with. Between
+    ``n_rounds`` (all drafts miss) and ``n_rounds*(K+1)`` (all hit) tokens
+    per dispatch for ``n_rounds`` weight reads — composing speculation's
+    weight-traffic amortization with the multi-step block's dispatch
+    amortization (segmented_decode_scan's KV layout; rejected tokens'
+    tail writes are overwritten by the next round, so the tail stays a
+    contiguous run of accepted tokens).
+
+    Returns ``(outs (n_rounds, B, K+1), accepts (n_rounds, B), tail
+    KVCache (L, B, n_rounds*(K+1), Hkv, Dh), written (B,), last (B,),
+    new_hist)``: tail slots [0, written_b) hold row b's accepted tokens'
+    KV contiguously (callers publish them at [prompt_lens + t]); ``last``
+    is each row's new pending token; ``new_hist`` carries the accepted
+    tokens appended. Round r of row b emitted ``accepts[r, b]`` tokens:
+    ``outs[r, b, :accepts[r, b]]``."""
+    L, B, S, Hkv, Dh = prompt_cache.k.shape
+    T = K + 1
+    Ts = n_rounds * T
+    plus_one = cfg.arch in ("gemma2", "gemma3")
+    local_flags = is_local_layer(cfg)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    inv_freq_g = jnp.asarray(
+        rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    )
+    inv_freq_l = (
+        jnp.asarray(rope_frequencies(cfg.head_dim, cfg.rope_local_base_freq))
+        if cfg.rope_local_base_freq is not None
+        else inv_freq_g
+    )
+
+    kpos = jnp.arange(S, dtype=jnp.int32)[None]  # (1, S)
+    seg_i = jnp.arange(T, dtype=jnp.int32)  # in-segment query index
+    tail_t = jnp.arange(Ts, dtype=jnp.int32)  # tail key slot
+    tail_k0 = jnp.zeros((L, B, Ts, Hkv, Dh), prompt_cache.k.dtype)
+    tail_v0 = jnp.zeros((L, B, Ts, Hkv, Dh), prompt_cache.v.dtype)
+    # prompt-segment visibility is query-independent (every query sits
+    # after the prompt): computed once outside the scan
+    ok_p = kpos < prompt_lens[:, None]  # (B, S)
+    bias_p = jnp.where(ok_p, 0.0, NEG_INF)[:, None]  # (B, 1, S)
+
+    def step(carry, _):
+        tok, written, tail_k, tail_v, hist = carry
+        hl = prompt_lens + written + 1  # known tokens incl. pending
+        drafts = draft_fn(hist, hl)  # (B, K)
+        seg = jnp.concatenate([tok[:, None], drafts], axis=1)  # (B, T)
+        x = embed_lookup(params, seg)
+        if cfg.scale_embeddings:
+            x = x * jnp.asarray(cfg.hidden_size**0.5, dtype=x.dtype)
+        positions = (prompt_lens + written)[:, None] + seg_i[None]  # (B, T)
+        cos_g, sin_g = rope_cos_sin(positions, inv_freq_g)
+        cos_l, sin_l = rope_cos_sin(positions, inv_freq_l)
+
+        # tail slot t visible to query i iff t <= written + i (covers both
+        # previously accepted tokens and in-segment causality; slots past
+        # written + i hold garbage from rejected drafts)
+        ok_t = tail_t[None, None] <= (
+            written[:, None] + seg_i[None]
+        )[:, :, None]  # (B, T, Ts)
+        bias_t = jnp.where(ok_t, 0.0, NEG_INF)  # (B, T, Ts)
+        if cfg.sliding_window is not None:
+            w = cfg.sliding_window
+            # absolute distance: query abs pos - key abs pos < w
+            d_p = positions[:, :, None] - kpos[:, None]  # (B, T, S)
+            bias_p_loc = jnp.where(
+                ok_p[:, None] & (d_p < w), 0.0, NEG_INF
+            )
+            d_t = (written[:, None] + seg_i[None])[:, :, None] - tail_t
+            bias_t_loc = jnp.where(ok_t & (d_t < w), 0.0, NEG_INF)
+        # per-row write offsets for this round's K+1 tokens
+        tpos_w = written[:, None] + seg_i[None]  # (B, T), always in bounds
+
+        for l in range(L):
+            p = jax.tree.map(lambda a: a[l], params["layers"])
+            is_loc = bool(local_flags[l])
+            h = rms_norm(x, p["input_ln"], cfg.rms_norm_eps, plus_one=plus_one)
+            q, k, v = _qkv(cfg, h, p)
+            if cfg.qk_norm:
+                q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, plus_one=plus_one)
+                k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, plus_one=plus_one)
+            cos, sin = (cos_l, sin_l) if (
+                is_loc and cfg.rope_local_base_freq is not None
+            ) else (cos_g, sin_g)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            tail_k = tail_k.at[l, bidx[:, None], tpos_w].set(
+                k.astype(tail_k.dtype), unique_indices=True
+            )
+            tail_v = tail_v.at[l, bidx[:, None], tpos_w].set(
+                v.astype(tail_v.dtype), unique_indices=True
+            )
+            b_p = bias_p_loc if (is_loc and cfg.sliding_window) else bias_p
+            b_t = bias_t_loc if (is_loc and cfg.sliding_window) else bias_t
+            attn = _merged_attention(
+                q, prompt_cache.k[l], prompt_cache.v[l], b_p,
+                tail_k[l], tail_v[l], b_t, cfg.attn_scale,
+                softcap=cfg.attn_logit_softcapping,
+            )
+            attn = _proj(attn.reshape(B, T, cfg.num_heads * Dh), p["o_proj"])
+            if cfg.use_post_norms:
+                attn = rms_norm(attn, p["post_attn_ln"], cfg.rms_norm_eps,
+                                plus_one=plus_one)
+                x = x + attn
+                h = rms_norm(x, p["pre_ffn_ln"], cfg.rms_norm_eps,
+                             plus_one=plus_one)
+            else:
+                x = x + attn
+                h = rms_norm(x, p["post_attn_ln"], cfg.rms_norm_eps,
+                             plus_one=plus_one)
+            mlp = _mlp(cfg, h, p)
+            if cfg.use_post_norms:
+                mlp = rms_norm(mlp, p["post_ffn_ln"], cfg.rms_norm_eps,
+                               plus_one=plus_one)
+            x = x + mlp
+
+        x = rms_norm(x, params["norm"], cfg.rms_norm_eps, plus_one=plus_one)
+        out = jnp.argmax(
+            compute_logits(params, cfg, x), axis=-1
+        ).astype(jnp.int32)  # (B, T)
+        match = (drafts == out[:, :K]).astype(jnp.int32)
+        acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+        # history gains the accepted tokens at hl + i (rejected columns
+        # drop out of bounds; duplicates are fine without unique_indices)
+        S_hist = hist.shape[1]
+        wpos = jnp.where(seg_i[None] < acc[:, None], hl[:, None] + seg_i[None],
+                         S_hist)
+        hist = hist.at[bidx[:, None], wpos].set(out, mode="drop")
+        new_tok = out[bidx, acc - 1]
+        return (new_tok, written + acc, tail_k, tail_v, hist), (out, acc)
+
+    (last, written, tail_k, tail_v, hist), (outs, accepts) = jax.lax.scan(
+        step,
+        (first_tokens, jnp.zeros((B,), jnp.int32), tail_k0, tail_v0, hist),
+        None,
+        length=n_rounds,
+    )
+    return outs, accepts, KVCache(k=tail_k, v=tail_v), written, last, hist
 
 
 def fuse_inference_params(params: Params, cfg: DecoderConfig) -> Params:
