@@ -64,23 +64,28 @@ def _drain(engine, req):
 
 
 def test_ngram_drafts_unit():
-    """Drafting finds the most recent prior occurrence of the final bigram
-    and proposes its continuation; rows without a match are harmless."""
+    """Drafting finds the most recent prior occurrence of the LONGEST
+    sequence-final n-gram and proposes its continuation; shorter n-grams
+    are fallbacks; rows without any match are harmless."""
     S, K = 32, 4
-    hist = np.zeros((3, S), np.int32)
+    hist = np.zeros((4, S), np.int32)
     # row 0: [5 6 7 8 5 6] — final bigram (5,6) matched at j=0, drafts 7 8 5 6
     hist[0, :6] = [5, 6, 7, 8, 5, 6]
     # row 1: two occurrences — [1 2 9 1 2 3 1 2]: most recent PRIOR match of
     # (1,2) is j=3 (continuation 3 1 2 ...), not j=0
     hist[1, :8] = [1, 2, 9, 1, 2, 3, 1, 2]
-    # row 2: no repeat — [10 11 12 13]
+    # row 2: no repeat at any n — [10 11 12 13]
     hist[2, :4] = [10, 11, 12, 13]
-    hl = jnp.asarray([6, 8, 4], jnp.int32)
+    # row 3: no bigram (4,3) repeat, but the 1-GRAM fallback matches the
+    # final token 3 at j=1 -> drafts continue from j+1: 9 4 3 0
+    hist[3, :5] = [7, 3, 9, 4, 3]
+    hl = jnp.asarray([6, 8, 4, 5], jnp.int32)
     drafts = np.asarray(_ngram_drafts(jnp.asarray(hist), hl, K, 2))
     assert drafts[0].tolist() == [7, 8, 5, 6]
     assert drafts[1].tolist() == [3, 1, 2, 0]  # continuation from j=3
     # row 2: whatever came back, it must not crash; shape is (K,)
-    assert drafts.shape == (3, K)
+    assert drafts.shape == (4, K)
+    assert drafts[3].tolist() == [9, 4, 3, 0]  # 1-gram fallback
 
 
 @pytest.mark.parametrize("cache_mode", ["slots", "paged"])

@@ -279,7 +279,7 @@ class ServingEngine:
         lora_adapters: Optional[Dict[str, Any]] = None,  # name -> LoRA tree
         spec_decode: Optional[str] = None,  # "ngram" = prompt-lookup spec dec
         spec_k: int = 8,  # drafted tokens per speculative dispatch
-        spec_ngram: int = 2,  # context n-gram matched against the history
+        spec_ngram: int = 2,  # LONGEST history n-gram matched (falls back to 1)
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -1867,32 +1867,40 @@ def _decode_block_paged(
     return new_toks, new_pool, new_lens, new_last
 
 
-def _ngram_drafts(hist, hist_len, K: int, ngram: int):
+def _ngram_drafts(hist, hist_len, K: int, ngram: int, ngram_min: int = 1):
     """Device-side prompt-lookup drafting (the vLLM/transformers
     prompt_lookup_num_tokens role, moved INTO the decode program so
     pipelined dispatches never wait on host state): for each row, find the
-    most recent PRIOR occurrence of the sequence-final ``ngram`` tokens in
-    the row's token history and propose the K tokens that followed it.
+    most recent PRIOR occurrence of the LONGEST sequence-final n-gram
+    (n = ``ngram`` down to ``ngram_min``) in the row's token history and
+    propose the K tokens that followed it. Longer context matches are
+    preferred (higher-precision drafts); shorter ones keep proposing when
+    they miss — a wrong draft costs nothing at verify time, so recall is
+    free.
 
     ``hist``: (B, S) int32 token history; ``hist_len``: (B,) valid tokens
-    (prompt + all sampled so far). Rows with no match return garbage
-    drafts — harmless: verification rejects them at position 0 and the
-    dispatch still emits its one guaranteed token."""
+    (prompt + all sampled so far). Rows with no match at any n return
+    garbage drafts — harmless: verification rejects them at position 0 and
+    the dispatch still emits its one guaranteed token."""
     B, S = hist.shape
-    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    W = S - ngram + 1  # candidate window starts
-    jpos = jnp.arange(W, dtype=jnp.int32)
-    # a start j matches iff hist[j:j+ngram] == hist[hl-ngram:hl] and the
-    # continuation position j+ngram is a known token (j < hl - ngram; this
-    # also excludes the final n-gram matching itself)
-    m = jpos[None] < (hist_len - ngram)[:, None]
-    for t in range(ngram):
-        ctx_t = jnp.take_along_axis(
-            hist, jnp.maximum(hist_len - ngram + t, 0)[:, None], axis=1
-        )  # (B, 1)
-        m &= hist[:, t: t + W] == ctx_t
-    jstar = jnp.max(jnp.where(m, jpos[None], -1), axis=1)  # (B,), -1 = none
-    start = jnp.clip(jstar + ngram, 0, S - K)
+    best_start = jnp.full((B,), -1, jnp.int32)
+    for n in range(ngram, ngram_min - 1, -1):
+        W = S - n + 1  # candidate window starts
+        jpos = jnp.arange(W, dtype=jnp.int32)
+        # a start j matches iff hist[j:j+n] == hist[hl-n:hl] and the
+        # continuation position j+n is a known token (j < hl - n; this
+        # also excludes the final n-gram matching itself)
+        m = jpos[None] < (hist_len - n)[:, None]
+        for t in range(n):
+            ctx_t = jnp.take_along_axis(
+                hist, jnp.maximum(hist_len - n + t, 0)[:, None], axis=1
+            )  # (B, 1)
+            m &= hist[:, t: t + W] == ctx_t
+        jstar = jnp.max(jnp.where(m, jpos[None], -1), axis=1)  # -1 = none
+        best_start = jnp.where(
+            (best_start < 0) & (jstar >= 0), jstar + n, best_start
+        )
+    start = jnp.clip(best_start, 0, S - K)
     cols = start[:, None] + jnp.arange(K, dtype=jnp.int32)[None]
     return jnp.take_along_axis(hist, cols, axis=1)  # (B, K)
 
