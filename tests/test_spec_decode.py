@@ -294,3 +294,43 @@ def test_spec_block_multi_round_matches_offline(setup, cache_mode):
         assert ids == exp
         assert finish == "length"
     assert serving.spec_dispatches > 0
+
+
+def test_spec_with_conversation_reuse_and_audio(setup):
+    """Spec composes with conversation-prefix reuse (turn 2 prefills only
+    the suffix, then speculates over the combined history) and with audio
+    prompts (placeholder-token regions in the history are harmless draft
+    sources). Exactness vs the non-speculative engine."""
+    from ultravox_tpu.data.sample import audio_to_wav_bytes  # noqa: F401
+
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    prefix = "please listen very carefully to this audio clip <|audio|> and transcribe it"
+    f1 = processor(text=prefix, audio=audio)
+    b1 = collator([f1])
+
+    def run(spec: bool):
+        eng = ServingEngine(
+            params, cfg, num_slots=2, max_seq_len=256,
+            cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+            mel_len_buckets=(400,),
+            **(dict(spec_decode="ngram", spec_k=4) if spec else {}),
+        )
+        eng.start()
+        try:
+            ids1, _ = _drain(eng, eng.submit(b1, max_tokens=16))
+            # turn 2: same audio + appended text -> prefix reuse
+            text2 = prefix + " and then continue with more detail"
+            b2 = collator([processor(text=text2, audio=audio)])
+            ids2, _ = _drain(eng, eng.submit(b2, max_tokens=16))
+            reused = eng.reused_prefix_tokens
+        finally:
+            eng.stop()
+        return ids1, ids2, reused
+
+    base1, base2, _ = run(spec=False)
+    spec1, spec2, reused = run(spec=True)
+    assert spec1 == base1
+    assert spec2 == base2
+    assert reused > 0  # reuse stayed engaged under spec
