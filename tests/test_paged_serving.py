@@ -636,3 +636,69 @@ def test_paged_scheduler_stress_with_cancels_and_sampling(setup):
         assert len(ids) == 4 and fin == "length"
     finally:
         serving.stop()
+
+
+def test_paged_scheduler_stress_with_spec_decode(setup):
+    """Churn with prompt-lookup speculation enabled: greedy and sampled
+    requests mix (spec engages/disengages), cancels land mid-flight, and
+    histories resync repeatedly. Because greedy outputs are
+    schedule-independent, every non-cancelled GREEDY request must emit
+    exactly the offline reference tokens regardless of when speculation
+    was engaged around it."""
+    from ultravox_tpu.inference.engine import GenerationEngine
+
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(11)
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=24,
+        spec_decode="ngram", spec_k=4, decode_block_steps=2,
+    )
+    serving.start()
+    try:
+        reqs, expected, cancelled = [], {}, set()
+        for i in range(20):
+            text = "user " + " ".join(
+                rng.choice(["one", "two", "red", "blue", "go"],
+                           size=rng.integers(1, 8))
+            )
+            batch = _mini_batch(processor, collator, text)
+            n = int(rng.integers(2, 12))
+            kw = {}
+            if i % 4 == 1:
+                kw = dict(temperature=0.8, seed=int(rng.integers(1, 999)))
+            elif i % 4 == 3:
+                kw = dict(repetition_penalty=1.2)
+            else:
+                expected[i] = offline.generate(
+                    batch, max_new_tokens=n
+                ).token_ids[0]
+            reqs.append(serving.submit(batch, max_tokens=n, **kw))
+            if i % 6 == 5:
+                j = int(rng.integers(0, len(reqs)))
+                serving.cancel(reqs[j])
+                cancelled.add(j)
+        results = [_drain(serving, r) for r in reqs]
+        finishes = {f for _, f in results}
+        assert finishes <= {"stop", "length", "cache_full", "cancelled"}, (
+            finishes
+        )
+        for i, (ids, fin) in enumerate(results):
+            if i in expected and fin == "length":
+                assert ids == expected[i], f"request {i} diverged"
+        # during the churn a sampled/penalized request is almost always
+        # active, so spec rightly stays disengaged; a pure-greedy phase
+        # afterwards must engage it and still match offline exactly
+        batch = _mini_batch(processor, collator, "red blue go red blue go")
+        exp = offline.generate(batch, max_new_tokens=10).token_ids[0]
+        ids, fin = _drain(serving, serving.submit(batch, max_tokens=10))
+        assert ids == exp and fin == "length"
+        assert serving.spec_dispatches > 0  # speculation did engage
+        assert not serving._pinned
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
