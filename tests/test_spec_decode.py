@@ -130,8 +130,10 @@ def test_spec_decode_matches_offline(setup, cache_mode):
 
 
 def test_spec_disengages_for_sampling_and_penalties(setup):
-    """Temperature>0 or penalties must force the exact non-speculative
-    programs (speculative acceptance is greedy-only)."""
+    """SEEDED sampled requests and penalized requests must force the exact
+    non-speculative programs: seeds promise a reproducible stream (which
+    speculation would change for temperature>0) and penalties need
+    per-step count state."""
     cfg, params, processor, collator = setup
     batch = _mini_batch(processor, collator, "hello world how are you")
 
@@ -334,3 +336,106 @@ def test_spec_with_conversation_reuse_and_audio(setup):
     assert spec1 == base1
     assert spec2 == base2
     assert reused > 0  # reuse stayed engaged under spec
+
+
+def test_spec_accept_slots_distribution():
+    """The rejection-sampling acceptance rule must emit tokens distributed
+    EXACTLY as ancestral sampling from the (filtered) model distribution,
+    for any draft: marginal of the first emitted token == p0; conditioned
+    on rejection the residual excludes the draft; greedy rows reduce to
+    argmax."""
+    from ultravox_tpu.ops.sampling import spec_accept_slots
+
+    Vs, K = 8, 2
+    rng0 = np.random.default_rng(3)
+    logits_row = jnp.asarray(rng0.standard_normal(Vs), jnp.float32)
+    p0 = np.asarray(jax.nn.softmax(logits_row))
+    draft_tok = int(np.argmax(p0))  # a likely draft -> both branches seen
+    N = 40_000
+
+    # one batch row, T=K+1 positions with the same logits at position 0
+    logits = jnp.broadcast_to(logits_row, (1, K + 1, Vs))
+    drafts = jnp.asarray([[draft_tok, 1]], jnp.int32)
+    samp = jnp.asarray([[1.0, 0, 1.0, 0]], jnp.float32)  # temp 1, no filters
+
+    def emit_first(key):
+        out, acc = spec_accept_slots(logits, drafts, samp, key)
+        return out[0, 0], acc[0]
+
+    keys = jax.random.split(jax.random.key(42), N)
+    firsts, accs = jax.jit(jax.vmap(emit_first))(keys)
+    firsts = np.asarray(firsts)
+    accs = np.asarray(accs)
+    counts = np.bincount(firsts, minlength=Vs) / N
+    tv = 0.5 * np.abs(counts - p0).sum()
+    assert tv < 0.02, f"total variation {tv:.4f} vs p0"
+    # acceptance probability of the draft == p0[draft]
+    acc_rate = (firsts == draft_tok).mean()
+    assert abs(acc_rate - p0[draft_tok]) < 0.02
+    # rejected -> first token ~ residual (never the draft), and the
+    # conditional matches p0 renormalized without the draft
+    rej = firsts[firsts != draft_tok]
+    residual = p0.copy()
+    residual[draft_tok] = 0
+    residual /= residual.sum()
+    rc = np.bincount(rej, minlength=Vs) / max(len(rej), 1)
+    assert 0.5 * np.abs(rc - residual).sum() < 0.03
+    # greedy row: exact argmax acceptance, deterministic
+    samp_g = jnp.asarray([[0.0, 0, 1.0, 0]], jnp.float32)
+    out_g, acc_g = spec_accept_slots(
+        logits, drafts, samp_g, jax.random.key(0)
+    )
+    assert int(out_g[0, 0]) == draft_tok  # draft == argmax -> accepted
+    assert int(acc_g[0]) >= 2  # and the chain continued past it
+
+
+def test_spec_engages_for_unseeded_sampling(setup):
+    """Unseeded temperature>0 requests speculate via rejection sampling:
+    streams terminate legally, co-batched greedy requests stay exactly
+    offline-greedy, and seeded sampled requests still force the exact
+    path (their stream must match a no-spec engine's bit-for-bit)."""
+    cfg, params, processor, collator = setup
+    b_greedy = _mini_batch(
+        processor, collator, "the quick brown fox the quick brown fox"
+    )
+    b_samp = _mini_batch(processor, collator, "one two three one two three")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    exp_greedy = offline.generate(b_greedy, max_new_tokens=24).token_ids[0]
+
+    base = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    base.start()
+    try:
+        seeded_ref, _ = _drain(
+            base, base.submit(b_samp, max_tokens=12, temperature=0.9, seed=5)
+        )
+    finally:
+        base.stop()
+
+    spec = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        spec_decode="ngram", spec_k=4,
+    )
+    spec.start()
+    try:
+        r1 = spec.submit(b_greedy, max_tokens=24)
+        r2 = spec.submit(b_samp, max_tokens=24, temperature=0.9)
+        ids1, fin1 = _drain(spec, r1)
+        ids2, fin2 = _drain(spec, r2)
+        engaged = spec.spec_dispatches
+        assert engaged > 0  # sampled request did not block speculation
+        assert ids1 == exp_greedy and fin1 == "length"
+        assert len(ids2) == 24 and fin2 == "length"
+        # seeded sampled request: exact path, stream matches no-spec engine
+        seeded, _ = _drain(
+            spec, spec.submit(b_samp, max_tokens=12, temperature=0.9, seed=5)
+        )
+        assert seeded == seeded_ref
+        assert spec.spec_dispatches == engaged  # it never speculated
+    finally:
+        spec.stop()

@@ -542,8 +542,9 @@ def main():
     parser.add_argument(
         "--spec-decode", default=None, choices=[None, "ngram"],
         help="ngram = prompt-lookup speculative decoding (greedy requests "
-        "emit up to spec-k+1 tokens per weight read; big win for "
-        "transcription/repetitive outputs, near-free when drafts miss)",
+        "emit up to spec-k+1 tokens per weight read; big win for outputs "
+        "that echo prior text or repeat themselves, near-free when "
+        "drafts miss)",
     )
     parser.add_argument("--spec-k", type=int, default=8)
     args = parser.parse_args()

@@ -1223,15 +1223,22 @@ class ServingEngine:
         penalized = any(
             _needs_single_step(r) for r in self._active.values()
         )
-        # prompt-lookup speculation: greedy-only (acceptance compares the
-        # model's argmax), penalty-free, steady-state, and with the same
-        # worst-case (K+1)-token cache-capacity guard as blocks
+        # prompt-lookup speculation: penalty-free, steady-state, and with
+        # the same worst-case (K+1)-token cache-capacity guard as blocks.
+        # Greedy rows accept by exact argmax match (bit-identical outputs);
+        # temperature>0 rows accept by rejection sampling (distribution-
+        # exact, but a different stream than step-by-step decode — so
+        # SEEDED sampled requests force the exact single-step path to keep
+        # the seed-reproducibility contract)
         if (
             self.spec_decode
             and not churn
             and not penalized
             and cap - lag >= self.spec_k + 1
-            and all(r.temperature == 0 for r in self._active.values())
+            and not any(
+                r.seed is not None and r.temperature > 0
+                for r in self._active.values()
+            )
         ):
             if self._dispatch_spec(cap - lag):
                 while len(self._inflight) > self._max_inflight:
@@ -1317,6 +1324,12 @@ class ServingEngine:
         snapshot = [(s, self._active[s]) for s in slots]
         active_mask = np.zeros((self.num_slots,), bool)
         active_mask[slots] = True
+        # per-slot sampling params: greedy rows get temperature 0 (exact
+        # argmax acceptance), temperature>0 rows rejection-sample
+        samp = np.zeros((self.num_slots, 4), np.float32)
+        samp[:, 2] = 1.0
+        for s, req in snapshot:
+            samp[s] = (req.temperature, req.top_k, req.top_p, req.min_p)
         lora_kw = {}
         if self._lora_banks is not None:
             lora_idx = np.zeros((self.num_slots,), np.int32)
@@ -1327,10 +1340,12 @@ class ServingEngine:
                 lora_banks=self._lora_banks,
                 lora_idx=jnp.asarray(lora_idx),
             )
+        self._rng, rng = jax.random.split(self._rng)
         if n_rounds > 1:
             args = (
                 self.params, self.cache, self.token_hist, self.last_tokens,
                 self.cache_lens, jnp.asarray(active_mask),
+                jnp.asarray(samp), rng,
             )
             if self.paged:
                 args += (self.page_table,)
@@ -1345,6 +1360,8 @@ class ServingEngine:
                     self.last_tokens,
                     self.cache_lens,
                     jnp.asarray(active_mask),
+                    jnp.asarray(samp),
+                    rng,
                     page_table=self.page_table if self.paged else None,
                     **lora_kw,
                 )
@@ -1905,27 +1922,38 @@ def _ngram_drafts(hist, hist_len, K: int, ngram: int, ngram_min: int = 1):
     return jnp.take_along_axis(hist, cols, axis=1)  # (B, K)
 
 
+def _spec_accept(logits, drafts, samp, rng, hl):
+    """Engine acceptance policy: speculative rejection sampling per slot
+    (greedy rows reduce to exact argmax matching) with the row's dynamic
+    sampling params; emit position i uses the position-indexed key hl+i
+    (ops/sampling.py::spec_accept_slots)."""
+    from ultravox_tpu.ops.sampling import spec_accept_slots
+
+    return spec_accept_slots(logits, drafts, samp, rng, positions=hl)
+
+
 def _spec_decode_all_slots(
-    params, cache, hist, tokens, cache_lens, active_mask,
+    params, cache, hist, tokens, cache_lens, active_mask, samp, rng,
     page_table=None, lora_banks=None, lora_idx=None,
     *, cfg, K: int, ngram: int,
 ):
     """Prompt-lookup speculative decode: ONE dispatch drafts K tokens per
     slot from the on-device token history (``_ngram_drafts``), verifies
     [last_token, draft_0..draft_{K-1}] in a single (K+1)-token forward, and
-    accepts the longest prefix the model agrees with (greedy). Emits 1 to
-    K+1 tokens per weight read — decode is weight-HBM-bound, so mean
-    accepted length is a direct multiplier on the weight-traffic roofline.
-    A fully rejected draft still emits position 0's argmax, so failed
-    speculation costs only the (negligible at decode batch sizes) extra
-    FLOPs of the K ignored positions.
+    emits the accepted run — exact argmax matching for greedy rows,
+    distribution-exact rejection sampling for temperature>0 rows
+    (ops/sampling.py::spec_accept_slots). Emits 1 to K+1 tokens per weight
+    read — decode is weight-HBM-bound, so mean accepted length is a direct
+    multiplier on the weight-traffic roofline. A fully rejected draft
+    still emits position 0's token, so failed speculation costs only the
+    (negligible at decode batch sizes) extra FLOPs of the K ignored
+    positions.
 
-    Greedy-only (the scheduler gates engagement on temperature==0 and no
-    penalties/bias). KV for rejected positions is written but stays
-    invisible: cache_lens advances only past accepted tokens, and later
-    writes at those positions precede any read (in-order execution), the
-    same invariant the multi-step block path relies on. Inactive slots'
-    writes drop out of bounds; their accepted count is 0."""
+    KV for rejected positions is written but stays invisible: cache_lens
+    advances only past accepted tokens, and later writes at those
+    positions precede any read (in-order execution), the same invariant
+    the multi-step block path relies on. Inactive slots' writes drop out
+    of bounds; their accepted count is 0."""
     params = _with_lora(params, lora_banks, lora_idx)
     tc = cfg.text_config
     B, S_hist = hist.shape
@@ -1950,11 +1978,8 @@ def _spec_decode_all_slots(
         page_table=page_table,
         write_pos=write_pos,
     )
-    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
-    match = (drafts == out[:, :K]).astype(jnp.int32)
-    accepted = jnp.where(
-        active_mask, 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1), 0
-    )
+    out, accepted = _spec_accept(logits, drafts, samp, rng, hl)
+    accepted = jnp.where(active_mask, accepted, 0)
     new_lens = cache_lens + accepted
     new_last = jnp.where(
         active_mask, out[bidx, jnp.maximum(accepted, 1) - 1], tokens
@@ -1969,7 +1994,7 @@ def _spec_decode_all_slots(
 
 
 def _spec_decode_block(
-    params, cache, hist, tokens, cache_lens, active_mask,
+    params, cache, hist, tokens, cache_lens, active_mask, samp, rng,
     lora_banks=None, lora_idx=None,
     *, cfg, K: int, ngram: int, n_rounds: int,
 ):
@@ -1983,10 +2008,13 @@ def _spec_decode_block(
     def draft_fn(h, hl):
         return _ngram_drafts(h, hl, K, ngram)
 
+    def accept_fn(logits, drafts, key, hl):
+        return _spec_accept(logits, drafts, samp, key, hl)
+
     outs, accepts, tail, written, last, hist = (
         decoder_lib.segmented_spec_scan(
             params["language_model"], tc, cache, cache_lens, tokens, hist,
-            draft_fn, n_rounds=n_rounds, K=K,
+            draft_fn, accept_fn, rng, n_rounds=n_rounds, K=K,
         )
     )
     B = tokens.shape[0]
@@ -2013,7 +2041,8 @@ def _spec_decode_block(
 
 
 def _spec_decode_block_paged(
-    params, pool, hist, tokens, cache_lens, active_mask, page_table,
+    params, pool, hist, tokens, cache_lens, active_mask, samp, rng,
+    page_table,
     lora_banks=None, lora_idx=None,
     *, cfg, K: int, ngram: int, n_rounds: int,
 ):
@@ -2037,10 +2066,13 @@ def _spec_decode_block_paged(
     def draft_fn(h, hl):
         return _ngram_drafts(h, hl, K, ngram)
 
+    def accept_fn(logits, drafts, key, hl):
+        return _spec_accept(logits, drafts, samp, key, hl)
+
     outs, accepts, tail, written, last, hist = (
         decoder_lib.segmented_spec_scan(
             params["language_model"], tc, prompt_cache, cache_lens, tokens,
-            hist, draft_fn, n_rounds=n_rounds, K=K,
+            hist, draft_fn, accept_fn, rng, n_rounds=n_rounds, K=K,
         )
     )
     Ts = n_rounds * (K + 1)

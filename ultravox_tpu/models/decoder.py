@@ -794,15 +794,19 @@ def segmented_spec_scan(
     first_tokens: jax.Array,  # (B,) int32 — pending (sampled, unwritten)
     hist: jax.Array,  # (B, S_hist) int32 token history (prompt + sampled)
     draft_fn,  # (hist, hist_len (B,)) -> (B, K) int32 draft tokens
+    accept_fn,  # (logits (B,T,V), drafts, rng, positions (B,)) ->
+    #   (out (B,T) int32 emitted tokens, accepted (B,) in [1, T])
+    rng: jax.Array,
     *,
     n_rounds: int,
     K: int,
 ):
-    """``n_rounds`` speculative draft+verify rounds in ONE dispatch,
-    greedy-only: each round drafts K tokens from the carried token history
-    (``draft_fn``), verifies ``[pending, draft_0..draft_{K-1}]`` in a single
-    (K+1)-token forward against the read-only prompt cache plus a carried
-    KV tail, and accepts the longest prefix argmax agrees with. Between
+    """``n_rounds`` speculative draft+verify rounds in ONE dispatch: each
+    round drafts K tokens from the carried token history (``draft_fn``),
+    verifies ``[pending, draft_0..draft_{K-1}]`` in a single (K+1)-token
+    forward against the read-only prompt cache plus a carried KV tail, and
+    emits the tokens ``accept_fn`` keeps (greedy argmax match, or
+    speculative rejection sampling — the caller's policy). Between
     ``n_rounds`` (all drafts miss) and ``n_rounds*(K+1)`` (all hit) tokens
     per dispatch for ``n_rounds`` weight reads — composing speculation's
     weight-traffic amortization with the multi-step block's dispatch
@@ -843,7 +847,7 @@ def segmented_spec_scan(
     ok_p = kpos < prompt_lens[:, None]  # (B, S)
     bias_p = jnp.where(ok_p, 0.0, NEG_INF)[:, None]  # (B, 1, S)
 
-    def step(carry, _):
+    def step(carry, round_idx):
         tok, written, tail_k, tail_v, hist = carry
         hl = prompt_lens + written + 1  # known tokens incl. pending
         drafts = draft_fn(hist, hl)  # (B, K)
@@ -918,11 +922,10 @@ def segmented_spec_scan(
             x = x + mlp
 
         x = rms_norm(x, params["norm"], cfg.rms_norm_eps, plus_one=plus_one)
-        out = jnp.argmax(
-            compute_logits(params, cfg, x), axis=-1
-        ).astype(jnp.int32)  # (B, T)
-        match = (drafts == out[:, :K]).astype(jnp.int32)
-        acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+        out, acc = accept_fn(
+            compute_logits(params, cfg, x), drafts,
+            jax.random.fold_in(rng, round_idx), hl,
+        )
         # history gains the accepted tokens at hl + i (rejected columns
         # drop out of bounds; duplicates are fine without unique_indices)
         S_hist = hist.shape[1]
@@ -935,8 +938,7 @@ def segmented_spec_scan(
     (last, written, tail_k, tail_v, hist), (outs, accepts) = jax.lax.scan(
         step,
         (first_tokens, jnp.zeros((B,), jnp.int32), tail_k0, tail_v0, hist),
-        None,
-        length=n_rounds,
+        jnp.arange(n_rounds, dtype=jnp.uint32),
     )
     return outs, accepts, KVCache(k=tail_k, v=tail_v), written, last, hist
 

@@ -80,10 +80,21 @@ def sample_slots(
     co-batched (continuous-batching-independent reproducibility; OpenAI
     ``seed`` semantics)."""
     temps = samp[:, 0]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = scale_and_filter_logits(logits, samp)
+    keys = slot_keys(rng, logits.shape[0], seeds, positions)
+    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, drawn, greedy)
+
+
+def scale_and_filter_logits(logits: jax.Array, samp: jax.Array) -> jax.Array:
+    """Temperature-scale + dynamically filter a batch of logit rows with
+    per-row top-k / top-p / min-p (``samp`` cols 0..3). The sort the
+    filters need runs only when some row enables one (device cond)."""
+    temps = samp[:, 0]
     top_ks = samp[:, 1]
     top_ps = samp[:, 2]
     min_ps = samp[:, 3]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
 
     def plain(x):
@@ -106,8 +117,14 @@ def sample_slots(
         return jnp.where(x < cutoff, -jnp.inf, x)
 
     need = jnp.any((top_ks > 0) | (top_ps < 1.0) | (min_ps > 0))
-    scaled = jax.lax.cond(need, filtered, plain, scaled)
-    keys = jax.random.split(rng, logits.shape[0])
+    return jax.lax.cond(need, filtered, plain, scaled)
+
+
+def slot_keys(rng, n: int, seeds=None, positions=None):
+    """(n,) PRNG keys: split from ``rng``, with rows whose seed >= 0
+    replaced by keys derived ONLY from (seed, position) — co-batch- and
+    schedule-independent reproducibility (OpenAI ``seed`` semantics)."""
+    keys = jax.random.split(rng, n)
     if seeds is not None:
         base = jax.random.key(0x5EED)
 
@@ -124,8 +141,93 @@ def sample_slots(
             jax.random.key_data(keys),
         )
         keys = jax.random.wrap_key_data(kd)
-    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
-    return jnp.where(temps > 0, drawn, greedy)
+    return keys
+
+
+def spec_accept_slots(
+    logits: jax.Array,  # (B, T, V) verify logits; T = K + 1
+    drafts: jax.Array,  # (B, K) int32 proposed tokens
+    samp: jax.Array,  # (B, >=4) float32: [temperature, top_k, top_p, min_p]
+    rng: jax.Array,
+    seeds: jax.Array | None = None,  # (B,) int32, -1 = unseeded
+    positions: jax.Array | None = None,  # (B,) absolute index of emit 0
+):
+    """Speculative accept/reject for a POINT-MASS draft distribution
+    (prompt-lookup drafts are deterministic), per slot with dynamic
+    per-row sampling params.
+
+    Returns ``(out (B, T) int32, accepted (B,) int32 in [1, T])``: row b
+    emits ``out[b, :accepted[b]]``. For each draft position i the draft
+    x_i is accepted with probability p_i(x_i) (p = temperature-scaled +
+    filtered softmax); the first rejection emits a sample from the
+    residual distribution (p_i with x_i zeroed, renormalized); if all K
+    drafts are accepted a bonus token samples from p_K. This is the
+    standard speculative-sampling acceptance rule specialized to q = point
+    mass, so emitted tokens are distributed EXACTLY as ancestral sampling
+    from p — speculation changes cost, not the distribution. Greedy rows
+    (temperature 0) bypass the stochastic path entirely: accept iff
+    draft == argmax, emit argmax — bit-identical to non-speculative
+    greedy decode.
+
+    Rows with seed >= 0 derive position-indexed keys (fold_in(seed,
+    positions + i)), so a seeded request reproduces its stream regardless
+    of co-batched requests or when speculation engaged; the residual draw
+    uses an independently folded subkey so rejection does not bias it."""
+    B, T, V = logits.shape
+    K = T - 1
+    temps = samp[:, 0]
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    flat = logits.reshape(B * T, V)
+    samp_rep = jnp.repeat(samp, T, axis=0)  # row-major: (b, i) -> b*T + i
+    scaled = scale_and_filter_logits(flat, samp_rep).reshape(B, T, V)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    argmaxes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, T)
+
+    if positions is None:
+        positions = jnp.zeros((B,), jnp.int32)
+    pos_grid = positions[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    seeds_rep = (
+        None if seeds is None else jnp.repeat(seeds, T, axis=0)
+    )
+    keys = slot_keys(
+        rng, B * T, seeds_rep,
+        None if seeds is None else pos_grid.reshape(-1),
+    ).reshape(B, T)
+
+    # accept test per draft position: u_i < p_i(x_i) (greedy: exact match)
+    u = jax.vmap(jax.vmap(jax.random.uniform))(keys[:, :K])  # (B, K)
+    p_draft = jnp.take_along_axis(
+        probs[:, :K], drafts[..., None], axis=-1
+    )[..., 0]
+    acc_ok = jnp.where(
+        (temps > 0)[:, None], u < p_draft, drafts == argmaxes[:, :K]
+    )
+    lead = jnp.sum(
+        jnp.cumprod(acc_ok.astype(jnp.int32), axis=1), axis=1
+    )  # (B,) leading accepts; emit position `lead` is the fresh token
+    accepted = lead + 1
+
+    # the fresh token: residual sample at the first rejection (draft zeroed,
+    # independent subkey), bonus sample from p_K when everything accepted
+    final_scaled = scaled[bidx, lead]  # (B, V)
+    rejected_draft = jnp.take_along_axis(
+        jnp.concatenate([drafts, drafts[:, -1:]], axis=1), lead[:, None], 1
+    )[:, 0]
+    kill = (lead < K)[:, None] & (
+        jnp.arange(V, dtype=jnp.int32)[None] == rejected_draft[:, None]
+    )
+    final_scaled = jnp.where(kill, -jnp.inf, final_scaled)
+    final_keys = jax.vmap(jax.random.fold_in)(
+        keys[bidx, lead], jnp.ones((B,), jnp.uint32)
+    )
+    final_sampled = jax.vmap(jax.random.categorical)(
+        final_keys, final_scaled
+    ).astype(jnp.int32)
+    final = jnp.where(temps > 0, final_sampled, argmaxes[bidx, lead])
+
+    out = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)  # (B, T)
+    out = out.at[bidx, lead].set(final)
+    return out, accepted.astype(jnp.int32)
 
 
 def apply_penalties(
