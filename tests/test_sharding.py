@@ -184,3 +184,42 @@ def test_sharded_serving_engine_paged(setup):
     finally:
         serving.stop()
     assert ids == expected
+
+
+def test_sharded_serving_with_spec_decode(setup):
+    """Speculative decoding over a TP-sharded model: the verify forward and
+    history machinery compile on the mesh and emit exactly the unsharded
+    offline greedy tokens."""
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+
+    cfg, params, batch = setup
+    mesh = make_mesh(MeshConfig(1, 2, 2))
+    sharded = shard_params(params, mesh)
+
+    one = {
+        "input_ids": np.asarray(batch["input_ids"][:1]),
+        "attention_mask": np.asarray(batch["attention_mask"][:1]),
+    }
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=128, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(one, max_new_tokens=12).token_ids[0]
+
+    serving = ServingEngine(
+        sharded, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(128,), mel_len_buckets=(400,), mesh=mesh,
+        spec_decode="ngram", spec_k=4,
+    )
+    serving.start()
+    try:
+        req = serving.submit(one, max_tokens=12)
+        ids = []
+        for ev in serving.stream(req):
+            if ev.token_id is None:
+                break
+            ids.append(ev.token_id)
+    finally:
+        serving.stop()
+    assert ids == expected
+    assert serving.spec_dispatches > 0
