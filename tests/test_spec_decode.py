@@ -439,3 +439,30 @@ def test_spec_engages_for_unseeded_sampling(setup):
         assert spec.spec_dispatches == engaged  # it never speculated
     finally:
         spec.stop()
+
+
+def test_seeded_greedy_speculates(setup):
+    """A seed on a GREEDY request never draws, so it must not block
+    speculation (or blocks) and stays bit-identical to offline greedy."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(
+        processor, collator, "the quick brown fox the quick brown fox"
+    )
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    exp = offline.generate(batch, max_new_tokens=24).token_ids[0]
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        spec_decode="ngram", spec_k=4,
+    )
+    serving.start()
+    try:
+        ids, fin = _drain(
+            serving, serving.submit(batch, max_tokens=24, seed=123)
+        )
+    finally:
+        serving.stop()
+    assert ids == exp and fin == "length"
+    assert serving.spec_dispatches > 0

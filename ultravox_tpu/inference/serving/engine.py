@@ -206,10 +206,14 @@ def _uses_penalties(req: "Request") -> bool:
 
 
 def _needs_single_step(req: "Request") -> bool:
-    """Penalties/bias need per-step count state; a seed needs the
+    """Penalties/bias need per-step count state; a SAMPLED seed needs the
     per-(request, position) key derivation — both are exact only on the
-    single-step programs, so decode blocks disengage while active."""
-    return _uses_penalties(req) or req.seed is not None
+    single-step programs, so decode blocks and speculation disengage while
+    active. A seeded GREEDY request is pure argmax (the seed never draws),
+    so it rides blocks/speculation bit-identically."""
+    return _uses_penalties(req) or (
+        req.seed is not None and req.temperature > 0
+    )
 
 
 def _bucket(n: int, buckets) -> int:
@@ -533,6 +537,7 @@ class ServingEngine:
                 )
         self._hist_dirty = True
         self._spec_key = None  # (slot, request_id) set the history matches
+        self._spec_cache = None  # (key, mask_dev, samp_dev, lora_kw)
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._cancels: "queue.Queue[int]" = queue.Queue()
@@ -1223,22 +1228,18 @@ class ServingEngine:
         penalized = any(
             _needs_single_step(r) for r in self._active.values()
         )
-        # prompt-lookup speculation: penalty-free, steady-state, and with
-        # the same worst-case (K+1)-token cache-capacity guard as blocks.
-        # Greedy rows accept by exact argmax match (bit-identical outputs);
-        # temperature>0 rows accept by rejection sampling (distribution-
-        # exact, but a different stream than step-by-step decode — so
-        # SEEDED sampled requests force the exact single-step path to keep
-        # the seed-reproducibility contract)
+        # prompt-lookup speculation: steady-state, with the same worst-case
+        # (K+1)-token cache-capacity guard as blocks. Greedy rows accept by
+        # exact argmax match (bit-identical outputs); temperature>0 rows by
+        # rejection sampling (distribution-exact, but a different stream
+        # than step-by-step decode — so seeded SAMPLED requests, like
+        # penalties/bias, force the exact single-step path: `penalized`
+        # covers both via _needs_single_step)
         if (
             self.spec_decode
             and not churn
             and not penalized
             and cap - lag >= self.spec_k + 1
-            and not any(
-                r.seed is not None and r.temperature > 0
-                for r in self._active.values()
-            )
         ):
             if self._dispatch_spec(cap - lag):
                 while len(self._inflight) > self._max_inflight:
@@ -1314,6 +1315,12 @@ class ServingEngine:
                 self._dispatch_decode(1)
                 return True
             self._sync_spec_hist()
+            # the drain may have finished requests: record the set the
+            # upload actually covered, not the pre-drain set — else the
+            # next tick would see a key mismatch and drain/upload again
+            key = tuple(
+                (s, self._active[s].request_id) for s in sorted(self._active)
+            )
             self._spec_key = key
         worst = self.spec_k + 1
         n_rounds = 1
@@ -1322,30 +1329,35 @@ class ServingEngine:
             worst = self.spec_rounds * worst
         slots = sorted(self._active)
         snapshot = [(s, self._active[s]) for s in slots]
-        active_mask = np.zeros((self.num_slots,), bool)
-        active_mask[slots] = True
-        # per-slot sampling params: greedy rows get temperature 0 (exact
-        # argmax acceptance), temperature>0 rows rejection-sample
-        samp = np.zeros((self.num_slots, 4), np.float32)
-        samp[:, 2] = 1.0
-        for s, req in snapshot:
-            samp[s] = (req.temperature, req.top_k, req.top_p, req.min_p)
-        lora_kw = {}
-        if self._lora_banks is not None:
-            lora_idx = np.zeros((self.num_slots,), np.int32)
+        if self._spec_cache is None or self._spec_cache[0] != key:
+            active_mask = np.zeros((self.num_slots,), bool)
+            active_mask[slots] = True
+            # per-slot sampling params: greedy rows get temperature 0
+            # (exact argmax acceptance), temperature>0 rows rejection-
+            # sample with their own filters
+            samp = np.zeros((self.num_slots, 4), np.float32)
+            samp[:, 2] = 1.0
             for s, req in snapshot:
-                if req.lora is not None:
-                    lora_idx[s] = self._lora_index[req.lora]
-            lora_kw = dict(
-                lora_banks=self._lora_banks,
-                lora_idx=jnp.asarray(lora_idx),
+                samp[s] = (req.temperature, req.top_k, req.top_p, req.min_p)
+            lora_kw = {}
+            if self._lora_banks is not None:
+                lora_idx = np.zeros((self.num_slots,), np.int32)
+                for s, req in snapshot:
+                    if req.lora is not None:
+                        lora_idx[s] = self._lora_index[req.lora]
+                lora_kw = dict(
+                    lora_banks=self._lora_banks,
+                    lora_idx=jnp.asarray(lora_idx),
+                )
+            self._spec_cache = (
+                key, jnp.asarray(active_mask), jnp.asarray(samp), lora_kw
             )
+        _, mask_dev, samp_dev, lora_kw = self._spec_cache
         self._rng, rng = jax.random.split(self._rng)
         if n_rounds > 1:
             args = (
                 self.params, self.cache, self.token_hist, self.last_tokens,
-                self.cache_lens, jnp.asarray(active_mask),
-                jnp.asarray(samp), rng,
+                self.cache_lens, mask_dev, samp_dev, rng,
             )
             if self.paged:
                 args += (self.page_table,)
@@ -1359,8 +1371,8 @@ class ServingEngine:
                     self.token_hist,
                     self.last_tokens,
                     self.cache_lens,
-                    jnp.asarray(active_mask),
-                    jnp.asarray(samp),
+                    mask_dev,
+                    samp_dev,
                     rng,
                     page_table=self.page_table if self.paged else None,
                     **lora_kw,
@@ -1507,8 +1519,12 @@ class ServingEngine:
                     for j in range(int(acc_np[r, s])):
                         if self._active.get(s) is not req:
                             break
-                        self.spec_emitted_tokens += 1
-                        self._emit(req, int(out_np[r, s, j]))
+                        tok = int(out_np[r, s, j])
+                        if tok not in req.stop_token_ids:
+                            # stop tokens finish without being delivered;
+                            # counting them would inflate spec_accept_mean
+                            self.spec_emitted_tokens += 1
+                        self._emit(req, tok)
             return
         _, sampled, snapshot, n_steps = entry
         sampled_np = np.asarray(sampled)
@@ -2078,7 +2094,10 @@ def _spec_decode_block_paged(
     Ts = n_rounds * (K + 1)
     t = jnp.arange(Ts, dtype=jnp.int32)[None]
     valid = (t < written[:, None]) & active_mask[:, None]
-    pos = jnp.where(valid, cache_lens[:, None] + t, -1)  # -1 = drop
+    # -1 = drop; paged_positions_to_indices gives every dropped (b, t) a
+    # DISTINCT out-of-range page (num_pages + b*Ts + t), so the scatter's
+    # unique_indices promise holds even with many dropped entries
+    pos = jnp.where(valid, cache_lens[:, None] + t, -1)
     write_page, write_off = decoder_lib.paged_positions_to_indices(
         page_table, pos, ps, P
     )
