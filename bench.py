@@ -425,33 +425,39 @@ def _serving_metrics(fused_2k_tps: float):
         engine.stop()
     tok_s = tokens / dt
 
-    # same workload with prompt-lookup speculative decoding. Greedy decode
-    # of a random-weight model settles into short cycles, so this measures
-    # PLD near its HIGH-acceptance regime (echoing/repetitive outputs —
-    # the ASR/translation serving shape); spec_accept_mean records the
-    # accepted length the rate was achieved at.
-    engine = ServingEngine(
-        params, cfg, num_slots=8, max_seq_len=2048,
-        mel_len_buckets=(400,), spec_decode="ngram",
-    )
-    engine.start()
-    try:
-        drain(submit_all())  # compile (verify program included)
-        engine.spec_dispatches = engine.spec_emitted_tokens = 0
-        t0 = time.perf_counter()
-        tokens_s = drain(submit_all())
-        dt_s = time.perf_counter() - t0
-        accept = engine.spec_emitted_tokens / max(engine.spec_dispatches, 1)
-    finally:
-        engine.stop()
-    return {
+    out = {
         "serving_tok_s_8slots_1.5k_prompt_2k_ctx_paged": round(tok_s, 1),
         "serving_vs_fused_decode_pct": round(
             tok_s / max(fused_2k_tps, 1e-9) * 100, 1
         ),
-        "serving_tok_s_spec_ngram": round(tokens_s / dt_s, 1),
-        "spec_accept_mean": round(accept, 2),
     }
+    # same workload with prompt-lookup speculative decoding. Random-weight
+    # greedy decode settles into short output cycles, which prompt lookup
+    # drafts from — the repetitive-output regime; spec_accept_mean records
+    # the accepted length the rate was achieved at. Failure-isolated so
+    # the core serving metric always reaches the driver.
+    try:
+        engine = ServingEngine(
+            params, cfg, num_slots=8, max_seq_len=2048,
+            mel_len_buckets=(400,), spec_decode="ngram",
+        )
+        engine.start()
+        try:
+            drain(submit_all())  # compile (verify program included)
+            engine.spec_dispatches = engine.spec_emitted_tokens = 0
+            t0 = time.perf_counter()
+            tokens_s = drain(submit_all())
+            dt_s = time.perf_counter() - t0
+            accept = engine.spec_emitted_tokens / max(
+                engine.spec_dispatches, 1
+            )
+        finally:
+            engine.stop()
+        out["serving_tok_s_spec_ngram"] = round(tokens_s / dt_s, 1)
+        out["spec_accept_mean"] = round(accept, 2)
+    except Exception as e:  # pragma: no cover
+        out["spec_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def _train_metrics():

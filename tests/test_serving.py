@@ -834,3 +834,138 @@ def test_retained_cache_survives_other_slots_decoding(setup):
     finally:
         fresh.stop()
     assert ids2 == ids_fresh
+
+
+def test_presence_penalty_counts_first_token(setup):
+    """The prefill-completion (first) token is an OUTPUT token: presence
+    penalty must suppress its immediate repetition from step 1 on. A +20
+    logit_bias forces token X first; presence_penalty 100 then dominates
+    the bias, so X must never appear again."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+    forced = 7
+    serving = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        req = serving.submit(
+            batch, max_tokens=6, logit_bias={forced: 20.0},
+            presence_penalty=100.0,
+        )
+        ids, _ = _drain(serving, req)
+    finally:
+        serving.stop()
+    assert ids[0] == forced  # the bias forced it once
+    assert forced not in ids[1:], ids  # and presence counted it from step 1
+
+
+def test_cancel_pending_request_acknowledged_immediately(setup):
+    """Cancelling a QUEUED request must deliver 'cancelled' without
+    waiting for a slot to free up."""
+    import time as _time
+
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world")
+    serving = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=256, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        r_long = serving.submit(batch, max_tokens=120)  # occupies the slot
+        # wait until it is actually active so r_pending really queues
+        deadline = _time.monotonic() + 30
+        while not serving._active and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        r_pending = serving.submit(batch, max_tokens=120)
+        serving.cancel(r_pending)
+        t0 = _time.monotonic()
+        ids_p, fin_p = _drain(serving, r_pending)
+        waited = _time.monotonic() - t0
+        assert fin_p == "cancelled" and ids_p == []
+        # acknowledged while the long request still decodes, not after it
+        assert waited < 10.0
+        ids_l, fin_l = _drain(serving, r_long)
+        assert fin_l == "length" and len(ids_l) == 120
+    finally:
+        serving.stop()
+
+
+def test_seed_normalization_negative_and_huge(setup):
+    """Any int is a legal seed: negative values must not collide with the
+    unseeded sentinel (reproducibility preserved) and 64-bit values must
+    not overflow the int32 device arrays."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "hello world how are you")
+
+    def run(seed):
+        eng = ServingEngine(
+            params, cfg, num_slots=1, max_seq_len=128,
+            cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+            mel_len_buckets=(400,),
+        )
+        eng.start()
+        try:
+            ids, fin = _drain(
+                eng,
+                eng.submit(batch, max_tokens=8, temperature=0.9, seed=seed),
+            )
+        finally:
+            eng.stop()
+        assert fin == "length"
+        return ids
+
+    assert run(-1) == run(-1)  # reproducible despite the -1 sentinel
+    assert run(2**40 + 3) == run(2**40 + 3)  # no int32 overflow
+
+
+def test_http_explicit_zero_params_respected(setup):
+    """Explicit falsy JSON values are meaningful: top_p=0 keeps only the
+    top token (greedy even at high temperature), it must not silently
+    become top_p=1."""
+    import json as _json
+    import threading as _threading
+    import urllib.request as _url
+    from http.server import ThreadingHTTPServer
+
+    from ultravox_tpu.inference.serving.api_server import (
+        ServingAPI,
+        make_handler,
+    )
+
+    cfg, params, processor, collator = setup
+    engine = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    api = ServingAPI(engine, processor, collator)
+    engine.start()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(api))
+    port = server.server_address[1]
+    _threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(extra):
+        body = {
+            "model": "x",
+            "max_tokens": 8,
+            "messages": [{"role": "user", "content": "hello world"}],
+            **extra,
+        }
+        req = _url.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with _url.urlopen(req) as r:
+            return _json.load(r)["choices"][0]["message"]["content"]
+
+    try:
+        greedy = post({"temperature": 0})
+        # top_p=0 => nucleus of exactly the top token => greedy output,
+        # regardless of temperature
+        assert post({"temperature": 5.0, "top_p": 0}) == greedy
+    finally:
+        server.shutdown()
+        engine.stop()

@@ -254,3 +254,30 @@ def test_precomputed_audio_embeds_submit_matches_standard(streaming_model):
     finally:
         engine.stop()
     assert std_ids == pre_ids
+
+
+def test_streaming_encoder_window_overflow_raises(streaming_model):
+    """Past one encoder window the stream state would clamp and silently
+    corrupt earlier blocks — it must raise instead (callers fall back to
+    the batch path's 30 s chunking)."""
+    from ultravox_tpu.inference.streaming import EncoderWindowExceeded
+
+    cfg, params = streaming_model
+    enc = StreamingAudioEncoder(params, cfg)
+    rng = np.random.default_rng(0)
+    # 64 positions = 128 mel frames = 1.28 s; 3 s overflows mid-feed
+    long_audio = (rng.standard_normal(48000) * 0.1).astype(np.float32)
+    with pytest.raises(EncoderWindowExceeded):
+        for i in range(0, len(long_audio), 8000):
+            enc.feed(long_audio[i: i + 8000])
+        enc.finalize()
+
+
+def test_streaming_encoder_empty_stream_finalize(streaming_model):
+    """A stream with fewer samples than one mel hop has zero audio tokens:
+    finalize returns a shape-correct empty array, not a crash."""
+    cfg, params = streaming_model
+    enc = StreamingAudioEncoder(params, cfg)
+    enc.feed(np.zeros(100, np.float32))  # < HOP_LENGTH
+    out = enc.finalize()
+    assert out.shape == (0, cfg.text_config.hidden_size)

@@ -89,16 +89,23 @@ class ServingAPI:
             self.engine, "_lora_index", {}
         ):
             lora = None
+        def num(key, default):
+            # explicit falsy values are MEANINGFUL here (top_p=0 = keep
+            # only the top token; temperature=0 = greedy): only absence
+            # or JSON null falls back to the default
+            v = body.get(key)
+            return default if v is None else v
+
         return self.engine.submit(
             batch,
-            max_tokens=int(body.get("max_tokens") or 256),
-            temperature=float(body.get("temperature") or 0.0),
-            top_k=int(body.get("top_k") or 0),
-            top_p=float(body.get("top_p") or 1.0),
-            min_p=float(body.get("min_p") or 0.0),
-            presence_penalty=float(body.get("presence_penalty") or 0.0),
-            frequency_penalty=float(body.get("frequency_penalty") or 0.0),
-            repetition_penalty=float(body.get("repetition_penalty") or 1.0),
+            max_tokens=int(num("max_tokens", 256)),
+            temperature=float(num("temperature", 0.0)),
+            top_k=int(num("top_k", 0)),
+            top_p=float(num("top_p", 1.0)),
+            min_p=float(num("min_p", 0.0)),
+            presence_penalty=float(num("presence_penalty", 0.0)),
+            frequency_penalty=float(num("frequency_penalty", 0.0)),
+            repetition_penalty=float(num("repetition_penalty", 1.0)),
             logit_bias=(body.get("logit_bias") or {}),
             seed=body.get("seed"),
             lora=lora,
@@ -185,6 +192,7 @@ class ServingAPI:
         import hashlib
 
         from ultravox_tpu.inference.serving.websocket import OP_TEXT
+        from ultravox_tpu.inference.streaming import EncoderWindowExceeded
         from ultravox_tpu.utils.vad import ReplyOnPause
 
         vad = ReplyOnPause()
@@ -247,8 +255,16 @@ class ServingAPI:
                         if stream_enc is None or len(part) < consumed:
                             stream_enc, consumed = new_stream_encoder(), 0
                         if len(part) > consumed:
-                            stream_enc.feed(part[consumed:])
-                            consumed = len(part)
+                            try:
+                                stream_enc.feed(part[consumed:])
+                                consumed = len(part)
+                            except EncoderWindowExceeded:
+                                # speaker exceeded one encoder window (~30 s)
+                                # without a pause: incremental encode can't
+                                # represent that — the batch path (which
+                                # chunks) serves the rest of the connection
+                                use_streaming = False
+                                stream_enc, consumed = None, 0
             if utterance is None or not len(utterance):
                 continue
 
@@ -256,17 +272,25 @@ class ServingAPI:
                 {"type": "utterance", "seconds": len(utterance) / 16000.0}
             ))
             messages.append({"role": "user", "content": "<|audio|>"})
+            # retained even while streaming: the raw PCM is the fallback
+            # input if a later utterance overflows the encoder window and
+            # the connection drops to the batch path (which re-encodes the
+            # whole conversation's audio)
             audios.append(utterance)
             text = self.tokenizer.apply_chat_template(
                 messages, tokenize=False, add_generation_prompt=True
             )
             if use_streaming:
-                if stream_enc is None:
-                    stream_enc, consumed = new_stream_encoder(), 0
-                if len(utterance) > consumed:
-                    stream_enc.feed(utterance[consumed:])
-                embeds_hist.append(stream_enc.finalize())
+                try:
+                    if stream_enc is None:
+                        stream_enc, consumed = new_stream_encoder(), 0
+                    if len(utterance) > consumed:
+                        stream_enc.feed(utterance[consumed:])
+                    embeds_hist.append(stream_enc.finalize())
+                except EncoderWindowExceeded:
+                    use_streaming = False
                 stream_enc, consumed = None, 0
+            if use_streaming:
                 spans_sha.append(
                     hashlib.sha1(
                         np.ascontiguousarray(utterance).tobytes()

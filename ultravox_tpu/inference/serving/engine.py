@@ -699,7 +699,10 @@ class ServingEngine:
             frequency_penalty=float(frequency_penalty),
             repetition_penalty=float(repetition_penalty),
             logit_bias=_normalize_logit_bias(logit_bias),
-            seed=None if seed is None else int(seed),
+            # any int is a legal seed: reduce into the non-negative int32
+            # range the device arrays carry (negative values would collide
+            # with the -1 unseeded sentinel; >=2**31 would overflow int32)
+            seed=None if seed is None else int(seed) % 0x7FFFFFFF,
             lora=lora,
             stop_token_ids=tuple(stop_token_ids),
             audio_embeds=audio_embeds,
@@ -1180,6 +1183,11 @@ class ServingEngine:
             )
         else:
             tok = self._sample(logits_last, samp1, rng)
+        if _uses_penalties(req):
+            # the first token is an OUTPUT token: presence/frequency (and
+            # repetition) must see it from step 1 on, exactly like every
+            # token the per-step program counts (vLLM counts all outputs)
+            self._pen_counts = self._pen_counts.at[req.slot, tok[0]].add(1)
         self.cache_lens = self.cache_lens.at[req.slot].set(req.prompt_len)
         self.last_tokens = self.last_tokens.at[req.slot].set(tok[0])
         self._active[req.slot] = req
@@ -1563,12 +1571,19 @@ class ServingEngine:
                 self._release_slot_pages(req.slot)
             self.cache_lens = self.cache_lens.at[req.slot].set(0)
             self._finish_cancelled(req)
+            return
+        # still PENDING (queued, no slot): acknowledge now — admission may
+        # be minutes away if every slot stays busy, and nothing holds
+        # device state for this request. The stale queue entry drops at
+        # admission (cancelled flag; idempotent finish).
+        self._finish_cancelled(req)
 
     def _finish_cancelled(self, req: Request):
+        if self._requests.pop(req.request_id, None) is None:
+            return  # already acknowledged — idempotent
         req.out_queue.put(
             StreamEvent(token_id=None, finish_reason="cancelled")
         )
-        self._requests.pop(req.request_id, None)
 
     def _emit(self, req: Request, token_id: int):
         finish = None

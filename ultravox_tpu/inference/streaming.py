@@ -32,6 +32,11 @@ from ultravox_tpu.models import whisper_encoder as encoder_lib
 from ultravox_tpu.ops import mel as mel_lib
 
 
+class EncoderWindowExceeded(ValueError):
+    """The streamed utterance outgrew the encoder's single-window stream
+    state; callers fall back to the batch path's 30 s chunking."""
+
+
 class StreamingMel:
     """Incremental Whisper log-mel: ``feed`` returns frames that are final
     given the audio so far (a frame needs 200 samples of lookahead);
@@ -147,12 +152,25 @@ class StreamingAudioEncoder:
             w[:, s - lo: e - lo] = self._mel_frames[:, s:e]
         return w
 
+    def _check_window(self):
+        """The stream state covers ONE encoder window (max_source_positions
+        ≈ 30 s); past it the fixed-size KV/position buffers would clamp and
+        silently corrupt earlier blocks. Callers catch this to fall back to
+        the batch path, which chunks long audio correctly."""
+        if (self._blocks_done + 1) * self.block > self.acfg.max_source_positions:
+            raise EncoderWindowExceeded(
+                f"utterance exceeds the {self.acfg.max_source_positions}"
+                "-position encoder window; use the batch path (30 s "
+                "chunking via audio_is_continuation) for longer audio"
+            )
+
     def _run_ready_blocks(self):
         """Step every block whose full mel window (incl. 1-frame lookahead)
         is available."""
         C2 = 2 * self.block
         n = self._mel_frames.shape[1]
         while (self._blocks_done + 1) * C2 + 1 <= n:
+            self._check_window()
             k = self._blocks_done
             st, out = self._step(
                 self.params["audio_tower"],
@@ -192,8 +210,14 @@ class StreamingAudioEncoder:
         # positions the projector will stack (incl. batch-path padding
         # positions of the last token) — keep stepping zero-mel blocks
         need_pos = n_tokens * self.cfg.stack_factor
+        if n_tokens == 0:
+            # an empty (sub-hop) stream has no audio tokens; shape-correct
+            # empty output instead of a concatenate crash
+            d_text = self.params["projector"]["linear_2"]["kernel"].shape[-1]
+            return np.zeros((0, int(d_text)), np.float32)
         C = self.block
         while self._blocks_done * C < need_pos:
+            self._check_window()
             k = self._blocks_done
             n_valid = int(np.clip(feat_len - k * C, 0, C))
             st, out = self._step(
