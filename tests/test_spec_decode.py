@@ -466,3 +466,37 @@ def test_seeded_greedy_speculates(setup):
         serving.stop()
     assert ids == exp and fin == "length"
     assert serving.spec_dispatches > 0
+
+
+@pytest.mark.parametrize("cache_mode", ["slots", "paged"])
+def test_spec_decode_to_cache_edge(setup, cache_mode):
+    """Speculating right up to the cache boundary: the capacity guard must
+    degrade multi-round -> single-round -> plain decode without dropping
+    accepted KV, and outputs stay exactly offline-greedy until the
+    cache_full finish."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(
+        processor, collator, "one two three one two three one two three"
+    )
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=96, cache_dtype=jnp.float32
+    )
+    prompt_len = int(np.asarray(batch["attention_mask"]).sum())
+    room = 96 - 1 - prompt_len  # engine finishes at max_seq_len - 1
+    exp = offline.generate(batch, max_new_tokens=room).token_ids[0]
+
+    kw = {"page_size": 16} if cache_mode == "paged" else {}
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=96, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode=cache_mode, spec_decode="ngram", spec_k=4,
+        decode_block_steps=4, **kw,
+    )
+    serving.start()
+    try:
+        # ask for more than fits: must finish cache_full at the edge
+        ids, fin = _drain(serving, serving.submit(batch, max_tokens=500))
+    finally:
+        serving.stop()
+    assert fin == "cache_full"
+    assert ids == exp[: len(ids)] and len(ids) == room
