@@ -702,3 +702,76 @@ def test_paged_scheduler_stress_with_spec_decode(setup):
         _check_page_accounting(serving)
     finally:
         serving.stop()
+
+
+def test_paged_stress_with_lora_and_spec(setup):
+    """Everything at once: multi-LoRA routing + speculation + cancels +
+    sampled requests under paged churn. Schedule-independence: every
+    non-cancelled GREEDY request must match its adapter's offline
+    reference exactly."""
+    from ultravox_tpu.inference.engine import GenerationEngine
+    from ultravox_tpu.models import lora as lora_lib
+    from ultravox_tpu.models.config import LoraConfig
+
+    cfg, params, processor, collator = setup
+    rng = np.random.default_rng(23)
+    lcfg = LoraConfig(r=4, target_modules=("q_proj", "v_proj"))
+    adapters = {}
+    for i, name in enumerate(("a", "b")):
+        lm = lora_lib.add_lora(
+            params["language_model"], lcfg, jax.random.key(30 + i),
+            lora_lib.DECODER_TARGETS,
+        )
+        for tgt in ("q_proj", "v_proj"):
+            shp = lm["layers"][tgt]["lora_b"].shape
+            lm["layers"][tgt]["lora_b"] = (
+                jax.random.normal(jax.random.key(300 + i), shp) * 0.5
+            )
+        adapters[name] = {"language_model": lm}
+
+    offline = {}
+    for name in (None, "a", "b"):
+        p = dict(params)
+        if name is not None:
+            p["language_model"] = adapters[name]["language_model"]
+        offline[name] = GenerationEngine(
+            p, cfg, max_cache_len=128, cache_dtype=jnp.float32
+        )
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        cache_mode="paged", page_size=16, num_pages=28,
+        lora_adapters=adapters, spec_decode="ngram", spec_k=4,
+        decode_block_steps=2,
+    )
+    serving.start()
+    try:
+        reqs, expected = [], {}
+        for i in range(16):
+            text = "user " + " ".join(
+                rng.choice(["one", "two", "red", "blue"],
+                           size=rng.integers(1, 6))
+            )
+            batch = _mini_batch(processor, collator, text)
+            n = int(rng.integers(2, 10))
+            name = (None, "a", "b")[i % 3]
+            kw = {"lora": name} if name else {}
+            if i % 5 == 4:
+                kw["temperature"] = 0.8  # sampled: legality only
+            else:
+                expected[i] = offline[name].generate(
+                    batch, max_new_tokens=n
+                ).token_ids[0]
+            reqs.append(serving.submit(batch, max_tokens=n, **kw))
+            if i == 9:
+                serving.cancel(reqs[int(rng.integers(0, len(reqs)))])
+        results = [_drain(serving, r) for r in reqs]
+        for i, (ids, fin) in enumerate(results):
+            assert fin in {"stop", "length", "cache_full", "cancelled"}
+            if i in expected and fin == "length":
+                assert ids == expected[i], f"request {i} diverged"
+        assert not serving._pinned
+        _check_page_accounting(serving)
+    finally:
+        serving.stop()
