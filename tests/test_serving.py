@@ -969,3 +969,100 @@ def test_http_explicit_zero_params_respected(setup):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_stop_string_helpers():
+    from ultravox_tpu.inference.serving.api_server import (
+        _find_stop,
+        _stop_holdback,
+    )
+
+    assert _find_stop("hello world", ("wor",)) == 6
+    assert _find_stop("hello world", ("zzz",)) == -1
+    assert _find_stop("ab ab", ("ab", "b a")) == 0  # earliest across stops
+    # trailing "wo" could still become "world": hold it back
+    assert _stop_holdback("hello wo", ("world",)) == 2
+    assert _stop_holdback("hello", ("world",)) == 0
+    # only PROPER prefixes hold back ("b" is not a prefix of "ab"; a full
+    # "ab" suffix would already be a _find_stop hit)
+    assert _stop_holdback("ab", ("ab",)) == 0
+    assert _stop_holdback("xa", ("ab", "a")) == 1
+
+
+def test_api_stop_sequences_and_n_choices(setup):
+    """OpenAI `stop` strings (truncate-before, streaming holdback) and
+    `n` multi-choice (vLLM serving-surface parity,
+    /root/reference/ultravox/inference/run_vllm_inference.py)."""
+    from ultravox_tpu.inference.serving.api_server import ServingAPI
+
+    cfg, params, processor, collator = setup
+    engine = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    api = ServingAPI(engine, processor, collator)
+    engine.start()
+    try:
+        body = {
+            "model": "x",
+            "max_tokens": 12,
+            "messages": [{"role": "user", "content": "hello world"}],
+        }
+        base = api.handle_chat(dict(body))
+        full = base["choices"][0]["message"]["content"]
+        assert len(full) > 4
+
+        # pick a mid-text substring as the stop sequence
+        stop = full[3:5]
+        cut = full.find(stop)
+        out = api.handle_chat(dict(body, stop=stop))
+        ch = out["choices"][0]
+        assert ch["message"]["content"] == full[:cut]
+        assert ch["finish_reason"] == "stop"
+        assert stop not in ch["message"]["content"]
+
+        # streaming: same truncated text, and NO emitted chunk ever
+        # contains any part of the matched stop (holdback)
+        lines = list(api.handle_chat(dict(body, stop=stop, stream=True)))
+        assert lines[-1] == "data: [DONE]\n\n"
+        chunks = [json.loads(l[6:]) for l in lines[:-1]]
+        text = "".join(
+            c["choices"][0]["delta"].get("content", "") for c in chunks
+        )
+        assert text == full[:cut]
+        finishes = [
+            c["choices"][0]["finish_reason"]
+            for c in chunks
+            if c["choices"][0]["finish_reason"]
+        ]
+        assert finishes == ["stop"]
+
+        # n=3 greedy: three identical choices, indexed 0..2, usage summed
+        out3 = api.handle_chat(dict(body, n=3))
+        assert [c["index"] for c in out3["choices"]] == [0, 1, 2]
+        assert all(
+            c["message"]["content"] == full for c in out3["choices"]
+        )
+        assert out3["usage"]["completion_tokens"] == 3 * base["usage"][
+            "completion_tokens"
+        ]
+
+        # streaming n=2: interleaved chunks reassemble per index
+        lines = list(api.handle_chat(dict(body, n=2, stream=True)))
+        assert lines[-1] == "data: [DONE]\n\n"
+        chunks = [json.loads(l[6:]) for l in lines[:-1]]
+        per_idx = {0: "", 1: ""}
+        for c in chunks:
+            choice = c["choices"][0]
+            per_idx[choice["index"]] += choice["delta"].get("content", "")
+        assert per_idx[0] == full and per_idx[1] == full
+
+        # seeded sampling with n: choice 0 reproduces the seeded n=1 run
+        s1 = api.handle_chat(dict(body, temperature=0.9, seed=11))
+        s2 = api.handle_chat(dict(body, temperature=0.9, seed=11, n=2))
+        assert (
+            s2["choices"][0]["message"]["content"]
+            == s1["choices"][0]["message"]["content"]
+        )
+    finally:
+        engine.stop()

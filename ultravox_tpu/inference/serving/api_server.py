@@ -5,7 +5,10 @@ Replaces the reference's external vLLM OpenAI server
 (streaming and non-streaming) with audio supplied as
 ``{"type": "input_audio", "input_audio": {"data": <b64 wav>, "format": "wav"}}``
 content parts (the protocol the reference's ``tools/infer_api.py`` client
-speaks), plus ``/health``.
+speaks), plus ``/health``. Sampling surface: temperature / top_k / top_p /
+min_p / penalties / logit_bias / seed, ``stop`` string sequences (streamed
+with holdback so no part of a matched stop is emitted), and ``n``
+multi-choice (prompt processed once, choices decoded concurrently).
 
 Stdlib http.server with a thread pool — the engine serialises device work on
 its own thread, so the HTTP layer only shuttles tokens.
@@ -73,7 +76,10 @@ class ServingAPI:
             out_messages.append({"role": m["role"], "content": content})
         return out_messages, audios
 
-    def build_request(self, body: Dict[str, Any]):
+    def build_requests(self, body: Dict[str, Any]):
+        """Submit the body's ``n`` engine requests (OpenAI multi-choice:
+        the prompt is processed/collated ONCE; each choice decodes
+        concurrently in the continuous batch)."""
         messages, audios = self.parse_messages(body["messages"])
         text = self.tokenizer.apply_chat_template(
             messages, tokenize=False, add_generation_prompt=True
@@ -96,83 +102,173 @@ class ServingAPI:
             v = body.get(key)
             return default if v is None else v
 
-        return self.engine.submit(
-            batch,
-            max_tokens=int(num("max_tokens", 256)),
-            temperature=float(num("temperature", 0.0)),
-            top_k=int(num("top_k", 0)),
-            top_p=float(num("top_p", 1.0)),
-            min_p=float(num("min_p", 0.0)),
-            presence_penalty=float(num("presence_penalty", 0.0)),
-            frequency_penalty=float(num("frequency_penalty", 0.0)),
-            repetition_penalty=float(num("repetition_penalty", 1.0)),
-            logit_bias=(body.get("logit_bias") or {}),
-            seed=body.get("seed"),
-            lora=lora,
-            stop_token_ids=tuple(stop_ids),
-        )
+        n = int(num("n", 1))
+        if not 1 <= n <= MAX_CHOICES:
+            raise ValueError(f"n must be in [1, {MAX_CHOICES}]")
+        seed = body.get("seed")
+        reqs = []
+        for i in range(n):
+            reqs.append(self.engine.submit(
+                batch,
+                max_tokens=int(num("max_tokens", 256)),
+                temperature=float(num("temperature", 0.0)),
+                top_k=int(num("top_k", 0)),
+                top_p=float(num("top_p", 1.0)),
+                min_p=float(num("min_p", 0.0)),
+                presence_penalty=float(num("presence_penalty", 0.0)),
+                frequency_penalty=float(num("frequency_penalty", 0.0)),
+                repetition_penalty=float(num("repetition_penalty", 1.0)),
+                logit_bias=(body.get("logit_bias") or {}),
+                # seeded sampling is position-keyed and co-batch
+                # independent, so the same seed would make every choice
+                # identical — derive seed+i per choice (documented: choice
+                # 0 reproduces a seeded n=1 request exactly)
+                seed=None if seed is None else int(seed) + i,
+                lora=lora,
+                stop_token_ids=tuple(stop_ids),
+            ))
+        return reqs
+
+    def build_request(self, body: Dict[str, Any]):
+        return self.build_requests(body)[0]
 
     def handle_chat(self, body: Dict[str, Any]):
         """Returns (non-streaming response dict) or a generator of SSE lines."""
-        req = self.build_request(body)
+        stops = _parse_stops(body)
+        reqs = self.build_requests(body)
         created = int(time.time())
         rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
 
         if body.get("stream"):
-            def sse():
-                token_ids: List[int] = []
-                emitted = 0
-                try:
-                    for event in self.engine.stream(req):
-                        if event.token_id is None:
-                            yield _sse_chunk(
-                                rid, created, self.model_name, None,
-                                finish=event.finish_reason,
-                            )
-                            yield "data: [DONE]\n\n"
-                            return
-                        token_ids.append(event.token_id)
-                        text = self.tokenizer.decode(
-                            token_ids, skip_special_tokens=True
-                        )
-                        if not text.endswith("�") and len(text) > emitted:
-                            yield _sse_chunk(
-                                rid, created, self.model_name, text[emitted:]
-                            )
-                            emitted = len(text)
-                finally:
-                    # client gone mid-stream (GeneratorExit) or any other
-                    # early exit: abort the request so it stops burning
-                    # decode steps and holding a slot. No-op when finished.
-                    self.engine.cancel(req)
-            return sse()
+            return self._sse_stream(reqs, stops, rid, created)
 
-        token_ids = []
-        finish = "stop"
-        for event in self.engine.stream(req):
-            if event.token_id is None:
-                finish = event.finish_reason or "stop"
-                break
-            token_ids.append(event.token_id)
-        text = self.tokenizer.decode(token_ids, skip_special_tokens=True)
+        choices = []
+        completion_tokens = 0
+        # sequential drain is fine: all choices decode concurrently in the
+        # engine regardless of the order their queues are read
+        for i, req in enumerate(reqs):
+            token_ids: List[int] = []
+            finish = "stop"
+            text = ""
+            for event in self.engine.stream(req):
+                if event.token_id is None:
+                    finish = event.finish_reason or "stop"
+                    text = self.tokenizer.decode(
+                        token_ids, skip_special_tokens=True
+                    )
+                    break
+                token_ids.append(event.token_id)
+                if stops:
+                    text = self.tokenizer.decode(
+                        token_ids, skip_special_tokens=True
+                    )
+                    cut = _find_stop(text, stops)
+                    if cut >= 0:
+                        # matched a stop sequence: truncate BEFORE it
+                        # (OpenAI semantics) and abort the decode
+                        text = text[:cut]
+                        finish = "stop"
+                        self.engine.cancel(req)
+                        break
+            completion_tokens += len(token_ids)
+            choices.append({
+                "index": i,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish,
+            })
         return {
             "id": rid,
             "object": "chat.completion",
             "created": created,
             "model": self.model_name,
-            "choices": [
-                {
-                    "index": 0,
-                    "message": {"role": "assistant", "content": text},
-                    "finish_reason": finish,
-                }
-            ],
+            "choices": choices,
             "usage": {
-                "prompt_tokens": req.prompt_len,
-                "completion_tokens": len(token_ids),
-                "total_tokens": req.prompt_len + len(token_ids),
+                "prompt_tokens": reqs[0].prompt_len,
+                "completion_tokens": completion_tokens,
+                "total_tokens": reqs[0].prompt_len + completion_tokens,
             },
         }
+
+    def _sse_stream(self, reqs, stops, rid, created):
+        """SSE generator over ``len(reqs)`` concurrent choices: chunks are
+        interleaved as tokens arrive, each tagged with its choice index.
+        Stop sequences are enforced with holdback — text that could still
+        be the beginning of a stop string is withheld until disambiguated,
+        so a client never sees any part of a matched stop string."""
+        import queue as _queue
+
+        states = [
+            {"req": r, "ids": [], "emitted": 0, "text": ""} for r in reqs
+        ]
+
+        def finish_chunk(i, reason):
+            return _sse_chunk(
+                rid, created, self.model_name, None, finish=reason, index=i
+            )
+
+        def sse():
+            pending = set(range(len(reqs)))
+            try:
+                while pending:
+                    for i in sorted(pending):
+                        st = states[i]
+                        try:
+                            # single remaining choice: block (no spin);
+                            # several: poll round-robin so one stalled
+                            # queue never starves the others
+                            event = st["req"].out_queue.get(
+                                timeout=None if len(pending) == 1 else 0.02
+                            )
+                        except _queue.Empty:
+                            continue
+                        if event.token_id is None:
+                            # flush any held-back text before finishing
+                            tail = st["text"][st["emitted"]:]
+                            if tail:
+                                yield _sse_chunk(
+                                    rid, created, self.model_name, tail,
+                                    index=i,
+                                )
+                            yield finish_chunk(
+                                i, event.finish_reason or "stop"
+                            )
+                            pending.discard(i)
+                            continue
+                        st["ids"].append(event.token_id)
+                        text = self.tokenizer.decode(
+                            st["ids"], skip_special_tokens=True
+                        )
+                        if text.endswith("�"):
+                            continue  # partial UTF-8; wait for more tokens
+                        st["text"] = text
+                        cut = _find_stop(text, stops)
+                        if cut >= 0:
+                            delta = text[st["emitted"]:cut]
+                            if delta:
+                                yield _sse_chunk(
+                                    rid, created, self.model_name, delta,
+                                    index=i,
+                                )
+                            yield finish_chunk(i, "stop")
+                            self.engine.cancel(st["req"])
+                            pending.discard(i)
+                            continue
+                        safe = len(text) - _stop_holdback(text, stops)
+                        if safe > st["emitted"]:
+                            yield _sse_chunk(
+                                rid, created, self.model_name,
+                                text[st["emitted"]:safe], index=i,
+                            )
+                            st["emitted"] = safe
+                yield "data: [DONE]\n\n"
+            finally:
+                # client gone mid-stream (GeneratorExit) or any other
+                # early exit: abort the requests so they stop burning
+                # decode steps and holding slots. No-op when finished.
+                for r in reqs:
+                    self.engine.cancel(r)
+
+        return sse()
 
 
     # -- real-time voice (reference: tools/gradio_voice.py — WebRTC + VAD
@@ -365,14 +461,55 @@ class ServingAPI:
             ))
 
 
-def _sse_chunk(rid, created, model, delta_text, finish=None):
+MAX_CHOICES = 8  # OpenAI `n` upper bound served per request
+MAX_STOPS = 8  # OpenAI caps `stop` at 4; accept up to 8
+
+
+def _parse_stops(body) -> tuple:
+    """OpenAI ``stop``: a string or list of strings; generation halts
+    BEFORE the first occurrence of any of them in the decoded text."""
+    s = body.get("stop")
+    if s is None:
+        return ()
+    if isinstance(s, str):
+        s = [s]
+    stops = tuple(x for x in s if x)
+    if len(stops) > MAX_STOPS:
+        raise ValueError(f"stop supports at most {MAX_STOPS} sequences")
+    return stops
+
+
+def _find_stop(text: str, stops) -> int:
+    """Index of the earliest stop-sequence occurrence in ``text``; -1 if
+    none."""
+    cut = -1
+    for s in stops:
+        i = text.find(s)
+        if i >= 0 and (cut < 0 or i < cut):
+            cut = i
+    return cut
+
+
+def _stop_holdback(text: str, stops) -> int:
+    """How many trailing chars of ``text`` could still be the start of a
+    stop sequence (and therefore must not be streamed to the client yet)."""
+    hold = 0
+    for s in stops:
+        for k in range(min(len(s) - 1, len(text)), hold, -1):
+            if text.endswith(s[:k]):
+                hold = k
+                break
+    return hold
+
+
+def _sse_chunk(rid, created, model, delta_text, finish=None, index=0):
     delta = {} if delta_text is None else {"content": delta_text}
     chunk = {
         "id": rid,
         "object": "chat.completion.chunk",
         "created": created,
         "model": model,
-        "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+        "choices": [{"index": index, "delta": delta, "finish_reason": finish}],
     }
     return f"data: {json.dumps(chunk)}\n\n"
 
