@@ -1066,3 +1066,143 @@ def test_api_stop_sequences_and_n_choices(setup):
         )
     finally:
         engine.stop()
+
+
+def test_serving_logprobs_engine(setup):
+    """Per-token logprobs: greedy chooses the argmax, so the chosen
+    token must equal top-1 and carry the top-1 logprob; entries arrive for
+    EVERY token including the prefill-completion first token."""
+    cfg, params, processor, collator = setup
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    serving.start()
+    try:
+        batch = _mini_batch(processor, collator, "hello world")
+        req = serving.submit(
+            batch, max_tokens=6, logprobs=True, top_logprobs=3
+        )
+        events = []
+        for ev in serving.stream(req):
+            if ev.token_id is None:
+                break
+            events.append(ev)
+        assert len(events) == 6
+        for ev in events:
+            assert ev.logprob is not None and ev.logprob <= 1e-5
+            assert len(ev.top_ids) == 3 and len(ev.top_logprobs) == 3
+            # greedy: sampled token is the argmax => top-1
+            assert ev.top_ids[0] == ev.token_id
+            assert abs(ev.top_logprobs[0] - ev.logprob) < 1e-5
+            # top list sorted descending
+            assert list(ev.top_logprobs) == sorted(
+                ev.top_logprobs, reverse=True
+            )
+        # distribution sanity: logprobs exponentiate to <= 1 total
+        assert sum(np.exp(events[0].top_logprobs)) <= 1.0 + 1e-5
+
+        # logprobs=True without top_logprobs: chosen logprob only
+        req = serving.submit(batch, max_tokens=3, logprobs=True)
+        evs = [e for e in serving.stream(req) if e.token_id is not None]
+        assert all(e.logprob is not None and e.top_ids == () for e in evs)
+
+        # penalties + logprobs ride the penalized logprobs program and
+        # stay argmax-consistent with the penalized distribution
+        req = serving.submit(
+            batch, max_tokens=4, logprobs=True, top_logprobs=2,
+            repetition_penalty=1.3,
+        )
+        evs = [e for e in serving.stream(req) if e.token_id is not None]
+        assert len(evs) == 4
+        assert all(e.top_ids[0] == e.token_id for e in evs)
+
+        # a request WITHOUT logprobs gets none (fast path untouched)
+        req = serving.submit(batch, max_tokens=3)
+        evs = [e for e in serving.stream(req) if e.token_id is not None]
+        assert all(e.logprob is None for e in evs)
+    finally:
+        serving.stop()
+
+
+def test_serving_logprobs_disengages_spec(setup):
+    """Speculative decoding emits multiple tokens per dispatch without
+    per-step logit stats — a logprobs request must force the exact
+    single-step path and still match the plain engine's greedy tokens."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "the quick brown fox")
+    plain = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+    )
+    plain.start()
+    try:
+        expected, _ = _drain(plain, plain.submit(batch, max_tokens=8))
+    finally:
+        plain.stop()
+
+    spec = ServingEngine(
+        params, cfg, num_slots=1, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        spec_decode="ngram", spec_k=4,
+    )
+    spec.start()
+    try:
+        req = spec.submit(batch, max_tokens=8, logprobs=True)
+        evs = [e for e in spec.stream(req) if e.token_id is not None]
+    finally:
+        spec.stop()
+    assert [e.token_id for e in evs] == expected
+    assert all(e.logprob is not None for e in evs)
+
+
+def test_api_logprobs(setup):
+    """OpenAI logprobs shape over handle_chat, non-streaming and SSE."""
+    from ultravox_tpu.inference.serving.api_server import ServingAPI
+
+    cfg, params, processor, collator = setup
+    engine = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,),
+    )
+    api = ServingAPI(engine, processor, collator)
+    engine.start()
+    try:
+        body = {
+            "model": "x",
+            "max_tokens": 5,
+            "messages": [{"role": "user", "content": "hello world"}],
+            "logprobs": True,
+            "top_logprobs": 2,
+        }
+        out = api.handle_chat(dict(body))
+        ch = out["choices"][0]
+        content = ch["logprobs"]["content"]
+        assert len(content) == out["usage"]["completion_tokens"]
+        for e in content:
+            assert set(e) == {"token", "logprob", "bytes", "top_logprobs"}
+            assert e["logprob"] <= 1e-5
+            assert len(e["top_logprobs"]) == 2
+            assert e["top_logprobs"][0]["logprob"] >= e["top_logprobs"][1][
+                "logprob"
+            ]
+            assert bytes(e["bytes"]).decode("utf-8") == e["token"]
+
+        # not requested => null (OpenAI shape)
+        out = api.handle_chat(
+            {k: v for k, v in body.items() if k != "logprobs"}
+        )
+        assert out["choices"][0]["logprobs"] is None
+
+        # streaming: entries ride the chunks and total the token count
+        lines = list(api.handle_chat(dict(body, stream=True)))
+        chunks = [json.loads(l[6:]) for l in lines[:-1]]
+        entries = []
+        for c in chunks:
+            lp = c["choices"][0].get("logprobs")
+            if lp:
+                entries.extend(lp["content"])
+        n_tok = api.handle_chat(dict(body))["usage"]["completion_tokens"]
+        assert len(entries) == n_tok
+    finally:
+        engine.stop()

@@ -7,8 +7,9 @@ Replaces the reference's external vLLM OpenAI server
 content parts (the protocol the reference's ``tools/infer_api.py`` client
 speaks), plus ``/health``. Sampling surface: temperature / top_k / top_p /
 min_p / penalties / logit_bias / seed, ``stop`` string sequences (streamed
-with holdback so no part of a matched stop is emitted), and ``n``
-multi-choice (prompt processed once, choices decoded concurrently).
+with holdback so no part of a matched stop is emitted), ``n`` multi-choice
+(prompt processed once, choices decoded concurrently), and ``logprobs`` /
+``top_logprobs``.
 
 Stdlib http.server with a thread pool — the engine serialises device work on
 its own thread, so the HTTP layer only shuttles tokens.
@@ -125,6 +126,8 @@ class ServingAPI:
                 # 0 reproduces a seeded n=1 request exactly)
                 seed=None if seed is None else int(seed) + i,
                 lora=lora,
+                logprobs=bool(body.get("logprobs", False)),
+                top_logprobs=int(num("top_logprobs", 0)),
                 stop_token_ids=tuple(stop_ids),
             ))
         return reqs
@@ -142,12 +145,14 @@ class ServingAPI:
         if body.get("stream"):
             return self._sse_stream(reqs, stops, rid, created)
 
+        want_lp = bool(body.get("logprobs", False))
         choices = []
         completion_tokens = 0
         # sequential drain is fine: all choices decode concurrently in the
         # engine regardless of the order their queues are read
         for i, req in enumerate(reqs):
             token_ids: List[int] = []
+            lp_entries: List[Dict[str, Any]] = []
             finish = "stop"
             text = ""
             for event in self.engine.stream(req):
@@ -158,6 +163,8 @@ class ServingAPI:
                     )
                     break
                 token_ids.append(event.token_id)
+                if want_lp and event.logprob is not None:
+                    lp_entries.append(self._lp_entry(event))
                 if stops:
                     text = self.tokenizer.decode(
                         token_ids, skip_special_tokens=True
@@ -174,6 +181,7 @@ class ServingAPI:
             choices.append({
                 "index": i,
                 "message": {"role": "assistant", "content": text},
+                "logprobs": {"content": lp_entries} if want_lp else None,
                 "finish_reason": finish,
             })
         return {
@@ -198,13 +206,24 @@ class ServingAPI:
         import queue as _queue
 
         states = [
-            {"req": r, "ids": [], "emitted": 0, "text": ""} for r in reqs
+            {"req": r, "ids": [], "emitted": 0, "text": "", "lp": []}
+            for r in reqs
         ]
 
-        def finish_chunk(i, reason):
+        def finish_chunk(i, reason, lp=None):
             return _sse_chunk(
-                rid, created, self.model_name, None, finish=reason, index=i
+                rid, created, self.model_name, None, finish=reason, index=i,
+                logprobs=lp,
             )
+
+        def take_lp(st):
+            # logprob entries accrued since the last emitted chunk ride
+            # the next chunk (token/char alignment can lag one chunk when
+            # holdback or partial UTF-8 delays text emission)
+            if not st["lp"]:
+                return None
+            out, st["lp"] = {"content": st["lp"]}, []
+            return out
 
         def sse():
             pending = set(range(len(reqs)))
@@ -227,14 +246,17 @@ class ServingAPI:
                             if tail:
                                 yield _sse_chunk(
                                     rid, created, self.model_name, tail,
-                                    index=i,
+                                    index=i, logprobs=take_lp(st),
                                 )
                             yield finish_chunk(
-                                i, event.finish_reason or "stop"
+                                i, event.finish_reason or "stop",
+                                lp=take_lp(st),
                             )
                             pending.discard(i)
                             continue
                         st["ids"].append(event.token_id)
+                        if event.logprob is not None:
+                            st["lp"].append(self._lp_entry(event))
                         text = self.tokenizer.decode(
                             st["ids"], skip_special_tokens=True
                         )
@@ -247,9 +269,9 @@ class ServingAPI:
                             if delta:
                                 yield _sse_chunk(
                                     rid, created, self.model_name, delta,
-                                    index=i,
+                                    index=i, logprobs=take_lp(st),
                                 )
-                            yield finish_chunk(i, "stop")
+                            yield finish_chunk(i, "stop", lp=take_lp(st))
                             self.engine.cancel(st["req"])
                             pending.discard(i)
                             continue
@@ -258,6 +280,7 @@ class ServingAPI:
                             yield _sse_chunk(
                                 rid, created, self.model_name,
                                 text[st["emitted"]:safe], index=i,
+                                logprobs=take_lp(st),
                             )
                             st["emitted"] = safe
                 yield "data: [DONE]\n\n"
@@ -270,6 +293,23 @@ class ServingAPI:
 
         return sse()
 
+
+    def _lp_entry(self, event) -> Dict[str, Any]:
+        """One OpenAI logprobs content entry from a token StreamEvent."""
+        def one(tid, lp):
+            s = self.tokenizer.decode([tid])
+            return {
+                "token": s,
+                "logprob": lp,
+                "bytes": list(s.encode("utf-8")),
+            }
+
+        entry = one(event.token_id, event.logprob)
+        entry["top_logprobs"] = [
+            one(t, l)
+            for t, l in zip(event.top_ids or (), event.top_logprobs or ())
+        ]
+        return entry
 
     # -- real-time voice (reference: tools/gradio_voice.py — WebRTC + VAD
     # ReplyOnPause; here: WebSocket PCM16 + in-repo energy VAD) -------------
@@ -502,14 +542,18 @@ def _stop_holdback(text: str, stops) -> int:
     return hold
 
 
-def _sse_chunk(rid, created, model, delta_text, finish=None, index=0):
+def _sse_chunk(rid, created, model, delta_text, finish=None, index=0,
+               logprobs=None):
     delta = {} if delta_text is None else {"content": delta_text}
+    choice = {"index": index, "delta": delta, "finish_reason": finish}
+    if logprobs is not None:
+        choice["logprobs"] = logprobs
     chunk = {
         "id": rid,
         "object": "chat.completion.chunk",
         "created": created,
         "model": model,
-        "choices": [{"index": index, "delta": delta, "finish_reason": finish}],
+        "choices": [choice],
     }
     return f"data: {json.dumps(chunk)}\n\n"
 

@@ -80,6 +80,8 @@ class Request:
     logit_bias: Tuple[Tuple[int, float], ...] = ()  # (token_id, bias) pairs
     seed: Optional[int] = None  # co-batch-independent reproducible sampling
     lora: Optional[str] = None  # adapter name (multi-LoRA serving)
+    logprobs: bool = False  # emit per-token logprobs (OpenAI logprobs)
+    top_logprobs: int = 0  # alternatives per token (0..MAX_TOP_LOGPROBS)
     cancelled: bool = False  # set via ServingEngine.cancel()
     stop_token_ids: Tuple[int, ...] = ()
     out_queue: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
@@ -119,6 +121,10 @@ class StreamEvent:
     token_id: Optional[int]  # None => end of stream
     finish_reason: Optional[str] = None
     ttft_s: Optional[float] = None
+    # filled only for requests with logprobs=True
+    logprob: Optional[float] = None  # logprob of token_id
+    top_ids: Optional[Tuple[int, ...]] = None  # top_logprobs alternatives
+    top_logprobs: Optional[Tuple[float, ...]] = None
 
 
 @dataclasses.dataclass
@@ -184,6 +190,19 @@ def _match_prefix(tokens, spans, retained: "RetainedCache") -> int:
 MAX_LOGIT_BIAS = 32
 
 
+def _lp_row(lp, row: int):
+    """Host-side view of one slot's logprob stats from a program's
+    (chosen, top_ids, top_logprobs) arrays; None passes through."""
+    if lp is None:
+        return None
+    chosen, ids, vals = (np.asarray(x) for x in lp)
+    return (
+        float(chosen[row]),
+        tuple(int(t) for t in ids[row]),
+        tuple(float(v) for v in vals[row]),
+    )
+
+
 def _normalize_logit_bias(bias) -> Tuple[Tuple[int, float], ...]:
     items = bias.items() if hasattr(bias, "items") else bias
     out = tuple(sorted((int(t), float(b)) for t, b in items))
@@ -207,12 +226,15 @@ def _uses_penalties(req: "Request") -> bool:
 
 def _needs_single_step(req: "Request") -> bool:
     """Penalties/bias need per-step count state; a SAMPLED seed needs the
-    per-(request, position) key derivation — both are exact only on the
-    single-step programs, so decode blocks and speculation disengage while
-    active. A seeded GREEDY request is pure argmax (the seed never draws),
-    so it rides blocks/speculation bit-identically."""
-    return _uses_penalties(req) or (
-        req.seed is not None and req.temperature > 0
+    per-(request, position) key derivation; logprobs need the per-step
+    logit statistics only the single-step programs return — all exact only
+    on the single-step programs, so decode blocks and speculation disengage
+    while active. A seeded GREEDY request is pure argmax (the seed never
+    draws), so it rides blocks/speculation bit-identically."""
+    return (
+        _uses_penalties(req)
+        or req.logprobs
+        or (req.seed is not None and req.temperature > 0)
     )
 
 
@@ -474,6 +496,26 @@ class ServingEngine:
         )
         self._pen_counts = None  # (num_slots, V) int32, lazily created
         self._pen_prompt_mask = None  # (num_slots, V) bool
+        # logprobs variants (compiled only if a request asks for logprobs)
+        self._decode_lp = jax.jit(
+            functools.partial(
+                _decode_all_slots, cfg=cfg,
+                decode_kernel=decode_attn_impl == "kernel",
+                with_logprobs=True,
+            ),
+            donate_argnums=(1,),
+        )
+        self._decode_pen_lp = jax.jit(
+            functools.partial(
+                _decode_all_slots, cfg=cfg,
+                decode_kernel=decode_attn_impl == "kernel",
+                with_counts=True, with_logprobs=True,
+            ),
+            donate_argnums=(1, 7),
+        )
+        from ultravox_tpu.ops.sampling import token_logprobs
+
+        self._token_logprobs = jax.jit(token_logprobs)
         self._sample = jax.jit(sample_slots)
         self._first_extras = jax.jit(_first_token_extras)
         # multi-step decode: K decode steps per dispatch (vLLM-style
@@ -670,6 +712,8 @@ class ServingEngine:
         logit_bias=(),  # mapping or (token_id, bias) pairs, max 32
         seed: Optional[int] = None,
         lora: Optional[str] = None,  # adapter name from lora_adapters
+        logprobs: bool = False,
+        top_logprobs: int = 0,
         stop_token_ids: Tuple[int, ...] = (),
         audio_embeds=None,
         audio_spans: Optional[Tuple] = None,
@@ -704,9 +748,17 @@ class ServingEngine:
             # with the -1 unseeded sentinel; >=2**31 would overflow int32)
             seed=None if seed is None else int(seed) % 0x7FFFFFFF,
             lora=lora,
+            logprobs=bool(logprobs) or int(top_logprobs) > 0,
+            top_logprobs=int(top_logprobs),
             stop_token_ids=tuple(stop_token_ids),
             audio_embeds=audio_embeds,
         )
+        from ultravox_tpu.ops.sampling import MAX_TOP_LOGPROBS
+
+        if not 0 <= req.top_logprobs <= MAX_TOP_LOGPROBS:
+            raise ValueError(
+                f"top_logprobs must be in [0, {MAX_TOP_LOGPROBS}]"
+            )
         if audio_spans is not None:
             req.audio_spans = tuple(audio_spans)
         self._requests[req.request_id] = req
@@ -1193,7 +1245,11 @@ class ServingEngine:
         self._active[req.slot] = req
         self._mask_cache = None  # active set changed
         req.first_token_time = time.monotonic()
-        self._inflight.append(("first", tok, req))
+        # first-token logprobs come from the same (post-extras) logits the
+        # sample used, so the whole stream reports one consistent
+        # distribution
+        lp1 = self._token_logprobs(logits_last, tok) if req.logprobs else None
+        self._inflight.append(("first", tok, req, lp1))
         return True
 
     def _decode_tick(self):
@@ -1445,10 +1501,13 @@ class ServingEngine:
         if self._lora_banks is not None:
             lora_kw = dict(lora_banks=self._lora_banks, lora_idx=lora_idx_dev)
         self._rng, rng = jax.random.split(self._rng)
+        lp = None
+        want_lp = any(r.logprobs for _, r in snapshot)
         if n_steps == 1 and any(_uses_penalties(r) for _, r in snapshot):
             # penalized single step: counts advance inside the program
+            fn = self._decode_pen_lp if want_lp else self._decode_pen
             (sampled, self.cache, self.cache_lens, self.last_tokens,
-             self._pen_counts) = self._decode_pen(
+             self._pen_counts, *rest) = fn(
                 self.params,
                 self.cache,
                 self.last_tokens,
@@ -1464,11 +1523,13 @@ class ServingEngine:
                 page_table=self.page_table if self.paged else None,
                 **lora_kw,
             )
+            lp = rest[0] if rest else None
         elif n_steps == 1:
             # ONE device call: decode all slots AND sample with per-slot
             # temperature (greedy where temperature == 0)
-            sampled, self.cache, self.cache_lens, self.last_tokens = (
-                self._decode(
+            fn = self._decode_lp if want_lp else self._decode
+            sampled, self.cache, self.cache_lens, self.last_tokens, *rest = (
+                fn(
                     self.params,
                     self.cache,
                     self.last_tokens,
@@ -1481,6 +1542,7 @@ class ServingEngine:
                     **lora_kw,
                 )
             )
+            lp = rest[0] if rest else None
         else:
             block_args = (
                 self.params,
@@ -1496,7 +1558,7 @@ class ServingEngine:
             sampled, self.cache, self.cache_lens, self.last_tokens = (
                 self._decode_block(*block_args, n_steps=n_steps, **lora_kw)
             )
-        self._inflight.append(("decode", sampled, snapshot, n_steps))
+        self._inflight.append(("decode", sampled, snapshot, n_steps, lp))
 
     def _process_oldest_decode(self):
         """Fetch the oldest in-flight result and emit its tokens. Slots
@@ -1507,10 +1569,10 @@ class ServingEngine:
             # a prefill-completion token: fetch + emit (stream order is
             # preserved — the queue is FIFO and this was appended before
             # any decode dispatch that includes the slot)
-            _, tok, req = entry
+            _, tok, req, lp1 = entry
             tok_i = int(np.asarray(tok)[0])
             if self._active.get(req.slot) is req:
-                self._emit(req, tok_i)
+                self._emit(req, tok_i, lp=_lp_row(lp1, 0))
             return
         if entry[0] == "spec":
             # speculative dispatch: emit each slot's ACCEPTED tokens (1 to
@@ -1534,15 +1596,19 @@ class ServingEngine:
                             self.spec_emitted_tokens += 1
                         self._emit(req, tok)
             return
-        _, sampled, snapshot, n_steps = entry
+        _, sampled, snapshot, n_steps, lp = entry
         sampled_np = np.asarray(sampled)
         if sampled_np.ndim == 1:
             sampled_np = sampled_np[:, None]
+        lp_np = None
+        if lp is not None:  # single-step logprobs variant only
+            lp_np = tuple(np.asarray(x) for x in lp)
         for s, req in snapshot:
             for j in range(sampled_np.shape[1]):
                 if self._active.get(s) is not req:
                     break  # finished; later columns are dropped
-                self._emit(req, int(sampled_np[s, j]))
+                row = _lp_row(lp_np, s) if req.logprobs else None
+                self._emit(req, int(sampled_np[s, j]), lp=row)
 
     def _drain_decodes(self):
         while self._inflight:
@@ -1585,14 +1651,20 @@ class ServingEngine:
             StreamEvent(token_id=None, finish_reason="cancelled")
         )
 
-    def _emit(self, req: Request, token_id: int):
+    def _emit(self, req: Request, token_id: int, lp=None):
         finish = None
         if token_id in req.stop_token_ids:
             finish = "stop"
         else:
             req.generated += 1
             req.emitted_ids.append(token_id)
-            req.out_queue.put(StreamEvent(token_id=token_id))
+            ev = StreamEvent(token_id=token_id)
+            if lp is not None:
+                ev.logprob = lp[0]
+                n = min(req.top_logprobs, len(lp[1]))
+                ev.top_ids = lp[1][:n]
+                ev.top_logprobs = lp[2][:n]
+            req.out_queue.put(ev)
             if req.generated >= req.max_tokens:
                 finish = "length"
             total = req.prompt_len + req.generated
@@ -2135,10 +2207,15 @@ def _decode_all_slots(
     out_counts=None, prompt_mask=None, bias_ids=None, bias_vals=None,
     seeds=None, page_table=None, lora_banks=None, lora_idx=None,
     *, cfg, decode_kernel: bool = False, with_counts: bool = False,
+    with_logprobs: bool = False,
 ):
     """One decode step for every slot, with per-slot temperature sampling
     fused in (ONE device call per step). Inactive slots keep cache_len and
     their last token; their logits are computed-but-ignored garbage.
+
+    ``with_logprobs``: additionally returns (chosen_logprob, top_ids,
+    top_logprobs) of the final (post-penalty/bias) logits — a separate
+    program variant so the fast path never pays the extra vocab pass.
 
     ``with_counts``: the penalized variant — applies presence/frequency/
     repetition penalties (samp cols 4..6) from per-slot output-token counts
@@ -2186,11 +2263,16 @@ def _decode_all_slots(
     sampled = _sample_slots(logits, samp, rng, seeds, cache_lens + 1)
     new_lens = jnp.where(active_mask, cache_lens + 1, cache_lens)
     new_last = jnp.where(active_mask, sampled, tokens)
+    out = (sampled, cache, new_lens, new_last)
     if with_counts:
         V = out_counts.shape[1]
         tok_idx = jnp.where(active_mask, sampled, V)  # inactive: dropped
         new_counts = out_counts.at[jnp.arange(B), tok_idx].add(
             1, mode="drop", unique_indices=True
         )
-        return sampled, cache, new_lens, new_last, new_counts
-    return sampled, cache, new_lens, new_last
+        out += (new_counts,)
+    if with_logprobs:
+        from ultravox_tpu.ops.sampling import token_logprobs
+
+        out += (token_logprobs(logits, sampled),)
+    return out

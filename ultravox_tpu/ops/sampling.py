@@ -250,3 +250,27 @@ def apply_penalties(
     lf = jnp.where(seen, jnp.where(lf > 0, lf / rep, lf * rep), lf)
     lf = lf - pres * (out_counts > 0) - freq * cnt
     return lf
+
+
+MAX_TOP_LOGPROBS = 5
+
+
+def token_logprobs(logits: jax.Array, sampled: jax.Array, k: int = MAX_TOP_LOGPROBS):
+    """Per-row log-softmax stats for OpenAI ``logprobs``: the sampled
+    token's logprob plus the top-``k`` alternatives (ids + logprobs).
+
+    Computed on the UNscaled logits — the model's own distribution (OpenAI
+    semantics), not the temperature/top-k-filtered sampling distribution.
+    Penalties and logit_bias, which redefine the distribution itself, are
+    applied by the caller before this (matching vLLM, which reports
+    logprobs on the processed logits).
+    """
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1, keepdims=True)
+    chosen = jnp.take_along_axis(lf, sampled[:, None].astype(jnp.int32), axis=-1)
+    top_vals, top_ids = jax.lax.top_k(lf, k)
+    return (
+        (chosen - lse)[:, 0],
+        top_ids.astype(jnp.int32),
+        top_vals - lse,
+    )
