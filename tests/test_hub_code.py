@@ -12,6 +12,7 @@ import sys
 import numpy as np
 import pytest
 import torch
+import transformers
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +56,8 @@ def published_dir(tmp_path_factory):
 def test_code_files_and_auto_map_published(published_dir):
     _, _, out = published_dir
     for fname in (
-        "ultravox_config.py", "ultravox_model.py", "ultravox_processing.py"
+        "ultravox_config.py", "ultravox_model.py", "ultravox_processing.py",
+        "ultravox_tokenizer.py", "ultravox_pipeline.py",
     ):
         assert os.path.exists(os.path.join(out, fname)), fname
     with open(os.path.join(out, "config.json")) as f:
@@ -71,7 +73,10 @@ def _load_standalone(out):
     import importlib.util
 
     mods = {}
-    for name in ("ultravox_config", "ultravox_model", "ultravox_processing"):
+    for name in (
+        "ultravox_config", "ultravox_model", "ultravox_processing",
+        "ultravox_tokenizer", "ultravox_pipeline",
+    ):
         spec = importlib.util.spec_from_file_location(
             name, os.path.join(out, f"{name}.py")
         )
@@ -175,6 +180,53 @@ def test_standalone_processor_matches_package_processor(published_dir):
         hub_proc(text="a <|audio|> b <|audio|> c", audio=audio)
 
 
+def test_standalone_pipeline_end_to_end(published_dir):
+    """The shipped ultravox_pipeline.py must run audio->text against the
+    published dir with only the dir's own code files (reference:
+    model/ultravox_pipeline.py registered as 'ultravox-pipeline')."""
+    cfg, params, out = published_dir
+    import safetensors.torch
+
+    mods = _load_standalone(out)
+    model_mod = mods["ultravox_model"][1]
+    config_mod = mods["ultravox_config"][1]
+    tok_mod = mods["ultravox_tokenizer"][1]
+    pipe_mod = mods["ultravox_pipeline"][1]
+
+    with open(os.path.join(out, "config.json")) as f:
+        hf_cfg = config_mod.UltravoxConfig(**{
+            k: v for k, v in json.load(f).items()
+            if k not in ("auto_map", "model_type")
+        })
+    model = model_mod.UltravoxModel(hf_cfg)
+    sd = safetensors.torch.load_file(os.path.join(out, "model.safetensors"))
+    model.load_state_dict(sd, strict=False)
+    model.eval()
+
+    # the tokenizer bootstrap loads the dir's tokenizer + <|audio|> token
+    tok = tok_mod.from_pretrained_text_tokenizer(out)
+    assert tok_mod.get_audio_token_id(tok) == len(tok) - 1
+
+    pipe = pipe_mod.UltravoxPipeline(model=model, tokenizer=tok)
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    text = pipe(
+        {"audio": wav, "sampling_rate": 16000, "prompt": "say <|audio|>"},
+        max_new_tokens=4,
+    )
+    assert isinstance(text, str)
+    # text-only turns (no audio) must also work
+    text2 = pipe(
+        {"turns": [{"role": "user", "content": "hello"}]}, max_new_tokens=3
+    )
+    assert isinstance(text2, str)
+    # registered with transformers' pipeline registry under the same name
+    assert (
+        "ultravox-pipeline"
+        in transformers.pipelines.PIPELINE_REGISTRY.get_supported_tasks()
+    )
+
+
 class _FakeModelInfo:
     def __init__(self, id, private=False):
         self.id = id
@@ -216,7 +268,8 @@ def test_update_hf_models_syncs_code_and_config(tmp_path):
     paths = sorted(op.path_in_repo for op in ops)
     assert paths == [
         "config.json", "ultravox_config.py", "ultravox_model.py",
-        "ultravox_processing.py",
+        "ultravox_pipeline.py", "ultravox_processing.py",
+        "ultravox_tokenizer.py",
     ]
     cfg_op = [op for op in ops if op.path_in_repo == "config.json"][0]
     cfg = json.loads(cfg_op.path_or_fileobj.decode())

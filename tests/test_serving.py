@@ -881,12 +881,13 @@ def test_cancel_pending_request_acknowledged_immediately(setup):
             _time.sleep(0.01)
         r_pending = serving.submit(batch, max_tokens=120)
         serving.cancel(r_pending)
-        t0 = _time.monotonic()
         ids_p, fin_p = _drain(serving, r_pending)
-        waited = _time.monotonic() - t0
         assert fin_p == "cancelled" and ids_p == []
-        # acknowledged while the long request still decodes, not after it
-        assert waited < 10.0
+        # event-ordered (not wall-clock) check: the ack arrived while the
+        # long request still holds the slot — if cancellation waited for
+        # the slot to free, r_long would have finished (and left _active)
+        # before the pending drain returned
+        assert r_long in serving._active.values()
         ids_l, fin_l = _drain(serving, r_long)
         assert fin_l == "length" and len(ids_l) == 120
     finally:

@@ -167,6 +167,70 @@ def test_openai_client_payload():
     assert parts[1]["input_audio"]["format"] == "wav"
 
 
+def test_tts_clients_mocked_transport(tmp_path, monkeypatch):
+    """Concrete Azure/ElevenLabs TTS clients (reference tts.py:25-186) run
+    against a mocked HTTP transport: correct URL/headers/body, PCM16 decode,
+    and TtsTask consumes them end-to-end over a real dataset split."""
+    import datasets as hf_datasets
+
+    from ultravox_tpu.tools.ds_tool.ds_tool import TtsTask
+    from ultravox_tpu.tools.ds_tool.tts import (
+        AzureTts,
+        ElevenTts,
+        create_client,
+    )
+
+    pcm = (np.arange(-4, 4, dtype="<i2") * 1000).tobytes()
+
+    class FakeResp:
+        content = pcm
+
+        def raise_for_status(self):
+            pass
+
+    session = mock.MagicMock()
+    session.post.return_value = FakeResp()
+
+    monkeypatch.setenv("AZURE_TTS_API_KEY", "k-azure")
+    azure = AzureTts(sample_rate=16000, session=session)
+    wav, sr = azure.synthesize("hello <world>", voice=None)
+    assert sr == 16000 and wav.dtype == np.float32 and len(wav) == 8
+    np.testing.assert_allclose(wav, np.arange(-4, 4) * 1000 / 32768.0)
+    (url,), kwargs = session.post.call_args
+    assert url == "https://westus.tts.speech.microsoft.com/cognitiveservices/v1"
+    assert kwargs["headers"]["Ocp-Apim-Subscription-Key"] == "k-azure"
+    assert kwargs["headers"]["X-Microsoft-OutputFormat"] == (
+        "raw-16khz-16bit-mono-pcm"
+    )
+    body = kwargs["data"].decode()
+    assert "en-US-JennyNeural" in body and "&lt;world&gt;" in body
+
+    monkeypatch.setenv("ELEVEN_API_KEY", "k-11")
+    eleven = ElevenTts(sample_rate=24000, session=session)
+    wav, sr = eleven.synthesize("hi", voice="random")
+    assert sr == 24000 and len(wav) == 8
+    (url,), kwargs = session.post.call_args
+    assert url.endswith("/stream?output_format=pcm_24000")
+    assert kwargs["headers"]["xi-api-key"] == "k-11"
+    assert kwargs["json"]["model_id"] == ElevenTts.DEFAULT_MODEL
+    assert url.split("/stream")[0].rsplit("/", 1)[1] in ElevenTts.ALL_VOICES
+
+    # missing keys raise a clear error instead of posting
+    monkeypatch.delenv("ELEVEN_API_KEY")
+    with pytest.raises(RuntimeError, match="ELEVEN_API_KEY"):
+        ElevenTts(session=session).synthesize("x")
+    with pytest.raises(ValueError, match="unknown TTS implementation"):
+        create_client("nope")
+
+    # TtsTask resolves the provider name via create_client and maps a split
+    task = TtsTask(client="azure", column_name="text")
+    task.client._session = session
+    ds = hf_datasets.Dataset.from_dict({"text": ["a", "b"]})
+    out = task.map_split(ds)
+    assert len(out["question_audio"]) == 2
+    assert out["question_audio"][0]["sampling_rate"] == 16000
+
+
 def test_audiomix_task():
     """audiomix surrounds each sample with volume-matched pool audio and
     drops rows over max_length (reference: tasks/audio_mix_task.py)."""

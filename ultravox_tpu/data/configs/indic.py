@@ -7,6 +7,7 @@ from typing import List
 
 from ultravox_tpu.data import types
 from ultravox_tpu.data.types import (
+    CONTINUATION_PROMPTS,
     TRANSCRIPTION_PROMPTS_LANGUAGE,
     DatasetConfig,
     DatasetSplitConfig,
@@ -72,6 +73,65 @@ def _family(
                 eval_config=EvalConfig(metric="wer", args={"lang_id": lang}),
             )
         )
+        # continuation leaves (reference: *_CONT_CONFIG entries — the
+        # v0.5.1 hindi-focused recipes train on them)
+        out.append(
+            DatasetConfig(
+                name=f"{cfg_name}-continuation",
+                base=cfg_name,
+                user_template=CONTINUATION_PROMPTS[0],
+                assistant_template="{{continuation}}",
+                transcript_template="{{" + transcript_col + "}}",
+                eval_config=EvalConfig(metric="bleu"),
+            )
+        )
+
+
+# SeamlessAlign indic2en (reference: data/configs/seamlessalign.py — one
+# TRAIN split per language inside the subset)
+SEAMLESS_LANGS = {
+    "hindi": 1_020_000, "kannada": 68_600, "tamil": 479_000,
+    "telugu": 329_000, "urdu": 1_110_000,
+}
+
+
+def _seamless(out: List[DatasetConfig]) -> None:
+    out.append(
+        DatasetConfig(
+            name="seamless",
+            path="fixie-ai/SeamlessAlign",
+            subset="indic2en",
+            transcript_template="{{transcription}}",
+        )
+    )
+    for lang, n_train in SEAMLESS_LANGS.items():
+        cfg_name = f"seamless-{lang}"
+        out.append(
+            DatasetConfig(
+                name=cfg_name,
+                base="seamless",
+                splits=[DatasetSplitConfig(name=lang, num_samples=n_train)],
+            )
+        )
+        out.append(
+            DatasetConfig(
+                name=f"{cfg_name}-transcription",
+                base=cfg_name,
+                user_template=TRANSCRIPTION_PROMPTS_LANGUAGE[0],
+                user_template_args={"language": lang.capitalize()},
+                assistant_template="{{transcription}}",
+                eval_config=EvalConfig(metric="wer", args={"lang_id": lang}),
+            )
+        )
+        out.append(
+            DatasetConfig(
+                name=f"{cfg_name}-continuation",
+                base=cfg_name,
+                user_template=CONTINUATION_PROMPTS[0],
+                assistant_template="{{continuation}}",
+                eval_config=EvalConfig(metric="bleu"),
+            )
+        )
 
 
 def configs() -> List[DatasetConfig]:
@@ -79,4 +139,5 @@ def configs() -> List[DatasetConfig]:
     _family(out, "indicvoices", "ai4bharat/indicvoices_r", INDICVOICES_LANGS, "text")
     _family(out, "shrutilipi", "ai4bharat/shrutilipi", SHRUTILIPI_LANGS, "transcription")
     _family(out, "kathbath", "ai4bharat/kathbath", KATHBATH_LANGS, "transcript")
+    _seamless(out)
     return out

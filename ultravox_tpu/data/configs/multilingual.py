@@ -154,6 +154,18 @@ def configs() -> List[DatasetConfig]:
         leaf.assistant_template = "{{transcript}}"
         leaf.transcript_template = "{{transcript}}"
         out.append(leaf)
+        # continuation leaves (reference: configs/multilingual_librispeech.py
+        # MLS_*_CONT_CONFIG — the v0.4.1/v0.5 recipes train on nl/pt)
+        out.append(
+            DatasetConfig(
+                name=f"{cfg_name}-continuation",
+                base=cfg_name,
+                user_template=CONTINUATION_PROMPTS[0],
+                assistant_template="{{continuation}}",
+                transcript_template="{{transcript}}",
+                eval_config=EvalConfig(metric="bleu"),
+            )
+        )
 
     # -- VoxPopuli --------------------------------------------------------
     out.append(
@@ -193,6 +205,16 @@ def configs() -> List[DatasetConfig]:
     leaf.transcript_template = "{{text}}"
     leaf.eval_config.args = {"lang_id": "zh"}
     out.append(leaf)
+    out.append(
+        DatasetConfig(
+            name="wenetspeech-continuation",
+            base="wenetspeech",
+            user_template=CONTINUATION_PROMPTS[0],
+            assistant_template="{{continuation}}",
+            transcript_template="{{text}}",
+            eval_config=EvalConfig(metric="bleu"),
+        )
+    )
 
     # -- FLEURS full sweep ----------------------------------------------------
     for lang in FLEURS_LANGS:

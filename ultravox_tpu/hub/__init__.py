@@ -20,6 +20,8 @@ HUB_CODE_FILES = (
     "ultravox_config.py",
     "ultravox_model.py",
     "ultravox_processing.py",
+    "ultravox_tokenizer.py",
+    "ultravox_pipeline.py",
 )
 
 AUTO_MAP = {

@@ -108,32 +108,45 @@ class ServingAPI:
             raise ValueError(f"n must be in [1, {MAX_CHOICES}]")
         seed = body.get("seed")
         reqs = []
-        for i in range(n):
-            reqs.append(self.engine.submit(
-                batch,
-                max_tokens=int(num("max_tokens", 256)),
-                temperature=float(num("temperature", 0.0)),
-                top_k=int(num("top_k", 0)),
-                top_p=float(num("top_p", 1.0)),
-                min_p=float(num("min_p", 0.0)),
-                presence_penalty=float(num("presence_penalty", 0.0)),
-                frequency_penalty=float(num("frequency_penalty", 0.0)),
-                repetition_penalty=float(num("repetition_penalty", 1.0)),
-                logit_bias=(body.get("logit_bias") or {}),
-                # seeded sampling is position-keyed and co-batch
-                # independent, so the same seed would make every choice
-                # identical — derive seed+i per choice (documented: choice
-                # 0 reproduces a seeded n=1 request exactly)
-                seed=None if seed is None else int(seed) + i,
-                lora=lora,
-                logprobs=bool(body.get("logprobs", False)),
-                top_logprobs=int(num("top_logprobs", 0)),
-                stop_token_ids=tuple(stop_ids),
-            ))
+        try:
+            for i in range(n):
+                reqs.append(self._submit_choice(body, batch, stop_ids, lora,
+                                                num, seed, i))
+        except Exception:
+            # a failed choice must not leak its siblings: already-submitted
+            # requests would otherwise decode to max_tokens holding slots
+            for req in reqs:
+                self.engine.cancel(req)
+            raise
         return reqs
 
+    def _submit_choice(self, body, batch, stop_ids, lora, num, seed, i):
+        return self.engine.submit(
+            batch,
+            max_tokens=int(num("max_tokens", 256)),
+            temperature=float(num("temperature", 0.0)),
+            top_k=int(num("top_k", 0)),
+            top_p=float(num("top_p", 1.0)),
+            min_p=float(num("min_p", 0.0)),
+            presence_penalty=float(num("presence_penalty", 0.0)),
+            frequency_penalty=float(num("frequency_penalty", 0.0)),
+            repetition_penalty=float(num("repetition_penalty", 1.0)),
+            logit_bias=(body.get("logit_bias") or {}),
+            # seeded sampling is position-keyed and co-batch
+            # independent, so the same seed would make every choice
+            # identical — derive seed+i per choice (documented: choice
+            # 0 reproduces a seeded n=1 request exactly)
+            seed=None if seed is None else int(seed) + i,
+            lora=lora,
+            logprobs=bool(body.get("logprobs", False)),
+            top_logprobs=int(num("top_logprobs", 0)),
+            stop_token_ids=tuple(stop_ids),
+        )
+
     def build_request(self, body: Dict[str, Any]):
-        return self.build_requests(body)[0]
+        # single-request surface: n>1 would submit sibling choices the
+        # caller has no handle to drain or cancel
+        return self.build_requests({**body, "n": 1})[0]
 
     def handle_chat(self, body: Dict[str, Any]):
         """Returns (non-streaming response dict) or a generator of SSE lines."""
@@ -149,41 +162,54 @@ class ServingAPI:
         choices = []
         completion_tokens = 0
         # sequential drain is fine: all choices decode concurrently in the
-        # engine regardless of the order their queues are read
-        for i, req in enumerate(reqs):
-            token_ids: List[int] = []
-            lp_entries: List[Dict[str, Any]] = []
-            finish = "stop"
-            text = ""
-            for event in self.engine.stream(req):
-                if event.token_id is None:
-                    finish = event.finish_reason or "stop"
-                    text = self.tokenizer.decode(
-                        token_ids, skip_special_tokens=True
-                    )
-                    break
-                token_ids.append(event.token_id)
-                if want_lp and event.logprob is not None:
-                    lp_entries.append(self._lp_entry(event))
-                if stops:
-                    text = self.tokenizer.decode(
-                        token_ids, skip_special_tokens=True
-                    )
-                    cut = _find_stop(text, stops)
-                    if cut >= 0:
-                        # matched a stop sequence: truncate BEFORE it
-                        # (OpenAI semantics) and abort the decode
-                        text = text[:cut]
-                        finish = "stop"
-                        self.engine.cancel(req)
+        # engine regardless of the order their queues are read; the finally
+        # cancels undrained siblings if a client/tokenizer error aborts the
+        # drain mid-way (the SSE path already does this)
+        try:
+            for i, req in enumerate(reqs):
+                token_ids: List[int] = []
+                lp_entries: List[Dict[str, Any]] = []
+                finish = "stop"
+                text = ""
+                for event in self.engine.stream(req):
+                    if event.token_id is None:
+                        finish = event.finish_reason or "stop"
+                        text = self.tokenizer.decode(
+                            token_ids, skip_special_tokens=True
+                        )
                         break
-            completion_tokens += len(token_ids)
-            choices.append({
-                "index": i,
-                "message": {"role": "assistant", "content": text},
-                "logprobs": {"content": lp_entries} if want_lp else None,
-                "finish_reason": finish,
-            })
+                    token_ids.append(event.token_id)
+                    if want_lp and event.logprob is not None:
+                        lp_entries.append(self._lp_entry(event))
+                    if stops:
+                        text = self.tokenizer.decode(
+                            token_ids, skip_special_tokens=True
+                        )
+                        cut = _find_stop(text, stops)
+                        if cut >= 0:
+                            # matched a stop sequence: truncate BEFORE it
+                            # (OpenAI semantics) and abort the decode
+                            text = text[:cut]
+                            finish = "stop"
+                            self.engine.cancel(req)
+                            # OpenAI trims logprobs to the emitted output:
+                            # drop entries for tokens at/after the cut
+                            lp_entries = self._trim_lp_to_cut(
+                                token_ids, lp_entries, cut
+                            )
+                            break
+                completion_tokens += len(token_ids)
+                choices.append({
+                    "index": i,
+                    "message": {"role": "assistant", "content": text},
+                    "logprobs": (
+                        {"content": lp_entries} if want_lp else None
+                    ),
+                    "finish_reason": finish,
+                })
+        finally:
+            for req in reqs[len(choices):]:
+                self.engine.cancel(req)
         return {
             "id": rid,
             "object": "chat.completion",
@@ -310,6 +336,21 @@ class ServingAPI:
             for t, l in zip(event.top_ids or (), event.top_logprobs or ())
         ]
         return entry
+
+    def _trim_lp_to_cut(self, token_ids, lp_entries, cut: int):
+        """Keep logprob entries only for tokens whose decoded text ends at
+        or before ``cut`` characters — tokens that complete a matched stop
+        string are not part of the emitted message content."""
+        keep = 0
+        for k in range(1, len(token_ids) + 1):
+            prefix = self.tokenizer.decode(
+                token_ids[:k], skip_special_tokens=True
+            )
+            if len(prefix) <= cut:
+                keep = k
+            else:
+                break
+        return lp_entries[: min(keep, len(lp_entries))]
 
     # -- real-time voice (reference: tools/gradio_voice.py — WebRTC + VAD
     # ReplyOnPause; here: WebSocket PCM16 + in-repo energy VAD) -------------

@@ -259,11 +259,10 @@ def token_logprobs(logits: jax.Array, sampled: jax.Array, k: int = MAX_TOP_LOGPR
     """Per-row log-softmax stats for OpenAI ``logprobs``: the sampled
     token's logprob plus the top-``k`` alternatives (ids + logprobs).
 
-    Computed on the UNscaled logits — the model's own distribution (OpenAI
-    semantics), not the temperature/top-k-filtered sampling distribution.
-    Penalties and logit_bias, which redefine the distribution itself, are
-    applied by the caller before this (matching vLLM, which reports
-    logprobs on the processed logits).
+    Computed on the post-penalty/logit_bias, pre-temperature logits (vLLM
+    semantics): penalties and bias redefine the distribution itself and are
+    applied by the caller before this, while temperature/top-k/top-p only
+    shape sampling and are NOT reflected in the reported logprobs.
     """
     lf = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(lf, axis=-1, keepdims=True)

@@ -120,10 +120,13 @@ def pipelined_decoder_hidden(
     pipelined over ``mesh[axis_name]`` — the pipeline-parallel counterpart
     of ``decoder_forward(..., return_hidden=True)`` (models/decoder.py).
 
-    ``B`` must divide by ``n_micro`` (default: the stage count) and
-    ``cfg.num_layers`` by the stage count. Rope tables and attention
-    biases are built once per microbatch and ride the pipeline as context,
-    so stages never recompute (or mis-index) per-microbatch masks.
+    ``B`` must divide by ``n_micro`` and ``cfg.num_layers`` by the stage
+    count. When ``n_micro`` is None it defaults to the largest multiple of
+    the stage count that divides ``B`` (capped at 4x stages — the M >=
+    4*P guideline above keeps the bubble under ~20%; M = P alone would
+    idle ~half the pipeline). Rope tables and attention biases are built
+    once per microbatch and ride the pipeline as context, so stages never
+    recompute (or mis-index) per-microbatch masks.
     """
     from ultravox_tpu.models import decoder as dl
 
@@ -133,7 +136,14 @@ def pipelined_decoder_hidden(
             f"num_layers={cfg.num_layers} not divisible by "
             f"{n_stages} pipeline stages"
         )
-    M = n_micro or n_stages
+    if n_micro is None:
+        B_ = inputs_embeds.shape[0]
+        n_micro = n_stages
+        for m in (4 * n_stages, 3 * n_stages, 2 * n_stages):
+            if B_ % m == 0:
+                n_micro = m
+                break
+    M = n_micro
     B = inputs_embeds.shape[0]
     if B % M:
         raise ValueError(f"batch {B} not divisible by n_micro={M}")

@@ -70,7 +70,18 @@ class TtsTask:
     column_name: str = "question"
     audio_column_name: str = "question_audio"
     voice: Optional[str] = None
+    sample_rate: int = 16000
+    # injectable object, or a provider name ("azure"/"eleven") resolved to
+    # the concrete HTTP client in tts.py (reference tts.py:164-169)
     client: Any = None
+
+    def __post_init__(self):
+        if isinstance(self.client, str):
+            from ultravox_tpu.tools.ds_tool.tts import create_client
+
+            self.client = create_client(
+                self.client, sample_rate=self.sample_rate
+            )
 
     def map_split(self, dataset, num_proc: int = 1):
         def synth(row):
@@ -532,6 +543,9 @@ def main():
         import openai
 
         task_kwargs["client"] = openai.OpenAI()
+    if args.task == "tts" and "client" not in task_kwargs:
+        # concrete provider clients live in tts.py (reference tts.py default)
+        task_kwargs["client"] = "azure"
     task = task_cls(**task_kwargs)
 
     ds = hf_datasets.load_dataset(args.dataset, args.subset, split=args.split)

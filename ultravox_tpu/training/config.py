@@ -23,6 +23,36 @@ CONFIGS_DIR = os.path.join(os.path.dirname(__file__), "configs")
 META_CONFIG = os.path.join(CONFIGS_DIR, "meta_config.yaml")
 
 
+def expand_data_set_specs(entries) -> tuple:
+    """Normalise a mixed data-set list to (names, weights).
+
+    Accepts plain names, reference-style ``{name, weight}`` dicts
+    (training/configs/v0.4.1_config.yaml uses per-set weights), and compact
+    template specs ``{template, langs, weight?, weights?}`` where
+    ``template`` contains ``{lang}``, ``weight`` is the default per-language
+    weight and ``weights`` maps individual languages to overrides — the
+    data-driven form the repo's dataset configs already use.
+    """
+    names: List[str] = []
+    weights: List[float] = []
+    for entry in entries:
+        if isinstance(entry, str):
+            names.append(entry)
+            weights.append(1.0)
+        elif isinstance(entry, dict) and "template" in entry:
+            default_w = float(entry.get("weight", 1.0))
+            overrides = entry.get("weights") or {}
+            for lang in entry["langs"]:
+                names.append(entry["template"].format(lang=lang))
+                weights.append(float(overrides.get(lang, default_w)))
+        elif isinstance(entry, dict) and "name" in entry:
+            names.append(entry["name"])
+            weights.append(float(entry.get("weight", 1.0)))
+        else:
+            raise ValueError(f"bad data_sets entry: {entry!r}")
+    return names, weights
+
+
 @dataclasses.dataclass
 class TrainConfig:
     # -- experiment ------------------------------------------------------
@@ -72,9 +102,14 @@ class TrainConfig:
     audio_model_lora: Optional[Dict[str, Any]] = None
 
     # -- data ----------------------------------------------------------------
-    data_sets: List[str] = dataclasses.field(default_factory=list)
+    # Entries are dataset names, reference-style dicts ({name, weight} —
+    # train_sets in configs/v0.*.yaml), or compact template specs
+    # ({template: "commonvoice-{lang}-transcription", langs: [...],
+    #   weight: 1, weights: {hi: 10}}) expanded at construction; everything
+    # normalises to flat data_sets + data_weights.
+    data_sets: List[Any] = dataclasses.field(default_factory=list)
     data_weights: Optional[List[float]] = None
-    val_sets: List[str] = dataclasses.field(default_factory=list)
+    val_sets: List[Any] = dataclasses.field(default_factory=list)
     num_samples: Optional[int] = None
     batch_size: int = 4  # global batch size
     max_audio_duration_secs: float = 16.0
@@ -147,6 +182,15 @@ class TrainConfig:
     def __post_init__(self):
         if self.output_dir is None:
             self.output_dir = os.path.join("runs", self.exp_name)
+        if any(not isinstance(e, str) for e in self.data_sets):
+            if self.data_weights is not None:
+                raise ValueError(
+                    "use either data_weights or per-entry weights, not both"
+                )
+            names, weights = expand_data_set_specs(self.data_sets)
+            self.data_sets, self.data_weights = names, weights
+        self.val_sets = expand_data_set_specs(self.val_sets)[0]
+        self.eval_sets = expand_data_set_specs(self.eval_sets)[0]
         if self.data_weights is not None and len(self.data_weights) != len(
             self.data_sets
         ):
@@ -193,8 +237,18 @@ def _coerce(value: str) -> Any:
 
 
 def load_yaml(path: str) -> Dict[str, Any]:
+    """Load a config yaml; an ``extends: <path>`` key (relative to the
+    file) loads that config first and overlays this file's keys on it."""
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        data = yaml.safe_load(f) or {}
+    base_path = data.pop("extends", None)
+    if base_path is not None:
+        if not os.path.isabs(base_path):
+            base_path = os.path.join(os.path.dirname(path), base_path)
+        merged = load_yaml(base_path)
+        merged.update(data)
+        return merged
+    return data
 
 
 def get_train_config(argv: Optional[List[str]] = None) -> TrainConfig:
