@@ -524,7 +524,77 @@ def _train_metrics():
         state, metrics = step_fn(state, batch)
     float(metrics["loss"])  # fence
     dt = (time.perf_counter() - t0) / iters
-    return {"train_samples_s_1b_kl_10s_audio_batch8": round(B / dt, 1)}
+    flops = _train_step_flops(cfg, B, T, T2, mel_frames)
+    return {
+        "train_samples_s_1b_kl_10s_audio_batch8": round(B / dt, 1),
+        # model-FLOPs utilization of the measured step (the same rigor the
+        # decode/encoder numbers carry): executed matmul FLOPs per the
+        # KL-recipe cost model below / step time / chip peak. Remat
+        # recompute is EXCLUDED (model FLOPs, PaLM-style MFU — hardware
+        # utilization is higher).
+        "train_mfu_pct": round(
+            flops / dt / PEAK_BF16_FLOPS * 100, 1
+        ),
+    }
+
+
+def _train_step_flops(cfg, B, T, T2, mel_frames) -> float:
+    """Matmul FLOPs executed by one KL train step at these shapes.
+
+    Frozen-tower accounting (what the step actually computes):
+    - audio encoder: forward only (its params AND inputs carry no grads,
+      so XLA dead-code-eliminates its backward entirely)
+    - student decoder layers: forward + activation-grad (dgrad) backward —
+      frozen params skip the weight-grad (wgrad) third
+    - projector (trainable): forward + dgrad + wgrad (3x forward)
+    - KL teacher decoder + its lm_head: forward only (stop_gradient)
+    - chunked loss lm_head on the student: forward + dgrad
+    - attention score/value matmuls at their quadratic cost
+    """
+    tc, ac = cfg.text_config, cfg.audio_config
+    T_e = mel_frames // 2  # conv stem downsamples 2x
+
+    # per-layer matmul params
+    d_attn_dec = tc.hidden_size * tc.num_heads * tc.head_dim * 2 + (
+        tc.hidden_size * tc.num_kv_heads * tc.head_dim * 2
+    )
+    d_mlp_dec = 3 * tc.hidden_size * tc.intermediate_size
+    p_dec_layers = tc.num_layers * (d_attn_dec + d_mlp_dec)
+    p_enc_layers = ac.num_layers * (
+        4 * ac.d_model**2 + 2 * ac.d_model * ac.ffn_dim
+    )
+    p_lm_head = tc.hidden_size * tc.vocab_size
+
+    def attn_quad(n_layers, n_heads, head_dim, t):
+        # QK^T + PV per layer: 2 matmuls x 2 FLOP/MAC x T^2 x (H x Dh)
+        return n_layers * 4 * t * t * n_heads * head_dim
+
+    fwd_student = 2 * p_dec_layers * B * T + B * attn_quad(
+        tc.num_layers, tc.num_heads, tc.head_dim, T
+    )
+    fwd_teacher = 2 * p_dec_layers * B * T2 + B * attn_quad(
+        tc.num_layers, tc.num_heads, tc.head_dim, T2
+    )
+    fwd_encoder = 2 * p_enc_layers * B * T_e + B * attn_quad(
+        ac.num_layers, ac.num_heads, ac.d_model // ac.num_heads, T_e
+    )
+    # projector: stacked (8x1280-ish) -> hidden -> swiglu -> d_model
+    n_audio_tok = T_e // cfg.stack_factor
+    p_proj = (
+        ac.d_model * cfg.stack_factor * cfg.hidden_size
+        + cfg.hidden_size // 2 * tc.hidden_size
+    )
+    fwd_proj = 2 * p_proj * B * n_audio_tok
+    lm_head_student = 2 * p_lm_head * B * T
+    lm_head_teacher = 2 * p_lm_head * B * T2
+    return (
+        2 * fwd_student  # fwd + dgrad
+        + fwd_teacher
+        + fwd_encoder
+        + 3 * fwd_proj
+        + 2 * lm_head_student
+        + lm_head_teacher
+    )
 
 
 def _encoder_10s_once() -> float:

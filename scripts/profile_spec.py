@@ -93,6 +93,10 @@ def main():
             eng.start()
             try:
                 run_load(eng, prompts, 16)  # compile
+                eng.spec_dispatches = eng.spec_emitted_tokens = 0
+                eng.spec_syncs = eng.spec_single_dispatches = 0
+                eng.spec_wasted_tokens = 0
+                eng.spec_sync_s = 0.0
                 tokens, dt = run_load(eng, prompts, args.max_tokens)
             finally:
                 eng.stop()
@@ -103,7 +107,11 @@ def main():
                 acc = eng.spec_emitted_tokens / max(eng.spec_dispatches, 1)
                 line += (
                     f"  (accept/round {acc:.2f}, "
-                    f"{eng.spec_dispatches} rounds)"
+                    f"{eng.spec_dispatches} rounds, "
+                    f"{eng.spec_syncs} syncs costing {eng.spec_sync_s:.2f}s, "
+                    f"{eng.spec_single_dispatches} single-round dispatches, "
+                    f"{eng.spec_wasted_tokens} wasted tokens; "
+                    f"run wall {dt:.2f}s)"
                 )
             print(line, flush=True)
 

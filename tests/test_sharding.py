@@ -55,9 +55,34 @@ def setup():
 
 def test_mesh_resolution():
     mc = MeshConfig(data=2, fsdp=-1, tensor=2)
-    assert mc.resolve(8) == (2, 2, 2)
+    assert mc.resolve(8) == (2, 2, 2, 1)
     mesh = make_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
-    assert dict(mesh.shape) == {"data": 1, "fsdp": 4, "tensor": 2}
+    assert dict(mesh.shape) == {"data": 1, "fsdp": 4, "tensor": 2, "pipe": 1}
+    assert MeshConfig(data=1, fsdp=2, tensor=1, pipe=-1).resolve(8) == (
+        1, 2, 1, 4
+    )
+
+
+def test_pipe_rules_shard_layer_stack(setup):
+    """With pipe > 1 every decoder layer-stacked leaf shards its leading L
+    axis over the pipe axis (each stage holds only its slice; the fallback
+    rule covers norms/biases the named rules don't)."""
+    from ultravox_tpu.parallel.sharding import rules_for_mesh
+
+    cfg, params, _ = setup
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=2, pipe=2))
+    specs = param_pspecs(params, rules_for_mesh(mesh), mesh)
+    layers = specs["language_model"]["layers"]
+    for path, spec in jax.tree_util.tree_leaves_with_path(
+        layers, is_leaf=lambda x: isinstance(x, P)
+    ):
+        assert len(spec) >= 1 and spec[0] == "pipe", (path, spec)
+    # non-layer params unchanged; pipe-free meshes keep DEFAULT_RULES
+    assert specs["language_model"]["embed_tokens"][0] != "pipe"
+    mesh1 = make_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    from ultravox_tpu.parallel.sharding import DEFAULT_RULES
+
+    assert rules_for_mesh(mesh1) is DEFAULT_RULES
 
 
 def test_param_specs_cover_tree(setup):

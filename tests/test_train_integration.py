@@ -107,3 +107,34 @@ def test_resume_from_checkpoint(tmp_path, tokenizer_dir):
     )
     train(config2)
     assert os.path.exists(os.path.join(config2.output_dir, "checkpoint-4"))
+
+
+def test_train_pipeline_parallel_matches_single(tmp_path, tokenizer_dir):
+    """mesh_pipe=2 through the train CLI: the decoder layer stack runs as a
+    2-stage GPipe (parallel/pipeline.py) and the loss trajectory matches the
+    non-pipelined run (same ops, different schedule; beyond-reference —
+    SURVEY §2.4 'PP: absent')."""
+    import json
+
+    from ultravox_tpu.training.train import train
+
+    losses = {}
+    for name, overrides in (
+        ("plain", {}),
+        ("pipe", {"mesh_pipe": 2, "mesh_fsdp": 1}),
+    ):
+        config = _config(
+            tmp_path.joinpath(name), tokenizer_dir, seed=7, **overrides
+        )
+        metrics = train(config)
+        assert np.isfinite(metrics["loss"])
+        with open(
+            os.path.join(config.output_dir, "train_log.jsonl")
+        ) as f:
+            losses[name] = [
+                json.loads(line)["loss"]
+                for line in f
+                if "loss" in json.loads(line)
+            ]
+    assert len(losses["plain"]) == len(losses["pipe"]) >= 2
+    np.testing.assert_allclose(losses["pipe"], losses["plain"], rtol=2e-3)

@@ -34,7 +34,8 @@ def main():
         config.coordinator_address, config.num_processes, config.process_id
     )
     mesh = make_mesh(
-        MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor)
+        MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor,
+                   config.mesh_pipe)
     )
     model_pack = create_model_pack(config)
     params = shard_params(model_pack.params, mesh)

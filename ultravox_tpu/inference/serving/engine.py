@@ -549,6 +549,12 @@ class ServingEngine:
         self.spec_ngram = int(spec_ngram)
         self.spec_emitted_tokens = 0  # observability: tokens via spec
         self.spec_dispatches = 0
+        # loop-level observability (the device programs are cheap — the
+        # engine loop's stalls are where speculation loses, so count them)
+        self.spec_syncs = 0  # history went stale: drain + re-upload stalls
+        self.spec_sync_s = 0.0  # wall time spent in those stalls
+        self.spec_single_dispatches = 0  # 1-round (no multi-round headroom)
+        self.spec_wasted_tokens = 0  # accepted but dropped (finished reqs)
         if spec_decode:
             if self.spec_k < 1 or self.spec_ngram < 1:
                 raise ValueError("spec_k and spec_ngram must be >= 1")
@@ -1367,6 +1373,8 @@ class ServingEngine:
             # the on-device history is stale (a non-speculative dispatch
             # ran, or the active set changed): retire in-flight work so
             # host-side token truth is exact, then re-upload
+            t_sync = time.monotonic()
+            self.spec_syncs += 1
             self._drain_decodes()
             if not self._active:
                 return False
@@ -1376,6 +1384,7 @@ class ServingEngine:
             if headroom < self.spec_k + 1:
                 # draining advanced someone to the cache edge; a spec
                 # dispatch could drop accepted tokens' KV writes
+                self.spec_sync_s += time.monotonic() - t_sync
                 self._dispatch_decode(1)
                 return True
             self._sync_spec_hist()
@@ -1386,11 +1395,14 @@ class ServingEngine:
                 (s, self._active[s].request_id) for s in sorted(self._active)
             )
             self._spec_key = key
+            self.spec_sync_s += time.monotonic() - t_sync
         worst = self.spec_k + 1
         n_rounds = 1
         if self.spec_rounds > 1 and headroom >= self.spec_rounds * worst:
             n_rounds = self.spec_rounds
             worst = self.spec_rounds * worst
+        else:
+            self.spec_single_dispatches += 1
         slots = sorted(self._active)
         snapshot = [(s, self._active[s]) for s in slots]
         if self._spec_cache is None or self._spec_cache[0] != key:
@@ -1588,6 +1600,9 @@ class ServingEngine:
                 for s, req in snapshot:
                     for j in range(int(acc_np[r, s])):
                         if self._active.get(s) is not req:
+                            self.spec_wasted_tokens += (
+                                int(acc_np[r, s]) - j
+                            )
                             break
                         tok = int(out_np[r, s, j])
                         if tok not in req.stop_token_ids:

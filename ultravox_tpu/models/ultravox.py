@@ -176,6 +176,8 @@ def ultravox_forward(
     remat: bool = False,
     attn_impl: str = "xla",  # "flash" = differentiable Pallas in both towers
     return_hidden: bool = False,  # final hidden states instead of logits
+    pipe_mesh=None,  # Mesh with a >1 "pipe" axis: GPipe the decoder stack
+    pipe_micro: Optional[int] = None,
 ) -> jax.Array:
     """Full-sequence forward. Returns fp32 logits (B, T, V) — or, with
     ``return_hidden``, the final hidden states (B, T, D) so callers can
@@ -185,6 +187,10 @@ def ultravox_forward(
     and optionally audio_values/audio_lens/audio_token_len/
     audio_token_start_idx/audio_chunk_batch_idx (reference forward:
     ultravox_model.py:277-352).
+
+    With ``pipe_mesh`` the decoder layer stack runs pipeline-parallel
+    (parallel/pipeline.py; beyond-reference — SURVEY §2.4 "PP: absent"):
+    encoder/projector/embedding stay on the standard auto-sharded path.
     """
     input_ids = batch["input_ids"]
     mask = batch["attention_mask"]
@@ -195,6 +201,24 @@ def ultravox_forward(
     B, T = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     seq_lens = mask.sum(axis=-1).astype(jnp.int32)
+    if pipe_mesh is not None and dict(pipe_mesh.shape).get("pipe", 1) > 1:
+        from ultravox_tpu.parallel.pipeline import pipelined_decoder_hidden
+
+        hidden = pipelined_decoder_hidden(
+            params["language_model"],
+            cfg.text_config,
+            inputs_embeds,
+            positions,
+            seq_lens,
+            mesh=pipe_mesh,
+            n_micro=pipe_micro,
+            remat=remat,
+        )
+        if return_hidden:
+            return hidden
+        return decoder_lib.compute_logits(
+            params["language_model"], cfg.text_config, hidden
+        )
     out, _ = decoder_lib.decoder_forward(
         params["language_model"],
         cfg.text_config,
@@ -485,6 +509,8 @@ def ultravox_loss(
     remat: bool = False,
     attn_impl: str = "xla",
     vocab_chunk: Optional[int] = None,
+    pipe_mesh=None,
+    pipe_micro: Optional[int] = None,
 ) -> jax.Array:
     """Training loss: CE, or KL distillation against the text-only teacher
     (same LLM weights, alt_* token stream) — reference forward+loss path
@@ -493,11 +519,13 @@ def ultravox_loss(
     ``vocab_chunk``: compute the loss from hidden states, projecting to the
     vocabulary only ``vocab_chunk`` positions at a time — the (B, T, V)
     fp32 logits tensors (GB-scale at 128K vocabs) never materialize. Same
-    value and gradients as the dense path."""
+    value and gradients as the dense path.
+
+    ``pipe_mesh``: pipeline-parallel decoder (student AND KL teacher)."""
     chunked = vocab_chunk is not None and vocab_chunk > 0
     out = ultravox_forward(
         params, cfg, batch, remat=remat, attn_impl=attn_impl,
-        return_hidden=chunked,
+        return_hidden=chunked, pipe_mesh=pipe_mesh, pipe_micro=pipe_micro,
     )
     if loss_config.loss_function == LossFunction.CROSS_ENTROPY:
         if chunked:
@@ -513,16 +541,34 @@ def ultravox_loss(
     alt_mask = batch["alt_attention_mask"]
     B, T2 = alt_ids.shape
     positions = jnp.broadcast_to(jnp.arange(T2, dtype=jnp.int32)[None], (B, T2))
-    teacher_out, _ = decoder_lib.decoder_forward(
-        teacher_params,
-        cfg.text_config,
-        input_ids=alt_ids,
-        positions=positions,
-        kv_valid_len=alt_mask.sum(axis=-1).astype(jnp.int32),
-        remat=remat,
-        attn_impl=attn_impl,
-        return_hidden=chunked,
-    )
+    if pipe_mesh is not None and dict(pipe_mesh.shape).get("pipe", 1) > 1:
+        from ultravox_tpu.parallel.pipeline import pipelined_decoder_hidden
+
+        teacher_out = pipelined_decoder_hidden(
+            teacher_params,
+            cfg.text_config,
+            decoder_lib.embed_lookup(teacher_params, alt_ids),
+            positions,
+            alt_mask.sum(axis=-1).astype(jnp.int32),
+            mesh=pipe_mesh,
+            n_micro=pipe_micro,
+            remat=remat,
+        )
+        if not chunked:
+            teacher_out = decoder_lib.compute_logits(
+                teacher_params, cfg.text_config, teacher_out
+            )
+    else:
+        teacher_out, _ = decoder_lib.decoder_forward(
+            teacher_params,
+            cfg.text_config,
+            input_ids=alt_ids,
+            positions=positions,
+            kv_valid_len=alt_mask.sum(axis=-1).astype(jnp.int32),
+            remat=remat,
+            attn_impl=attn_impl,
+            return_hidden=chunked,
+        )
     if chunked:
         return kl_distillation_loss_chunked(
             params["language_model"],

@@ -9,6 +9,10 @@ axes ``("data", "fsdp", "tensor")``:
 - ``fsdp``   — parameter sharding (ZeRO-3 style); XLA inserts all-gather /
   reduce-scatter over ICI. Batch is also split over this axis.
 - ``tensor`` — Megatron-style intra-layer sharding of attention heads and FFN.
+- ``pipe``   — GPipe pipeline stages over the decoder layer stack
+  (parallel/pipeline.py); manual (shard_map) over this axis only, the other
+  axes stay XLA-automatic inside the pipeline body. Beyond-reference
+  (SURVEY §2.4: the reference has no PP).
 
 The reference's two FSDP code paths (HF Trainer fsdp + manual FSDP2 wraps,
 ddp_utils.py:72-99) collapse into PartitionSpecs; there are no wrapper classes.
@@ -23,7 +27,7 @@ from typing import Optional, Sequence
 import jax
 import numpy as np
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "tensor", "pipe")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,9 +37,10 @@ class MeshConfig:
     data: int = 1
     fsdp: int = -1
     tensor: int = 1
+    pipe: int = 1
 
     def resolve(self, n_devices: int) -> tuple:
-        dims = [self.data, self.fsdp, self.tensor]
+        dims = [self.data, self.fsdp, self.tensor, self.pipe]
         if dims.count(-1) > 1:
             raise ValueError("at most one mesh axis may be -1")
         known = int(np.prod([d for d in dims if d != -1]))

@@ -202,15 +202,17 @@ def pipelined_decoder_hidden(
         remat=remat,
     )
 
-    # layers shard their leading L axis over pipe; acts replicate. Other
-    # axes of the mesh (if any) see everything replicated — compose dp/tp
-    # inside the stage via the standard sharding rules when scaling past
-    # this reference implementation.
+    # manual ONLY over the pipe axis (axis_names): layers split their
+    # leading L axis into per-stage slices, acts replicate over pipe. Any
+    # other mesh axes (data/fsdp/tensor) stay XLA-AUTOMATIC inside the
+    # body, so the standard sharding rules (batch over (data, fsdp),
+    # parameters over fsdp/tensor) compose with the pipeline unchanged.
     out = jax.shard_map(
         run,
         mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(),
+        axis_names=frozenset({axis_name}),
         check_vma=False,
     )((params["layers"], local_flags), acts)
 

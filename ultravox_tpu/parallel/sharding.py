@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -42,6 +42,27 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     # ---- everything else (norms, convs, biases) replicated ----
     (r".*", P()),
 ]
+
+
+def rules_for_mesh(mesh: jax.sharding.Mesh) -> List[Tuple[str, P]]:
+    """DEFAULT_RULES, with the decoder layer stack's leading L axis sharded
+    over ``pipe`` when the mesh carries pipeline stages: each stage then
+    HOLDS only its own layer slice (the same leading-axis mechanism FSDP
+    uses, pointed at the layer axis — parallel/pipeline.py consumes the
+    slices via shard_map, manual over pipe only)."""
+    if dict(mesh.shape).get("pipe", 1) <= 1:
+        return DEFAULT_RULES
+    out: List[Tuple[str, P]] = []
+    for pat, spec in DEFAULT_RULES:
+        if "language_model/layers/" in pat:
+            spec = P(*(("pipe",) + tuple(spec)[1:]))
+        out.append((pat, spec))
+    # layer-stacked leaves not named above (norms, qk_norm, biases) also
+    # carry the leading L axis — insert before the replicate-all catch-all
+    out.insert(
+        len(out) - 1, (r".*language_model/layers/.*", P("pipe"))
+    )
+    return out
 
 
 def _tree_paths(tree: Any) -> List[Tuple[Tuple, Any]]:
@@ -122,9 +143,12 @@ def param_pspecs(
 def shard_params(
     params: Any,
     mesh: jax.sharding.Mesh,
-    rules: Sequence[Tuple[str, P]] = DEFAULT_RULES,
+    rules: Optional[Sequence[Tuple[str, P]]] = None,
 ) -> Any:
-    """Place a parameter tree on the mesh according to the rules."""
+    """Place a parameter tree on the mesh according to the rules (default:
+    ``rules_for_mesh`` — pipe-aware when the mesh has pipeline stages)."""
+    if rules is None:
+        rules = rules_for_mesh(mesh)
     specs = param_pspecs(params, rules, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs

@@ -163,6 +163,16 @@ class TrainConfig:
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_tensor: int = 1
+    # GPipe pipeline stages over the decoder layer stack (beyond-reference;
+    # parallel/pipeline.py): stages hold num_layers/mesh_pipe layer slices,
+    # microbatches stream via ppermute. Composes with the other axes (the
+    # pipeline body is manual over pipe only). Requires a chunked loss
+    # (vocab_loss_chunk, the default) and batch divisible by the
+    # microbatch count.
+    mesh_pipe: int = 1
+    # microbatches per pipeline pass (None: largest of 4/3/2/1 x stages
+    # dividing the per-step batch; M >= 4 stages keeps the bubble <20%)
+    pipe_microbatches: Optional[int] = None
     # multi-host init (replaces torchrun env rendezvous, reference
     # train.py:126-130); all None on TPU pods where the runtime discovers
     # topology itself

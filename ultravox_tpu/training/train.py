@@ -197,7 +197,8 @@ def train(config: TrainConfig) -> Dict[str, float]:
             json.dump(dataclasses.asdict(config), f, indent=2, default=str)
 
     mesh = make_mesh(
-        MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor)
+        MeshConfig(config.mesh_data, config.mesh_fsdp, config.mesh_tensor,
+                   config.mesh_pipe)
     )
     model_pack = create_model_pack(config)
     params = shard_params(model_pack.params, mesh)
@@ -245,6 +246,8 @@ def train(config: TrainConfig) -> Dict[str, float]:
             remat=config.remat,
             attn_impl=config.attn_impl,
             vocab_chunk=config.vocab_loss_chunk,
+            pipe_mesh=mesh if config.mesh_pipe > 1 else None,
+            pipe_micro=config.pipe_microbatches,
         ),
         donate_argnums=(0,),
     )
@@ -401,6 +404,8 @@ def validate(config, model_pack, state, template, mesh) -> Dict[str, float]:
             model_pack.config, config.loss_config, template,
             vocab_chunk=config.vocab_loss_chunk,
             attn_impl=config.attn_impl,
+            pipe_mesh=mesh if config.mesh_pipe > 1 else None,
+            pipe_micro=config.pipe_microbatches,
         )
     )
     out: Dict[str, float] = {}

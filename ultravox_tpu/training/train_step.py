@@ -157,6 +157,8 @@ def make_train_step(
     remat: bool = True,
     attn_impl: str = "xla",
     vocab_chunk: Optional[int] = None,
+    pipe_mesh=None,  # Mesh with "pipe" > 1: GPipe the decoder layer stack
+    pipe_micro: Optional[int] = None,
 ) -> Callable:
     """Build the (jit-able) train step: (state, batch) -> (state, metrics)."""
 
@@ -166,6 +168,7 @@ def make_train_step(
             return uv.ultravox_loss(
                 params, cfg, batch, loss_config, remat=remat,
                 attn_impl=attn_impl, vocab_chunk=vocab_chunk,
+                pipe_mesh=pipe_mesh, pipe_micro=pipe_micro,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
@@ -196,6 +199,8 @@ def make_eval_step(
     *,
     vocab_chunk: Optional[int] = None,
     attn_impl: str = "xla",
+    pipe_mesh=None,
+    pipe_micro: Optional[int] = None,
 ) -> Callable:
     """Validation loss step (reference: evaluation/validate.py teacher-forcing
     loss): (state, batch) -> (loss_sum, label_count) for weighted averaging.
@@ -209,7 +214,8 @@ def make_eval_step(
         labels = batch["labels"]
         if vocab_chunk:
             hidden = uv.ultravox_forward(
-                params, cfg, batch, return_hidden=True, attn_impl=attn_impl
+                params, cfg, batch, return_hidden=True, attn_impl=attn_impl,
+                pipe_mesh=pipe_mesh, pipe_micro=pipe_micro,
             )
             s, c = uv.chunked_nll_sums(
                 params["language_model"], cfg.text_config, hidden, labels,
