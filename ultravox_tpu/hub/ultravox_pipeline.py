@@ -72,9 +72,19 @@ class UltravoxPipeline(transformers.Pipeline):
                 or getattr(model.config.audio_config, "_name_or_path", "")
             )
             if audio_src:
-                audio_processor = transformers.AutoProcessor.from_pretrained(
-                    audio_src
-                )
+                try:
+                    audio_processor = (
+                        transformers.AutoProcessor.from_pretrained(audio_src)
+                    )
+                except Exception:
+                    # offline / id not resolvable: whisper mel parameters
+                    # are architecture-standard, so a default extractor
+                    # (sized to the config's mel bins) is exact
+                    audio_processor = transformers.WhisperFeatureExtractor(
+                        feature_size=getattr(
+                            model.config.audio_config, "num_mel_bins", 80
+                        )
+                    )
 
         super().__init__(model=model, tokenizer=tokenizer, **kwargs)
 
