@@ -306,6 +306,12 @@ class ServingEngine:
         spec_decode: Optional[str] = None,  # "ngram" = prompt-lookup spec dec
         spec_k: int = 8,  # drafted tokens per speculative dispatch
         spec_ngram: int = 2,  # LONGEST history n-gram matched (falls back to 1)
+        spec_min_accept: float = 1.35,  # accepted tokens/round/slot floor —
+        # below it speculation auto-pauses (verify costs ~1.2x a decode
+        # step, so <~1.25 is a guaranteed loss); 0 disables the guard
+        spec_probe_period: int = 512,  # dispatches between re-probes while
+        # paused (workloads change phase: an incompressible stretch should
+        # not disable speculation forever)
         mesh=None,
     ):
         """``mesh``: serve a sharded model — params should already be placed
@@ -522,15 +528,31 @@ class ServingEngine:
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
         self.decode_block_steps = max(1, decode_block_steps)
-        if self.decode_block_steps > 1 and decode_attn_impl == "kernel":
-            logger.warning(
-                "decode_block_steps>1 uses the segmented XLA attention for "
-                "block dispatches; the flash-decoding Pallas kernel only "
-                "runs on single-step dispatches"
+        # block (and speculative) dispatches run their per-step attention in
+        # the segmented flash-decode kernel whenever the single-step kernel
+        # is selected; only logit softcapping (gemma2) forces the XLA path
+        # (the kernel does not softcap)
+        seg_impl = (
+            "kernel"
+            if (
+                decode_attn_impl == "kernel"
+                and cfg.text_config.attn_logit_softcapping is None
             )
+            else "xla"
+        )
+        if self.decode_block_steps > 1 and decode_attn_impl == "kernel" and (
+            seg_impl != "kernel"
+        ):
+            logger.warning(
+                "decode_block_steps>1 falls back to segmented XLA attention "
+                "for block dispatches: attn_logit_softcapping is set and "
+                "the segmented flash-decode kernel does not softcap"
+            )
+        self._seg_attn_impl = seg_impl
         self._decode_block = jax.jit(
             functools.partial(
-                _decode_block_paged if self.paged else _decode_block, cfg=cfg
+                _decode_block_paged if self.paged else _decode_block,
+                cfg=cfg, attn_impl=seg_impl,
             ),
             static_argnames=("n_steps",),
             donate_argnums=(1,),
@@ -555,6 +577,21 @@ class ServingEngine:
         self.spec_sync_s = 0.0  # wall time spent in those stalls
         self.spec_single_dispatches = 0  # 1-round (no multi-round headroom)
         self.spec_wasted_tokens = 0  # accepted but dropped (finished reqs)
+        # acceptance health: a verify round costs ~1.2x a plain decode step,
+        # so speculation LOSES whenever mean accepted tokens/round/slot
+        # drops near 1 (drafts miss on incompressible outputs). Track the
+        # device-reported accepted counts over a sliding window and pause
+        # speculation below ``spec_min_accept``, re-probing every
+        # ``spec_probe_period`` dispatches (vLLM's dynamic-speculation role)
+        self.spec_min_accept = float(spec_min_accept)
+        self.spec_probe_period = max(1, int(spec_probe_period))
+        self.spec_rows = 0  # rounds x active slots (accept-mean denominator)
+        self.spec_accepted_sum = 0  # device-accepted tokens (incl. wasted)
+        self.spec_autopauses = 0  # times the health guard paused spec
+        self._spec_window: "collections.deque" = collections.deque(maxlen=32)
+        self._spec_paused_flag = False
+        self._spec_resume_at = 0
+        self._dispatch_count = 0  # every decode/spec dispatch (probe clock)
         if spec_decode:
             if self.spec_k < 1 or self.spec_ngram < 1:
                 raise ValueError("spec_k and spec_ngram must be >= 1")
@@ -579,7 +616,7 @@ class ServingEngine:
                         _spec_decode_block_paged if self.paged
                         else _spec_decode_block,
                         cfg=cfg, K=self.spec_k, ngram=self.spec_ngram,
-                        n_rounds=self.spec_rounds,
+                        n_rounds=self.spec_rounds, attn_impl=seg_impl,
                     ),
                     donate_argnums=(1, 2),
                 )
@@ -1309,6 +1346,7 @@ class ServingEngine:
             self.spec_decode
             and not churn
             and not penalized
+            and not self._spec_paused()
             and cap - lag >= self.spec_k + 1
         ):
             if self._dispatch_spec(cap - lag):
@@ -1345,6 +1383,47 @@ class ServingEngine:
         self._dispatch_decode(n_steps)
         while len(self._inflight) > self._max_inflight:
             self._process_oldest_decode()
+
+    def _spec_paused(self) -> bool:
+        """True while the acceptance-health guard holds speculation off.
+        The pause expires after ``spec_probe_period`` dispatches so a
+        workload phase change (incompressible stretch -> repetitive
+        stretch) gets re-probed instead of being penalised forever."""
+        if not self._spec_paused_flag:
+            return False
+        if self._dispatch_count >= self._spec_resume_at:
+            self._spec_paused_flag = False  # probe again
+            self._spec_window.clear()
+            return False
+        return True
+
+    def _spec_health_update(self, rounds: int, rows: int, accepted: int):
+        """Feed one processed speculative dispatch's device-reported
+        accepted counts into the sliding acceptance window; pause
+        speculation when the windowed mean says verify rounds are emitting
+        too few tokens to beat plain decode steps."""
+        self.spec_rows += rows
+        self.spec_accepted_sum += accepted
+        if self.spec_min_accept <= 0:
+            return
+        self._spec_window.append((rounds, rows, accepted))
+        total_rounds = sum(w[0] for w in self._spec_window)
+        if total_rounds < 24:
+            return  # not enough evidence yet
+        total_rows = sum(w[1] for w in self._spec_window)
+        mean = sum(w[2] for w in self._spec_window) / max(total_rows, 1)
+        if mean < self.spec_min_accept:
+            self._spec_paused_flag = True
+            self._spec_resume_at = (
+                self._dispatch_count + self.spec_probe_period
+            )
+            self._spec_window.clear()
+            self.spec_autopauses += 1
+            logger.info(
+                "speculation paused: windowed acceptance %.2f tok/round/"
+                "slot < %.2f floor (re-probe after %d dispatches)",
+                mean, self.spec_min_accept, self.spec_probe_period,
+            )
 
     def _sync_spec_hist(self):
         """Upload the active slots' token histories (prompt + everything
@@ -1454,6 +1533,7 @@ class ServingEngine:
                     **lora_kw,
                 )
         self.spec_dispatches += n_rounds
+        self._dispatch_count += 1
         self._inflight.append(("spec", out, accepted, snapshot, worst))
         return True
 
@@ -1462,6 +1542,7 @@ class ServingEngine:
         current active set; the device-array result and the active-set
         snapshot go on ``_inflight`` for lagged processing."""
         self._hist_dirty = True  # spec histories miss these tokens
+        self._dispatch_count += 1
         slots = sorted(self._active)
         snapshot = [(s, self._active[s]) for s in slots]
         key = (
@@ -1596,6 +1677,13 @@ class ServingEngine:
             if out_np.ndim == 2:  # single round -> (1, B, K+1)
                 out_np = out_np[None]
                 acc_np = acc_np[None]
+            n_rounds = out_np.shape[0]
+            slots = [s for s, _ in snapshot]
+            self._spec_health_update(
+                n_rounds,
+                n_rounds * max(len(slots), 1),
+                int(acc_np[:, slots].sum()) if slots else 0,
+            )
             for r in range(out_np.shape[0]):
                 for s, req in snapshot:
                     for j in range(int(acc_np[r, s])):
@@ -1891,7 +1979,7 @@ def _sample_slots(logits, samp, key, seeds=None, positions=None):
 
 def _decode_block(
     params, cache, tokens, cache_lens, active_mask, samp, rng, *, cfg,
-    n_steps: int, lora_banks=None, lora_idx=None,
+    n_steps: int, lora_banks=None, lora_idx=None, attn_impl: str = "xla",
 ):
     """``n_steps`` decode steps for every slot in ONE dispatch (vLLM-style
     multi-step scheduling — amortizes host dispatch latency on
@@ -1915,6 +2003,7 @@ def _decode_block(
         n_steps=n_steps,
         sample_fn=sample_fn,
         return_tail=True,
+        attn_impl=attn_impl,
     )
     B = tokens.shape[0]
     S = cache.max_len
@@ -1943,19 +2032,20 @@ def _decode_block(
 def _decode_block_paged(
     params, pool, tokens, cache_lens, active_mask, samp, rng, page_table,
     *, cfg, n_steps: int, lora_banks=None, lora_idx=None,
+    attn_impl: str = "xla",
 ):
     """Paged-mode multi-step decode: ``n_steps`` steps in ONE dispatch.
 
-    The pool pages are gathered ONCE per block into a contiguous logical
-    view (one extra cache read+write per block, amortised over n_steps —
-    per-step page gathers inside the scan would triple the per-step HBM
-    traffic), the segmented fused scan runs against that read-only view
-    exactly as in slot mode, and the tail KV publishes into the pool as a
-    single per-token page scatter at block end. Tokens past a request's
-    page reservation (or inactive slots) redirect out of range and drop
-    (paged_write_indices). Peak HBM during a block is pool + one
-    slot-layout view of it; operators trading HBM for dispatch amortisation
-    can lower decode_block_steps to 1 to avoid the view entirely."""
+    With ``attn_impl="kernel"`` the segmented flash-decode kernel DMAs each
+    row's live pages directly per step — no contiguous view is ever built
+    and only the valid prefix is read. On the XLA path the pool pages are
+    gathered ONCE per block into a contiguous logical view (one extra cache
+    read+write per block, amortised over n_steps — per-step page gathers
+    inside the scan would triple the per-step HBM traffic) and the scan
+    runs against that read-only view exactly as in slot mode. Either way
+    the tail KV publishes into the pool as a single per-token page scatter
+    at block end. Tokens past a request's page reservation (or inactive
+    slots) redirect out of range and drop (paged_write_indices)."""
     params = _with_lora(params, lora_banks, lora_idx)
     tc = cfg.text_config
     L, P, ps, Hkv, D = pool.k.shape
@@ -1963,14 +2053,18 @@ def _decode_block_paged(
     n_per = page_table.shape[1]
     S = n_per * ps
 
-    def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
-        g = jnp.take(p, page_table, axis=1, mode="clip")
-        return g.reshape(L, B, S, Hkv, D)
-
-    prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
-
     def sample_fn(logits, key):
         return _sample_slots(logits, samp, key)
+
+    if attn_impl == "kernel":
+        prompt_cache, scan_table = pool, page_table
+    else:
+        def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
+            g = jnp.take(p, page_table, axis=1, mode="clip")
+            return g.reshape(L, B, S, Hkv, D)
+
+        prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+        scan_table = None
 
     toks, tail = decoder_lib.segmented_decode_scan(
         params["language_model"],
@@ -1982,6 +2076,8 @@ def _decode_block_paged(
         n_steps=n_steps,
         sample_fn=sample_fn,
         return_tail=True,
+        attn_impl=attn_impl,
+        page_table=scan_table,
     )
     # publish the tail into pool pages: inactive slots' logical positions
     # are pushed past the table width so their writes drop
@@ -2114,7 +2210,7 @@ def _spec_decode_all_slots(
 def _spec_decode_block(
     params, cache, hist, tokens, cache_lens, active_mask, samp, rng,
     lora_banks=None, lora_idx=None,
-    *, cfg, K: int, ngram: int, n_rounds: int,
+    *, cfg, K: int, ngram: int, n_rounds: int, attn_impl: str = "xla",
 ):
     """``n_rounds`` speculative draft+verify rounds in ONE dispatch against
     the slot cache (decoder_lib.segmented_spec_scan): the cache is read-only
@@ -2133,6 +2229,7 @@ def _spec_decode_block(
         decoder_lib.segmented_spec_scan(
             params["language_model"], tc, cache, cache_lens, tokens, hist,
             draft_fn, accept_fn, rng, n_rounds=n_rounds, K=K,
+            attn_impl=attn_impl,
         )
     )
     B = tokens.shape[0]
@@ -2162,12 +2259,14 @@ def _spec_decode_block_paged(
     params, pool, hist, tokens, cache_lens, active_mask, samp, rng,
     page_table,
     lora_banks=None, lora_idx=None,
-    *, cfg, K: int, ngram: int, n_rounds: int,
+    *, cfg, K: int, ngram: int, n_rounds: int, attn_impl: str = "xla",
 ):
-    """Paged-mode speculative block: pages gather ONCE into a contiguous
-    logical view (as in _decode_block_paged), the speculative scan runs
-    against it, and the accepted tail publishes as one per-token page
-    scatter (rejected/inactive positions marked negative and dropped)."""
+    """Paged-mode speculative block: with ``attn_impl="kernel"`` the
+    speculative scan's verify attention DMAs live pool pages directly (no
+    view gather); on the XLA path pages gather ONCE into a contiguous
+    logical view (as in _decode_block_paged). Either way the accepted tail
+    publishes as one per-token page scatter (rejected/inactive positions
+    marked negative and dropped)."""
     params = _with_lora(params, lora_banks, lora_idx)
     tc = cfg.text_config
     L, P, ps, Hkv, D = pool.k.shape
@@ -2175,11 +2274,15 @@ def _spec_decode_block_paged(
     n_per = page_table.shape[1]
     S = n_per * ps
 
-    def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
-        g = jnp.take(p, page_table, axis=1, mode="clip")
-        return g.reshape(L, B, S, Hkv, D)
+    if attn_impl == "kernel":
+        prompt_cache, scan_table = pool, page_table
+    else:
+        def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
+            g = jnp.take(p, page_table, axis=1, mode="clip")
+            return g.reshape(L, B, S, Hkv, D)
 
-    prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+        prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+        scan_table = None
 
     def draft_fn(h, hl):
         return _ngram_drafts(h, hl, K, ngram)
@@ -2191,6 +2294,7 @@ def _spec_decode_block_paged(
         decoder_lib.segmented_spec_scan(
             params["language_model"], tc, prompt_cache, cache_lens, tokens,
             hist, draft_fn, accept_fn, rng, n_rounds=n_rounds, K=K,
+            attn_impl=attn_impl, page_table=scan_table,
         )
     )
     Ts = n_rounds * (K + 1)

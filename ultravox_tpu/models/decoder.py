@@ -645,10 +645,42 @@ def _merged_attention(q, kp, vp, bias_p, kt, vt, bias_t, scale, softcap=None):
     return out.reshape(B, T, H, D).astype(q.dtype)
 
 
+def _segment_kernel_attention(
+    cfg: DecoderConfig, q, prompt_cache, page_table, layer: int,
+    prompt_lens, tail_k_l, tail_v_l, written, is_local: bool,
+):
+    """One layer's segmented flash-decode attention inside a scan step:
+    the Pallas kernel reads the stacked cache (or pool pages) directly at
+    ``layer`` — no per-layer slice of the big cache ever materialises.
+    q may be (B, 1, H, D) (block decode) or (B, T, H, D) (spec verify)."""
+    from ultravox_tpu.ops.pallas.segment_attention import (
+        paged_segment_tail_attention,
+        segment_tail_attention,
+    )
+
+    window = (
+        cfg.sliding_window
+        if (is_local and cfg.sliding_window is not None)
+        else 0
+    )
+    layer_idx = jnp.asarray(layer, jnp.int32)
+    if page_table is not None:
+        return paged_segment_tail_attention(
+            q, prompt_cache.k, prompt_cache.v, layer_idx, page_table,
+            prompt_lens, tail_k_l, tail_v_l, written, window,
+            scale=cfg.attn_scale,
+        )
+    return segment_tail_attention(
+        q, prompt_cache.k, prompt_cache.v, layer_idx, prompt_lens,
+        tail_k_l, tail_v_l, written, window, scale=cfg.attn_scale,
+    )
+
+
 def segmented_decode_scan(
     params: Params,
     cfg: DecoderConfig,
-    prompt_cache: KVCache,  # (L, B, S, Hkv, Dh) — read-only during the scan
+    prompt_cache,  # KVCache (L, B, S, Hkv, Dh) — read-only during the scan —
+    # or, with ``page_table``, a PagedKVCache pool read by the kernel
     prompt_lens: jax.Array,  # (B,) valid prompt positions in the cache
     first_tokens: jax.Array,  # (B,) int32
     rng: jax.Array,
@@ -656,6 +688,8 @@ def segmented_decode_scan(
     n_steps: int,
     sample_fn,  # (logits (B, V), key) -> (B,) int32
     return_tail: bool = False,
+    attn_impl: str = "xla",  # "kernel" = segmented flash decode (Pallas)
+    page_table: Optional[jax.Array] = None,  # kernel-only paged mode
 ):
     """Fused n-step greedy/sampled decode with segmented KV.
 
@@ -666,13 +700,31 @@ def segmented_decode_scan(
     it is max_new_tokens slots, so its copies are noise. Decode-step cache
     traffic = one read of the prompt cache + tail, the bandwidth minimum.
 
+    ``attn_impl="kernel"`` runs each step's attention in the segmented
+    flash-decode kernel (ops/pallas/segment_attention.py): the prompt read
+    stops at each row's actual length and no (B, Hkv, G, T, S) fp32 logits
+    ever reach HBM. With ``page_table`` the kernel DMAs live pool pages
+    directly — no contiguous view gather. Callers gate on
+    ``attn_logit_softcapping is None`` (the kernel does not softcap).
+
     Returns the (B, n_steps + 1) token matrix: column 0 is ``first_tokens``
     (already sampled from prefill logits) followed by the ``n_steps`` newly
     sampled tokens; with ``return_tail`` also returns the (L, B, n_steps,
     Hkv, Dh) tail KV of the PROCESSED tokens (toks column t's kv sits at
     tail slot t).
     """
-    L, B, S, Hkv, Dh = prompt_cache.k.shape
+    use_kernel = attn_impl == "kernel"
+    if page_table is not None:
+        if not use_kernel:
+            raise ValueError(
+                "paged segmented scan requires attn_impl='kernel' — the XLA "
+                "path takes a pre-gathered contiguous view"
+            )
+        L, _, page_size, Hkv, Dh = prompt_cache.k.shape
+        B = first_tokens.shape[0]
+        S = page_table.shape[1] * page_size
+    else:
+        L, B, S, Hkv, Dh = prompt_cache.k.shape
     plus_one = cfg.arch in ("gemma2", "gemma3")
     local_flags = is_local_layer(cfg)
 
@@ -700,23 +752,26 @@ def segmented_decode_scan(
         cos_g, sin_g = rope_cos_sin(positions, inv_freq_g)
         cos_l, sin_l = rope_cos_sin(positions, inv_freq_l)
 
-        # prompt-segment bias: key j visible iff j < prompt_len (B,1,S)
-        ok_p = kpos < prompt_lens[:, None]
-        # tail-segment bias: tail slot t visible iff t <= step (1, Ts)
-        ok_t = tpos <= step_idx
-        if cfg.sliding_window is not None:
-            w = cfg.sliding_window
-            # absolute distance: prompt key j -> q at prompt_len + step
-            ok_p_loc = ok_p & (
-                prompt_lens[:, None] + step_idx - kpos < w
-            )
-            ok_t_loc = ok_t & ((step_idx - tpos) < w)
-        biases = {}
-        for name, ok in (("p", ok_p), ("t", ok_t)):
-            biases[name] = jnp.where(ok, 0.0, NEG_INF)[:, None]
-        if cfg.sliding_window is not None:
-            biases["p_loc"] = jnp.where(ok_p_loc, 0.0, NEG_INF)[:, None]
-            biases["t_loc"] = jnp.where(ok_t_loc, 0.0, NEG_INF)[:, None]
+        if not use_kernel:
+            # prompt-segment bias: key j visible iff j < prompt_len (B,1,S)
+            ok_p = kpos < prompt_lens[:, None]
+            # tail-segment bias: tail slot t visible iff t <= step (1, Ts)
+            ok_t = tpos <= step_idx
+            if cfg.sliding_window is not None:
+                w = cfg.sliding_window
+                # absolute distance: prompt key j -> q at prompt_len + step
+                ok_p_loc = ok_p & (
+                    prompt_lens[:, None] + step_idx - kpos < w
+                )
+                ok_t_loc = ok_t & ((step_idx - tpos) < w)
+            biases = {}
+            for name, ok in (("p", ok_p), ("t", ok_t)):
+                biases[name] = jnp.where(ok, 0.0, NEG_INF)[:, None]
+            if cfg.sliding_window is not None:
+                biases["p_loc"] = jnp.where(ok_p_loc, 0.0, NEG_INF)[:, None]
+                biases["t_loc"] = jnp.where(ok_t_loc, 0.0, NEG_INF)[:, None]
+        else:
+            written = jnp.full((B,), step_idx, jnp.int32)
 
         for l in range(L):
             p = jax.tree.map(lambda a: a[l], params["layers"])
@@ -739,13 +794,19 @@ def segmented_decode_scan(
             tail_v = jax.lax.dynamic_update_slice(
                 tail_v, v.astype(tail_v.dtype)[None], (l, 0, step_idx, 0, 0)
             )
-            bias_p = biases["p_loc"] if (is_loc and cfg.sliding_window) else biases["p"]
-            bias_t = biases["t_loc"] if (is_loc and cfg.sliding_window) else biases["t"]
-            attn = _merged_attention(
-                q, prompt_cache.k[l], prompt_cache.v[l], bias_p,
-                tail_k[l], tail_v[l], bias_t, cfg.attn_scale,
-                softcap=cfg.attn_logit_softcapping,
-            )
+            if use_kernel:
+                attn = _segment_kernel_attention(
+                    cfg, q, prompt_cache, page_table, l, prompt_lens,
+                    tail_k[l], tail_v[l], written, is_loc,
+                )
+            else:
+                bias_p = biases["p_loc"] if (is_loc and cfg.sliding_window) else biases["p"]
+                bias_t = biases["t_loc"] if (is_loc and cfg.sliding_window) else biases["t"]
+                attn = _merged_attention(
+                    q, prompt_cache.k[l], prompt_cache.v[l], bias_p,
+                    tail_k[l], tail_v[l], bias_t, cfg.attn_scale,
+                    softcap=cfg.attn_logit_softcapping,
+                )
             attn = _proj(attn.reshape(B, 1, cfg.num_heads * Dh), p["o_proj"])
             if cfg.use_post_norms:
                 attn = rms_norm(attn, p["post_attn_ln"], cfg.rms_norm_eps,
@@ -800,6 +861,8 @@ def segmented_spec_scan(
     *,
     n_rounds: int,
     K: int,
+    attn_impl: str = "xla",  # "kernel" = segmented flash decode (Pallas)
+    page_table: Optional[jax.Array] = None,  # kernel-only paged mode
 ):
     """``n_rounds`` speculative draft+verify rounds in ONE dispatch: each
     round drafts K tokens from the carried token history (``draft_fn``),
@@ -821,7 +884,17 @@ def segmented_spec_scan(
     is each row's new pending token; ``new_hist`` carries the accepted
     tokens appended. Round r of row b emitted ``accepts[r, b]`` tokens:
     ``outs[r, b, :accepts[r, b]]``."""
-    L, B, S, Hkv, Dh = prompt_cache.k.shape
+    use_kernel = attn_impl == "kernel"
+    if page_table is not None:
+        if not use_kernel:
+            raise ValueError(
+                "paged segmented spec scan requires attn_impl='kernel'"
+            )
+        L, _, page_size, Hkv, Dh = prompt_cache.k.shape
+        B = first_tokens.shape[0]
+        S = page_table.shape[1] * page_size
+    else:
+        L, B, S, Hkv, Dh = prompt_cache.k.shape
     T = K + 1
     Ts = n_rounds * T
     plus_one = cfg.arch in ("gemma2", "gemma3")
@@ -842,10 +915,11 @@ def segmented_spec_scan(
     tail_t = jnp.arange(Ts, dtype=jnp.int32)  # tail key slot
     tail_k0 = jnp.zeros((L, B, Ts, Hkv, Dh), prompt_cache.k.dtype)
     tail_v0 = jnp.zeros((L, B, Ts, Hkv, Dh), prompt_cache.v.dtype)
-    # prompt-segment visibility is query-independent (every query sits
-    # after the prompt): computed once outside the scan
-    ok_p = kpos < prompt_lens[:, None]  # (B, S)
-    bias_p = jnp.where(ok_p, 0.0, NEG_INF)[:, None]  # (B, 1, S)
+    if not use_kernel:
+        # prompt-segment visibility is query-independent (every query sits
+        # after the prompt): computed once outside the scan
+        ok_p = kpos < prompt_lens[:, None]  # (B, S)
+        bias_p = jnp.where(ok_p, 0.0, NEG_INF)[:, None]  # (B, 1, S)
 
     def step(carry, round_idx):
         tok, written, tail_k, tail_v, hist = carry
@@ -859,22 +933,23 @@ def segmented_spec_scan(
         cos_g, sin_g = rope_cos_sin(positions, inv_freq_g)
         cos_l, sin_l = rope_cos_sin(positions, inv_freq_l)
 
-        # tail slot t visible to query i iff t <= written + i (covers both
-        # previously accepted tokens and in-segment causality; slots past
-        # written + i hold garbage from rejected drafts)
-        ok_t = tail_t[None, None] <= (
-            written[:, None] + seg_i[None]
-        )[:, :, None]  # (B, T, Ts)
-        bias_t = jnp.where(ok_t, 0.0, NEG_INF)  # (B, T, Ts)
-        if cfg.sliding_window is not None:
-            w = cfg.sliding_window
-            # absolute distance: query abs pos - key abs pos < w
-            d_p = positions[:, :, None] - kpos[:, None]  # (B, T, S)
-            bias_p_loc = jnp.where(
-                ok_p[:, None] & (d_p < w), 0.0, NEG_INF
-            )
-            d_t = (written[:, None] + seg_i[None])[:, :, None] - tail_t
-            bias_t_loc = jnp.where(ok_t & (d_t < w), 0.0, NEG_INF)
+        if not use_kernel:
+            # tail slot t visible to query i iff t <= written + i (covers
+            # both previously accepted tokens and in-segment causality;
+            # slots past written + i hold garbage from rejected drafts)
+            ok_t = tail_t[None, None] <= (
+                written[:, None] + seg_i[None]
+            )[:, :, None]  # (B, T, Ts)
+            bias_t = jnp.where(ok_t, 0.0, NEG_INF)  # (B, T, Ts)
+            if cfg.sliding_window is not None:
+                w = cfg.sliding_window
+                # absolute distance: query abs pos - key abs pos < w
+                d_p = positions[:, :, None] - kpos[:, None]  # (B, T, S)
+                bias_p_loc = jnp.where(
+                    ok_p[:, None] & (d_p < w), 0.0, NEG_INF
+                )
+                d_t = (written[:, None] + seg_i[None])[:, :, None] - tail_t
+                bias_t_loc = jnp.where(ok_t & (d_t < w), 0.0, NEG_INF)
         # per-row write offsets for this round's K+1 tokens
         tpos_w = written[:, None] + seg_i[None]  # (B, T), always in bounds
 
@@ -897,13 +972,19 @@ def segmented_spec_scan(
             tail_v = tail_v.at[l, bidx[:, None], tpos_w].set(
                 v.astype(tail_v.dtype), unique_indices=True
             )
-            b_p = bias_p_loc if (is_loc and cfg.sliding_window) else bias_p
-            b_t = bias_t_loc if (is_loc and cfg.sliding_window) else bias_t
-            attn = _merged_attention(
-                q, prompt_cache.k[l], prompt_cache.v[l], b_p,
-                tail_k[l], tail_v[l], b_t, cfg.attn_scale,
-                softcap=cfg.attn_logit_softcapping,
-            )
+            if use_kernel:
+                attn = _segment_kernel_attention(
+                    cfg, q, prompt_cache, page_table, l, prompt_lens,
+                    tail_k[l], tail_v[l], written, is_loc,
+                )
+            else:
+                b_p = bias_p_loc if (is_loc and cfg.sliding_window) else bias_p
+                b_t = bias_t_loc if (is_loc and cfg.sliding_window) else bias_t
+                attn = _merged_attention(
+                    q, prompt_cache.k[l], prompt_cache.v[l], b_p,
+                    tail_k[l], tail_v[l], b_t, cfg.attn_scale,
+                    softcap=cfg.attn_logit_softcapping,
+                )
             attn = _proj(attn.reshape(B, T, cfg.num_heads * Dh), p["o_proj"])
             if cfg.use_post_norms:
                 attn = rms_norm(attn, p["post_attn_ln"], cfg.rms_norm_eps,
