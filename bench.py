@@ -445,16 +445,21 @@ def _serving_metrics(fused_2k_tps: float):
         try:
             drain(submit_all())  # compile (verify program included)
             engine.spec_dispatches = engine.spec_emitted_tokens = 0
+            engine.spec_rows = engine.spec_accepted_sum = 0
+            engine.spec_autopauses = 0
+            engine._spec_window.clear()
+            engine._spec_paused_flag = False
             t0 = time.perf_counter()
             tokens_s = drain(submit_all())
             dt_s = time.perf_counter() - t0
-            accept = engine.spec_emitted_tokens / max(
-                engine.spec_dispatches, 1
-            )
+            # per ROUND per SLOT (r3 reported per-round-across-all-slots,
+            # which read 8x too high); 1.0 = every draft rejected
+            accept = engine.spec_accepted_sum / max(engine.spec_rows, 1)
         finally:
             engine.stop()
         out["serving_tok_s_spec_ngram"] = round(tokens_s / dt_s, 1)
-        out["spec_accept_mean"] = round(accept, 2)
+        out["spec_accept_mean_per_slot"] = round(accept, 2)
+        out["spec_autopauses"] = engine.spec_autopauses
     except Exception as e:  # pragma: no cover
         out["spec_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     return out

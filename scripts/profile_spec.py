@@ -97,6 +97,10 @@ def main():
                 eng.spec_syncs = eng.spec_single_dispatches = 0
                 eng.spec_wasted_tokens = 0
                 eng.spec_sync_s = 0.0
+                eng.spec_rows = eng.spec_accepted_sum = 0
+                eng.spec_autopauses = 0
+                eng._spec_window.clear()
+                eng._spec_paused_flag = False
                 tokens, dt = run_load(eng, prompts, args.max_tokens)
             finally:
                 eng.stop()
@@ -104,10 +108,11 @@ def main():
             results[key] = tokens / dt
             line = f"{key}: {tokens / dt:8.1f} tok/s"
             if spec:
-                acc = eng.spec_emitted_tokens / max(eng.spec_dispatches, 1)
+                acc = eng.spec_accepted_sum / max(eng.spec_rows, 1)
                 line += (
-                    f"  (accept/round {acc:.2f}, "
+                    f"  (accept/round/slot {acc:.2f}, "
                     f"{eng.spec_dispatches} rounds, "
+                    f"{eng.spec_autopauses} autopauses, "
                     f"{eng.spec_syncs} syncs costing {eng.spec_sync_s:.2f}s, "
                     f"{eng.spec_single_dispatches} single-round dispatches, "
                     f"{eng.spec_wasted_tokens} wasted tokens; "

@@ -500,3 +500,63 @@ def test_spec_decode_to_cache_edge(setup, cache_mode):
         serving.stop()
     assert fin == "cache_full"
     assert ids == exp[: len(ids)] and len(ids) == room
+
+
+def test_spec_autopause_and_reprobe(setup):
+    """Acceptance health guard: when drafts keep missing, speculation must
+    PAUSE (a verify round costs ~1.2x a decode step — near-1 acceptance is
+    a guaranteed loss), re-probe after ``spec_probe_period`` dispatches,
+    and never change the emitted tokens."""
+    cfg, params, processor, collator = setup
+    batch = _mini_batch(processor, collator, "alpha beta gamma delta")
+    offline = GenerationEngine(
+        params, cfg, max_cache_len=256, cache_dtype=jnp.float32
+    )
+    expected = offline.generate(batch, max_new_tokens=120).token_ids[0]
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=256,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+        mel_len_buckets=(400,), cache_mode="slots",
+        spec_decode="ngram", spec_k=4,
+        # floor above the K+1=5 max: the guard MUST fire once the window
+        # holds >=24 rounds; a tiny probe period forces re-probes
+        spec_min_accept=6.0, spec_probe_period=4,
+    )
+    serving.start()
+    try:
+        req = serving.submit(batch, max_tokens=120)
+        ids, finish = _drain(serving, req)
+    finally:
+        serving.stop()
+    assert ids == expected
+    assert finish == "length"
+    assert serving.spec_autopauses >= 1
+    # re-probe happened: speculative dispatches continued after the pause
+    if serving.spec_autopauses >= 2:
+        assert serving.spec_rows > 24 * 1  # window refilled at least once
+
+
+def test_spec_health_reports_per_slot_acceptance(setup):
+    """spec_accepted_sum / spec_rows is the PER-ROUND-PER-SLOT acceptance
+    (r3's emitted/dispatches read ~num_slots too high); it must sit in
+    [1, K+1] whenever speculation ran."""
+    cfg, params, processor, collator = setup
+    texts = ["one two three one two three one two", "hello world hello"]
+    batches = [_mini_batch(processor, collator, t) for t in texts]
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=256,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64,),
+        mel_len_buckets=(400,), cache_mode="slots",
+        spec_decode="ngram", spec_k=4, spec_min_accept=0,  # guard off
+    )
+    serving.start()
+    try:
+        reqs = [serving.submit(b, max_tokens=60) for b in batches]
+        for r in reqs:
+            _drain(serving, r)
+    finally:
+        serving.stop()
+    assert serving.spec_rows > 0
+    mean = serving.spec_accepted_sum / serving.spec_rows
+    assert 1.0 <= mean <= serving.spec_k + 1
