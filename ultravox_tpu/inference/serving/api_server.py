@@ -661,6 +661,11 @@ def make_handler(api: ServingAPI):
                 if getattr(eng, "spec_decode", None):
                     stats["spec_dispatches"] = eng.spec_dispatches
                     stats["spec_emitted_tokens"] = eng.spec_emitted_tokens
+                    stats["spec_accept_mean_per_slot"] = round(
+                        eng.spec_accepted_sum / max(eng.spec_rows, 1), 3
+                    )
+                    stats["spec_autopauses"] = eng.spec_autopauses
+                    stats["spec_paused"] = eng._spec_paused_flag
                 self._json(200, stats)
             elif self.path == "/v1/models":
                 # base model + every served LoRA adapter (multi-LoRA:
