@@ -238,12 +238,6 @@ def test_prefix_reuse_gated_by_adapter(setup):
 
 def test_lora_composability_guards(setup):
     cfg, params, _, _, adapters = setup
-    with pytest.raises(ValueError, match="quantize"):
-        ServingEngine(
-            params, cfg, num_slots=1, max_seq_len=64,
-            prefill_len_buckets=(64,), mel_len_buckets=(400,),
-            lora_adapters=adapters, quantize="int8",
-        )
     # encoder-LoRA adapters are rejected loudly (banks are decoder-only)
     enc = lora_lib.apply_lora_to_model(
         params, LoraConfig(r=0), LoraConfig(r=2), jax.random.key(5)
@@ -316,3 +310,115 @@ def test_http_model_field_routes_to_adapter(setup):
     finally:
         server.shutdown()
         engine.stop()
+
+
+def test_fused_banks_match_canonical_banks(setup):
+    """fuse_lora_banks' block-diagonal recombination over qkv/gateup fused
+    projections computes exactly the canonical per-target bank math."""
+    from ultravox_tpu.models import decoder as decoder_lib
+
+    cfg, params, _, _, adapters = setup
+    tc = cfg.text_config
+    lms = {k: v["language_model"] for k, v in adapters.items()}
+    banks, index = lora_lib.build_lora_banks(lms)
+    fused_lm = decoder_lib.fuse_inference_params(
+        params["language_model"], tc
+    )
+    assert "qkv_proj" in fused_lm["layers"]  # fusion actually happened
+    fused_banks = lora_lib.fuse_lora_banks(
+        banks,
+        qkv_dims=(
+            tc.num_heads * tc.head_dim,
+            tc.num_kv_heads * tc.head_dim,
+            tc.num_kv_heads * tc.head_dim,
+        ),
+        gateup_dims=(tc.intermediate_size, tc.intermediate_size),
+    )
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, V, (3, 5)), jnp.int32
+    )
+    pos = jnp.broadcast_to(jnp.arange(5, dtype=jnp.int32)[None], (3, 5))
+    kv = jnp.full((3,), 5, jnp.int32)
+    idx = jnp.asarray([0, index["helpful"], index["pirate"]], jnp.int32)
+
+    def fwd(p):
+        logits, _ = decoder_lib.decoder_forward(
+            p, tc, input_ids=ids, positions=pos, kv_valid_len=kv
+        )
+        return np.asarray(logits)
+
+    ref = fwd(
+        lora_lib.apply_lora_banks(params["language_model"], banks, idx)
+    )
+    got = fwd(lora_lib.apply_lora_banks(fused_lm, fused_banks, idx))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_multi_lora_composes_with_int8(setup):
+    """lora_adapters + quantize='int8' serve together (QLoRA-style: int8
+    fused base + bf16 low-rank branch); tokens match the int8 offline
+    engine running the same adapter unbanked."""
+    cfg, params, processor, collator, adapters = setup
+    texts = ["hello world how are you", "the quick brown fox"]
+    names = ["pirate", None]
+    batches = [_mini_batch(processor, collator, t) for t in texts]
+    expected = []
+    for batch, name in zip(batches, names):
+        p = dict(params)
+        if name is not None:
+            p["language_model"] = adapters[name]["language_model"]
+        eng = GenerationEngine(
+            p, cfg, max_cache_len=128, cache_dtype=jnp.float32,
+            quantize="int8",
+        )
+        expected.append(eng.generate(batch, max_new_tokens=8).token_ids[0])
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        lora_adapters=adapters, quantize="int8",
+    )
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(b, max_tokens=8, lora=n)
+            for b, n in zip(batches, names)
+        ]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+
+
+def test_multi_lora_composes_with_mesh(setup):
+    """lora_adapters + mesh= (TP/FSDP-sharded base) serve together on the
+    virtual device mesh; tokens match per-adapter unsharded offline."""
+    from ultravox_tpu.parallel import MeshConfig, make_mesh, shard_params
+
+    cfg, params, processor, collator, adapters = setup
+    mesh = make_mesh(MeshConfig(1, 2, 2))
+    sharded = shard_params(params, mesh)
+    texts = ["hello world how are you", "the quick brown fox"]
+    names = ["helpful", "pirate"]
+    batches = [_mini_batch(processor, collator, t) for t in texts]
+    expected = _offline_expected(cfg, params, adapters, batches, names, 6)
+
+    serving = ServingEngine(
+        sharded, cfg, num_slots=2, max_seq_len=128, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64, 128), mel_len_buckets=(400,), mesh=mesh,
+        lora_adapters=adapters,
+    )
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(b, max_tokens=6, lora=n)
+            for b, n in zip(batches, names)
+        ]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"

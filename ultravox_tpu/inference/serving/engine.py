@@ -300,6 +300,9 @@ class ServingEngine:
         decode_block_steps: Optional[int] = None,  # None = auto (8)
         encoder_attn_impl: str = "auto",
         decode_attn_impl: str = "auto",
+        block_attn_impl: str = "auto",  # "kernel" = segmented flash decode
+        # inside block/spec dispatches (measured loss at 1B dims — see the
+        # gating comment below; auto = XLA)
         prefill_attn_impl: str = "auto",  # "fused" = pallas causal prefill
         quantize: Optional[str] = None,  # "int8" = weight-only w8a16
         lora_adapters: Optional[Dict[str, Any]] = None,  # name -> LoRA tree
@@ -330,18 +333,15 @@ class ServingEngine:
         # multi-LoRA serving: one base model + N adapters, each request
         # picks one (or none) — per-slot adapters are gathered from banks
         # inside every decode/prefill program (models/lora.py::
-        # build_lora_banks / apply_lora_banks). Needs the canonical
-        # (unfused) projections, so fusing/quantization are mutually
-        # exclusive with it.
+        # build_lora_banks / apply_lora_banks). Banks compose with the
+        # fused AND int8-quantized base projections (fuse_lora_banks
+        # re-expresses adapters as block-diagonal updates over qkv_proj /
+        # gateup_proj), so loading adapters costs the base model only the
+        # per-dispatch bank gather + the low-rank branch, and with mesh=
+        # the canonical banks ride the sharded (unfused) projections.
         self._lora_banks = None
         self._lora_index: Dict[str, int] = {}
         if lora_adapters:
-            if mesh is not None:
-                raise ValueError("lora_adapters do not compose with mesh=")
-            if quantize:
-                raise ValueError(
-                    "lora_adapters do not compose with quantize="
-                )
             from ultravox_tpu.models.lora import build_lora_banks
 
             lms = {}
@@ -357,8 +357,8 @@ class ServingEngine:
                     )
                 lms[name] = tree.get("language_model", tree)
             self._lora_banks, self._lora_index = build_lora_banks(lms)
-        if mesh is None and self._lora_banks is None:
-            # fused matmuls don't compose with TP sharding or LoRA banks
+        if mesh is None:
+            # fused matmuls don't compose with TP sharding
             self.params["language_model"] = decoder_lib.fuse_inference_params(
                 params["language_model"], cfg.text_config
             )
@@ -370,6 +370,21 @@ class ServingEngine:
                 )
             elif quantize:
                 raise ValueError(f"unsupported quantize={quantize!r}")
+            if self._lora_banks is not None:
+                from ultravox_tpu.models.lora import fuse_lora_banks
+
+                tc0 = cfg.text_config
+                self._lora_banks = fuse_lora_banks(
+                    self._lora_banks,
+                    qkv_dims=(
+                        tc0.num_heads * tc0.head_dim,
+                        tc0.num_kv_heads * tc0.head_dim,
+                        tc0.num_kv_heads * tc0.head_dim,
+                    ),
+                    gateup_dims=(
+                        tc0.intermediate_size, tc0.intermediate_size,
+                    ),
+                )
             if encoder_attn_impl == "fused":
                 tower = self.params.get("audio_tower")
                 if tower is not None and "conv1" in tower:
@@ -528,31 +543,47 @@ class ServingEngine:
         # multi-step scheduling) — amortizes host dispatch latency when no
         # prefill work is queued; tokens still stream per step on emit
         self.decode_block_steps = max(1, decode_block_steps)
-        # block (and speculative) dispatches run their per-step attention in
-        # the segmented flash-decode kernel whenever the single-step kernel
-        # is selected; only logit softcapping (gemma2) forces the XLA path
-        # (the kernel does not softcap)
+        # block (and speculative) dispatches default to the segmented XLA
+        # attention: the per-layer segmented flash-decode kernel is
+        # NUMERICALLY equivalent (ops/pallas/segment_attention.py) but
+        # measured SLOWER inside the scans at 1B dims (v5e, 8 slots:
+        # raw scan 4.7 vs 6.4-6.6 ms/step at 1.5K live/2K slab, and still
+        # behind at 192 live/1K slab) — 16 per-layer kernel launches per
+        # step are launch-bound where one fused XLA attention chain is
+        # not. scripts/seg_kernel_sweep.py reproduces the crossover data;
+        # opt in with block_attn_impl="kernel" for shapes where per-layer
+        # work dwarfs launch overhead (8B+ dims / very long contexts).
         seg_impl = (
             "kernel"
             if (
-                decode_attn_impl == "kernel"
+                block_attn_impl == "kernel"
                 and cfg.text_config.attn_logit_softcapping is None
             )
             else "xla"
         )
-        if self.decode_block_steps > 1 and decode_attn_impl == "kernel" and (
-            seg_impl != "kernel"
-        ):
+        if block_attn_impl == "kernel" and seg_impl != "kernel":
             logger.warning(
-                "decode_block_steps>1 falls back to segmented XLA attention "
-                "for block dispatches: attn_logit_softcapping is set and "
-                "the segmented flash-decode kernel does not softcap"
+                "block_attn_impl='kernel' ignored: attn_logit_softcapping "
+                "is set and the segmented flash-decode kernel does not "
+                "softcap"
             )
         self._seg_attn_impl = seg_impl
+        # paged block dispatches assemble the contiguous view with the
+        # Pallas DMA copy kernel on TPU backends (the XLA gather runs at
+        # ~1/8 of copy bandwidth); mesh-sharded pools keep the XLA gather
+        # (the copy kernel is single-chip)
+        use_gather_kernel = (
+            self.paged
+            and mesh is None
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        block_kw = (
+            {"gather_kernel": use_gather_kernel} if self.paged else {}
+        )
         self._decode_block = jax.jit(
             functools.partial(
                 _decode_block_paged if self.paged else _decode_block,
-                cfg=cfg, attn_impl=seg_impl,
+                cfg=cfg, attn_impl=seg_impl, **block_kw,
             ),
             static_argnames=("n_steps",),
             donate_argnums=(1,),
@@ -617,6 +648,7 @@ class ServingEngine:
                         else _spec_decode_block,
                         cfg=cfg, K=self.spec_k, ngram=self.spec_ngram,
                         n_rounds=self.spec_rounds, attn_impl=seg_impl,
+                        **block_kw,
                     ),
                     donate_argnums=(1, 2),
                 )
@@ -2029,10 +2061,29 @@ def _decode_block(
     return new_toks, new_cache, new_lens, new_last
 
 
+def _paged_view(pool, page_table, gather_kernel: bool):
+    """Contiguous (L, B, S, Hkv, D) logical view of the pool rows. The
+    Pallas copy kernel moves the pages at DMA bandwidth (~8x the XLA
+    gather's measured ~97 GB/s on v5e — ops/pallas/paged_gather.py); the
+    XLA take stays for CPU/GPU backends."""
+    if gather_kernel:
+        from ultravox_tpu.ops.pallas.paged_gather import gather_pages
+
+        return gather_pages(pool.k, pool.v, page_table)
+    L, P, ps, Hkv, D = pool.k.shape
+    B = page_table.shape[0]
+
+    def view(p):
+        g = jnp.take(p, page_table, axis=1, mode="clip")
+        return g.reshape(L, B, -1, Hkv, D)
+
+    return view(pool.k), view(pool.v)
+
+
 def _decode_block_paged(
     params, pool, tokens, cache_lens, active_mask, samp, rng, page_table,
     *, cfg, n_steps: int, lora_banks=None, lora_idx=None,
-    attn_impl: str = "xla",
+    attn_impl: str = "xla", gather_kernel: bool = False,
 ):
     """Paged-mode multi-step decode: ``n_steps`` steps in ONE dispatch.
 
@@ -2059,11 +2110,8 @@ def _decode_block_paged(
     if attn_impl == "kernel":
         prompt_cache, scan_table = pool, page_table
     else:
-        def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
-            g = jnp.take(p, page_table, axis=1, mode="clip")
-            return g.reshape(L, B, S, Hkv, D)
-
-        prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+        vk, vv = _paged_view(pool, page_table, gather_kernel)
+        prompt_cache = decoder_lib.KVCache(k=vk, v=vv)
         scan_table = None
 
     toks, tail = decoder_lib.segmented_decode_scan(
@@ -2260,6 +2308,7 @@ def _spec_decode_block_paged(
     page_table,
     lora_banks=None, lora_idx=None,
     *, cfg, K: int, ngram: int, n_rounds: int, attn_impl: str = "xla",
+    gather_kernel: bool = False,
 ):
     """Paged-mode speculative block: with ``attn_impl="kernel"`` the
     speculative scan's verify attention DMAs live pool pages directly (no
@@ -2277,11 +2326,8 @@ def _spec_decode_block_paged(
     if attn_impl == "kernel":
         prompt_cache, scan_table = pool, page_table
     else:
-        def view(p):  # (L, P, ps, Hkv, D) -> (L, B, S, Hkv, D) logical rows
-            g = jnp.take(p, page_table, axis=1, mode="clip")
-            return g.reshape(L, B, S, Hkv, D)
-
-        prompt_cache = decoder_lib.KVCache(k=view(pool.k), v=view(pool.v))
+        vk, vv = _paged_view(pool, page_table, gather_kernel)
+        prompt_cache = decoder_lib.KVCache(k=vk, v=vv)
         scan_table = None
 
     def draft_fn(h, hl):

@@ -1127,11 +1127,16 @@ def quantize_decoder_int8(params: Params) -> Params:
     out = dict(params)
     layers = {}
     for name, leaf in params["layers"].items():
-        if isinstance(leaf, dict) and "kernel" in leaf and "lora_a" not in leaf:
+        if isinstance(leaf, dict) and "kernel" in leaf:
             q, scale = _quantize_kernel(leaf["kernel"])
             new = {"kernel_q": q, "scale": scale}
             if "bias" in leaf:
                 new["bias"] = leaf["bias"]
+            # LoRA rides on top of the int8 base (QLoRA-style serving):
+            # proj_apply adds the bf16 low-rank branch after the int8 dot
+            for k in ("lora_a", "lora_b", "lora_scale"):
+                if k in leaf:
+                    new[k] = leaf[k]
             layers[name] = new
         else:
             layers[name] = leaf

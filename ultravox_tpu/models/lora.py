@@ -150,7 +150,12 @@ def proj_apply(x: jax.Array, p: Params) -> jax.Array:
     if "bias" in p:
         out = out + p["bias"]
     if "lora_a" in p:
-        out = out + ((x @ p["lora_a"]) @ p["lora_b"]) * p["lora_scale"]
+        # cast the low-rank delta to the base output dtype: fp32 adapters
+        # over a bf16/int8 base must not promote the residual stream
+        # (dtype-flipping the layer-scan carry is a compile error)
+        out = out + (
+            ((x @ p["lora_a"]) @ p["lora_b"]) * p["lora_scale"]
+        ).astype(out.dtype)
     return out
 
 
@@ -242,6 +247,61 @@ def build_lora_banks(adapters: Dict[str, Params]):
             sc = sc.at[:, i].set(scale[:, None, None])
         banks[tgt] = {"a": a, "b": b, "scale": sc}
     return banks, index
+
+
+def fuse_lora_banks(
+    banks: Params,
+    qkv_dims: Tuple[int, int, int],
+    gateup_dims: Tuple[int, int],
+) -> Params:
+    """Recombine canonical-target banks into the FUSED-projection layout
+    (``fuse_inference_params``' qkv_proj / gateup_proj), so multi-LoRA
+    serving keeps the fused (and int8-quantized) base matmuls instead of
+    penalising every request with unfused projections.
+
+    A fused adapter is exact block algebra: A_f = [A_q | A_k | A_v]
+    (d_in, r_q+r_k+r_v) and B_f = blockdiag(s_q B_q, s_k B_k, s_v B_v)
+    (Σr, d_q+d_k+d_v) — the zero off-diagonal blocks kill cross terms, so
+    ``x @ A_f @ B_f`` equals the concatenation of the member updates.
+    Per-target scales fold into B_f; the fused scale leaf is 1. Members a
+    given adapter does not target contribute zero blocks (exact no-op)."""
+    out = dict(banks)
+    for fused_name, members, dims in (
+        ("qkv_proj", ("q_proj", "k_proj", "v_proj"), qkv_dims),
+        ("gateup_proj", ("gate_proj", "up_proj"), gateup_dims),
+    ):
+        present = [m for m in members if m in out]
+        if not present:
+            continue
+        ref = out[present[0]]
+        L, N, d_in, _ = ref["a"].shape
+        dtype = ref["a"].dtype
+        a_parts = []
+        segs = []  # (bank, r, out_offset, d_out)
+        off = 0
+        for m, d_out in zip(members, dims):
+            if m in out:
+                bk = out.pop(m)
+                r = bk["a"].shape[-1]
+                a_parts.append(bk["a"])
+                segs.append((bk, r, off, d_out))
+            off += d_out
+        d_out_total = sum(dims)
+        a_f = jnp.concatenate(a_parts, axis=-1)
+        total_r = a_f.shape[-1]
+        b_f = jnp.zeros((L, N, total_r, d_out_total), dtype)
+        r_off = 0
+        for bk, r, o, d_out in segs:
+            b_f = b_f.at[:, :, r_off:r_off + r, o:o + d_out].set(
+                bk["b"] * bk["scale"]
+            )
+            r_off += r
+        out[fused_name] = {
+            "a": a_f,
+            "b": b_f,
+            "scale": jnp.ones((L, N, 1, 1), dtype),
+        }
+    return out
 
 
 def apply_lora_banks(lm_params: Params, banks: Params, idx: jax.Array):
