@@ -145,3 +145,26 @@ def test_paged_decode_pageless_slot_is_safe():
     np.testing.assert_allclose(
         np.asarray(out[:1]), np.asarray(ref), atol=2e-5
     )
+
+
+def test_gather_pages_kernel_matches_take():
+    """The Pallas page-copy kernel assembles exactly the XLA gather's view
+    for every allocated table entry (sentinel entries differ only in WHICH
+    finite garbage they carry — both are masked by length)."""
+    from ultravox_tpu.ops.pallas.paged_gather import gather_pages
+
+    L, P, ps, Hkv, D = 3, 10, 16, 2, 64
+    B, n_per = 2, 4
+    rng = np.random.default_rng(0)
+    pool_k = jnp.asarray(rng.standard_normal((L, P, ps, Hkv, D)), jnp.float32)
+    pool_v = pool_k * 2.0 + 1.0
+    table = jnp.asarray([[3, 7, 1, 0], [9, 2, 5, 8]], np.int32)
+    want_k = jnp.take(pool_k, table, axis=1, mode="clip").reshape(
+        L, B, n_per * ps, Hkv, D
+    )
+    want_v = jnp.take(pool_v, table, axis=1, mode="clip").reshape(
+        L, B, n_per * ps, Hkv, D
+    )
+    got_k, got_v = gather_pages(pool_k, pool_v, table, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))

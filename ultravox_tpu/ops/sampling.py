@@ -81,10 +81,20 @@ def sample_slots(
     ``seed`` semantics)."""
     temps = samp[:, 0]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = scale_and_filter_logits(logits, samp)
-    keys = slot_keys(rng, logits.shape[0], seeds, positions)
-    drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
-    return jnp.where(temps > 0, drawn, greedy)
+
+    def sampled(_):
+        scaled = scale_and_filter_logits(logits, samp)
+        keys = slot_keys(rng, logits.shape[0], seeds, positions)
+        drawn = jax.vmap(jax.random.categorical)(keys, scaled).astype(
+            jnp.int32
+        )
+        return jnp.where(temps > 0, drawn, greedy)
+
+    # all-greedy batches (the common chat/serving case) skip the gumbel
+    # draw over the full vocab entirely — device-side cond, one program
+    return jax.lax.cond(
+        jnp.any(temps > 0), sampled, lambda _: greedy, None
+    )
 
 
 def scale_and_filter_logits(logits: jax.Array, samp: jax.Array) -> jax.Array:
