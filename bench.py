@@ -506,6 +506,42 @@ def _serving_metrics(fused_2k_tps: float):
         out["spec_autopauses"] = engine.spec_autopauses
     except Exception as e:  # pragma: no cover
         out["spec_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ECHO regime: random weights never revisit their history (measured: no
+    # cycle within 1400 tokens), so the workload above is speculation's
+    # WORST case and the guard's job is just to not lose. The echo case —
+    # outputs that repeat prior tokens, the regime prompt lookup exists for
+    # — is constructed at IDENTICAL dims and weight bytes by zeroing the
+    # decoder layer contributions (the residual stream stays the last
+    # token's embedding, so greedy output cycles; zero weights stream the
+    # same HBM bytes). Same engines, same workload, spec off vs on.
+    try:
+        lm = dict(params["language_model"])
+        lm["layers"] = jax.tree.map(lambda a: a * 0, lm["layers"])
+        params_echo = dict(params)
+        params_echo["language_model"] = lm
+        rates = {}
+        for spec in (None, "ngram"):
+            eng = ServingEngine(
+                params_echo, cfg, num_slots=8, max_seq_len=2048,
+                mel_len_buckets=(400,), spec_decode=spec,
+            )
+            eng.start()
+            try:
+                drain(submit_all())  # compile
+                t0 = time.perf_counter()
+                tokens_e = drain(submit_all())
+                rates[spec] = tokens_e / (time.perf_counter() - t0)
+                if spec:
+                    acc_e = eng.spec_accepted_sum / max(eng.spec_rows, 1)
+            finally:
+                eng.stop()
+        out["serving_tok_s_echo_base"] = round(rates[None], 1)
+        out["serving_tok_s_echo_spec"] = round(rates["ngram"], 1)
+        out["spec_echo_speedup_x"] = round(rates["ngram"] / rates[None], 2)
+        out["spec_echo_accept_per_slot"] = round(acc_e, 2)
+    except Exception as e:  # pragma: no cover
+        out["spec_echo_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
