@@ -114,3 +114,57 @@ def test_voicebench_metrics():
         "no commas at all",
     )
     assert voicebench_ifeval(s4, {}).score == 1.0
+
+
+def test_dormant_reference_families():
+    """The four checker families the reference keeps commented out in its
+    registry (instructions_registry.py:43-64) are active here."""
+    from ultravox_tpu.evaluation.ifeval import evaluate_instructions
+
+    def one(inst, kw, text):
+        return evaluate_instructions(text, [inst], [kw])[0]
+
+    assert one(
+        "keywords:key_sentences",
+        {"key_sentences": ["The sky is blue.", "Grass is green."],
+         "num_sentences": 1},
+        "The sky is blue. Roses are red.",
+    )
+    assert not one(
+        "keywords:key_sentences",
+        {"key_sentences": ["The sky is blue.", "Grass is green."],
+         "num_sentences": 1},
+        "The sky is blue. Grass is green.",  # 2 present, need exactly 1
+    )
+    assert one(
+        "detectable_format:rephrase",
+        {"original_message": "I want to *eat pizza* tonight."},
+        "I want to *have sushi* tonight.",
+    )
+    assert not one(
+        "detectable_format:rephrase",
+        {"original_message": "I want to *eat pizza* tonight."},
+        "We want to *have sushi* tonight.",  # changed outside the span
+    )
+    assert one(
+        "detectable_content:rephrase_paragraph",
+        {"original_paragraph": "the cat sat on the mat", "low": 2,
+         "high": 4},
+        "a cat lay on a rug",  # shares: cat, on -> 2
+    )
+    assert not one(
+        "detectable_content:rephrase_paragraph",
+        {"original_paragraph": "the cat sat on the mat", "low": 2,
+         "high": 4},
+        "the cat sat on the mat",  # 6 common > high
+    )
+    assert one(
+        "multi-turn:constrained_start",
+        {"starter": "My answer is"},
+        "Sure.\nMy answer is yes.",
+    )
+    assert not one(
+        "multi-turn:constrained_start",
+        {"starter": "My answer is"},
+        "The answer is yes.",
+    )

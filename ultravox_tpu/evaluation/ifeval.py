@@ -267,7 +267,65 @@ def response_language(text: str, kw) -> bool:
     return detected is not None and detected.startswith(target.split("-")[0])
 
 
+# -- dormant-in-reference instruction families ----------------------------
+# The reference registry keeps these four commented out
+# (evaluation/ifeval/instructions_registry.py:43-64) though the checker
+# classes exist (instructions.py:386,671,1053,1153); the IFEval dataset
+# never emits them. Implemented here for registry completeness.
+
+
+def key_sentences(text: str, kw) -> bool:
+    """reference: ifeval KeySentenceChecker — exactly ``num_sentences`` of
+    the given sentences must appear in the response."""
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s).strip().rstrip(".!?").lower()
+
+    have = {norm(s) for s in _sentences(text)}
+    count = sum(
+        1 for s in kw.get("key_sentences", []) if norm(s) in have
+    )
+    return count == kw.get("num_sentences", 1)
+
+
+def rephrase(text: str, kw) -> bool:
+    """reference: ifeval RephraseChecker — the response may differ from
+    ``original_message`` only inside *asterisk-marked* spans."""
+    original = kw.get("original_message", "")
+    if not re.search(r"\*.*\*", text) or not re.search(r"\*.*\*", original):
+        return False
+    strip = lambda s: re.sub(r"\*.*\*", "", s)  # noqa: E731
+    return strip(text) == strip(original)
+
+
+def rephrase_paragraph(text: str, kw) -> bool:
+    """reference: ifeval RephraseParagraph — between ``low`` and ``high``
+    words in common with ``original_paragraph`` (case-insensitive,
+    multiset intersection)."""
+    import collections
+
+    val = collections.Counter(_words(text.lower()))
+    orig = collections.Counter(
+        _words(kw.get("original_paragraph", "").lower())
+    )
+    similar = sum(min(orig[w], val[w]) for w in orig)
+    return kw.get("low", 0) <= similar <= kw.get("high", 10**9)
+
+
+def constrained_start(text: str, kw) -> bool:
+    """reference: ifeval ConstrainedStartChecker — some line of the
+    (multi-turn) response starts with ``starter``."""
+    starter = str(kw.get("starter", "")).strip()
+    return bool(
+        re.search(r"^\s*" + re.escape(starter), text, flags=re.MULTILINE)
+    )
+
+
 CHECKERS: Dict[str, Checker] = {
+    "keywords:key_sentences": key_sentences,
+    "detectable_format:rephrase": rephrase,
+    "detectable_content:rephrase_paragraph": rephrase_paragraph,
+    "multi-turn:constrained_start": constrained_start,
     "keywords:existence": keywords_existence,
     "keywords:frequency": keywords_frequency,
     "keywords:forbidden_words": keywords_forbidden,
