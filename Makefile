@@ -3,13 +3,22 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test test-fast bench train-test native lint dryrun
+.PHONY: test test-fast test-smoke bench train-test native lint dryrun
 
+# Full suite ~37 min (352 tests, idle 8-vCPU); fast tier ~12 min;
+# smoke tier <5 min (core exactness per subsystem).
 test:
 	$(PYTEST) tests/ -q
 
 test-fast:
-	$(PYTEST) tests/ -q -x -k "not integration and not sharding"
+	$(PYTEST) tests/ -q -m "not slow"
+
+test-smoke:
+	$(PYTEST) -q tests/test_processor.py tests/test_mel.py \
+	  tests/test_decoder_parity.py tests/test_encoder_parity.py \
+	  tests/test_data.py tests/test_evaluation.py tests/test_ifeval.py \
+	  tests/test_inference.py tests/test_loading.py tests/test_recipes.py \
+	  tests/test_segment_attention.py tests/test_paged_attention.py
 
 bench:
 	python bench.py

@@ -12,7 +12,25 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402  (after env setup)
+
+# Heavy integration modules (measured ≥~1 min each on an idle 8-vCPU
+# runner; full suite ≈ 37 min at 352 tests). `make test-fast` deselects
+# them (-m "not slow") for a ~12-min inner loop; `make test-smoke` runs a
+# curated <5-min core. Keep this list in sync with pytest --durations.
+_SLOW_MODULES = {
+    "test_spec_decode", "test_train_integration", "test_paged_serving",
+    "test_serving", "test_hub_code", "test_multihost", "test_training",
+    "test_sharding", "test_multi_lora", "test_flash_attention",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__.split(".")[-1] in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
 
 # The environment's sitecustomize registers the axon TPU PJRT plugin and
 # forces the platform; the env var alone doesn't stick — override via config.
