@@ -22,6 +22,16 @@ PEAK_BF16_FLOPS = 197e12
 HBM_GBPS = 819e9
 
 
+def _progress(msg: str) -> None:
+    """Stderr breadcrumb (stdout carries exactly ONE JSON line): lets a
+    driver/operator see which section a long bench run is in."""
+    import sys
+    import time as _time
+
+    sys.stderr.write(f"[bench {_time.strftime('%H:%M:%S')}] {msg}\n")
+    sys.stderr.flush()
+
+
 def main():
     from ultravox_tpu.models import WhisperEncoderConfig
     from ultravox_tpu.models import whisper_encoder
@@ -103,15 +113,24 @@ def main():
     )
     encoder_mfu_pct = flops_iter / (dt / iters) / PEAK_BF16_FLOPS * 100
 
+    _progress("flagship TTFT/decode section")
     flag = _flagship_metrics()
+    _progress("serving section")
     serving = _serving_metrics(flag["decode_tok_s_batch8_1b_2k_ctx"])
+    _progress("train section")
     train = _train_metrics()
+    _progress("8B layer-slice section")
     m8 = _8b_metrics()
+    _progress("8B int8 measured subprocess")
     m8.update(_subprocess_metrics("_8b_int8_measured"))
-    # 70B runs in a fresh process: its 3-layer slice + fused copies peaks
-    # near the whole 16 GB chip, which an HBM fragmented by the earlier
-    # sections cannot serve (observed RESOURCE_EXHAUSTED in-process)
+    # 70B runs in fresh processes (bf16 and int8 separately): each 3-layer
+    # slice + fused copies peaks near the whole 16 GB chip, which an HBM
+    # fragmented by earlier sections cannot serve (observed
+    # RESOURCE_EXHAUSTED both in-process and bf16+int8 co-resident)
+    _progress("70B bf16 layer-slice subprocess")
     m70 = _subprocess_metrics("_70b_dims_metrics")
+    _progress("70B int8 layer-slice subprocess")
+    m70.update(_subprocess_metrics("_70b_dims_int8_metrics"))
     print(
         json.dumps(
             {
@@ -379,19 +398,21 @@ def _8b_metrics():
     )
 
 
+_70B_DIMS = dict(
+    arch="llama", vocab_size=128256, hidden_size=8192,
+    intermediate_size=28672, num_heads=64, num_kv_heads=8,
+    head_dim=128, rope_theta=500000.0,
+    max_position_embeddings=8192,
+)
+
+
 def _70b_dims_metrics():
     """Llama-3.3-70B flagship dims (8192 hidden / 28672 ffn / 64q+8kv heads;
     see docs/70b.md for the full fits-and-runs plan). A 2/3-layer slice plus
     embeddings is ~8-10 GB bf16 — the largest pair that fits one v5e chip
     alongside caches; extrapolation to 80 layers mirrors the 8B story."""
-    dims = dict(
-        arch="llama", vocab_size=128256, hidden_size=8192,
-        intermediate_size=28672, num_heads=64, num_kv_heads=8,
-        head_dim=128, rope_theta=500000.0,
-        max_position_embeddings=8192,
-    )
-    out = _layer_sliced_metrics(
-        dims,
+    return _layer_sliced_metrics(
+        _70B_DIMS,
         layer_counts=(2, 3),
         full_layers=80,
         prefix="70b_dims",
@@ -400,20 +421,21 @@ def _70b_dims_metrics():
         # one as the realistic deployment slice
         extra_chips=(16,),
     )
-    # int8 halves weight traffic: 70 GB of weights fit a v5e-8 (8.75
-    # GB/chip) and the TTFT bar clears with margin (VERDICT r3 #8) — same
-    # slices, quantized engine
-    out.update(
-        _layer_sliced_metrics(
-            dims,
-            layer_counts=(2, 3),
-            full_layers=80,
-            prefix="70b_dims_int8",
-            extra_chips=(16,),
-            quantize="int8",
-        )
+
+
+def _70b_dims_int8_metrics():
+    """int8 halves weight traffic: 70 GB of weights fit a v5e-8 (8.75
+    GB/chip) and the TTFT bar clears with margin (VERDICT r3 #8) — same
+    slices, quantized engine. Own subprocess: co-resident with the bf16
+    slices, the two 70B sections exceed one 16 GB chip."""
+    return _layer_sliced_metrics(
+        _70B_DIMS,
+        layer_counts=(2, 3),
+        full_layers=80,
+        prefix="70b_dims_int8",
+        extra_chips=(16,),
+        quantize="int8",
     )
-    return out
 
 
 def _serving_metrics(fused_2k_tps: float):
@@ -455,13 +477,19 @@ def _serving_metrics(fused_2k_tps: float):
     def drain(reqs):
         tokens = 0
         for r in reqs:
-            for ev in engine.stream(r):
+            # generous per-event timeout: first tokens wait behind
+            # multi-minute Pallas relay compiles; a wedged device call
+            # (observed once after HBM exhaustion) ends the run instead of
+            # hanging the driver
+            for ev in engine.stream(r, timeout=1800):
                 if ev.token_id is not None:
                     tokens += 1
         return tokens
 
     try:
+        _progress("serving: paged engine compile drain")
         drain(submit_all())  # compile all buckets + block program
+        _progress("serving: paged engine timed run")
         t0 = time.perf_counter()
         tokens = drain(submit_all())
         dt = time.perf_counter() - t0
@@ -487,6 +515,7 @@ def _serving_metrics(fused_2k_tps: float):
         )
         engine.start()
         try:
+            _progress("serving: spec-ngram engine compile drain")
             drain(submit_all())  # compile (verify program included)
             engine.spec_dispatches = engine.spec_emitted_tokens = 0
             engine.spec_rows = engine.spec_accepted_sum = 0
@@ -511,38 +540,86 @@ def _serving_metrics(fused_2k_tps: float):
     # cycle within 1400 tokens), so the workload above is speculation's
     # WORST case and the guard's job is just to not lose. The echo case —
     # outputs that repeat prior tokens, the regime prompt lookup exists for
-    # — is constructed at IDENTICAL dims and weight bytes by zeroing the
-    # decoder layer contributions (the residual stream stays the last
-    # token's embedding, so greedy output cycles; zero weights stream the
-    # same HBM bytes). Same engines, same workload, spec off vs on.
-    try:
-        lm = dict(params["language_model"])
-        lm["layers"] = jax.tree.map(lambda a: a * 0, lm["layers"])
-        params_echo = dict(params)
-        params_echo["language_model"] = lm
-        rates = {}
-        for spec in (None, "ngram"):
-            eng = ServingEngine(
-                params_echo, cfg, num_slots=8, max_seq_len=2048,
-                mel_len_buckets=(400,), spec_decode=spec,
-            )
-            eng.start()
-            try:
-                drain(submit_all())  # compile
-                t0 = time.perf_counter()
-                tokens_e = drain(submit_all())
-                rates[spec] = tokens_e / (time.perf_counter() - t0)
-                if spec:
-                    acc_e = eng.spec_accepted_sum / max(eng.spec_rows, 1)
-            finally:
-                eng.stop()
-        out["serving_tok_s_echo_base"] = round(rates[None], 1)
-        out["serving_tok_s_echo_spec"] = round(rates["ngram"], 1)
-        out["spec_echo_speedup_x"] = round(rates["ngram"] / rates[None], 2)
-        out["spec_echo_accept_per_slot"] = round(acc_e, 2)
-    except Exception as e:  # pragma: no cover
-        out["spec_echo_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    # — runs in a FRESH subprocess: this section is the 3rd and 4th engine
+    # in this process, and a 16 GB chip fragmented by the earlier engines
+    # wedged the remote worker once (the device call never returned — no
+    # exception, just a 2 h hang the driver would inherit). The subprocess
+    # gets a clean HBM, a fresh tunnel, and a hard 2400 s bound.
+    _progress("serving: echo-regime subprocess")
+    out.update(_subprocess_metrics("_echo_metrics"))
     return out
+
+
+def _echo_metrics():
+    """Echo-regime serving rates (spec off vs on) at identical dims and
+    weight bytes to the flagship: the decoder layer contributions are
+    zeroed, so the residual stream stays the last token's embedding and
+    greedy output cycles — the regime prompt-lookup drafting exists for.
+    Zero weights stream the same HBM bytes as the headline workload."""
+    import time
+
+    import __graft_entry__ as graft
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+    from ultravox_tpu.models import ultravox as uv_model
+
+    cfg = graft._flagship_config()
+    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+    lm = dict(params["language_model"])
+    lm["layers"] = jax.tree.map(lambda a: a * 0, lm["layers"])
+    params_echo = dict(params)
+    params_echo["language_model"] = lm
+    del params, lm
+
+    B, PROMPT, NEW = 8, 1500, 400
+    rng = np.random.default_rng(0)
+
+    rates = {}
+    acc_e = 0.0
+    for spec in (None, "ngram"):
+        eng = ServingEngine(
+            params_echo, cfg, num_slots=8, max_seq_len=2048,
+            mel_len_buckets=(400,), spec_decode=spec,
+        )
+        eng.start()
+
+        def submit_all():
+            reqs = []
+            for _ in range(B):
+                ids = rng.integers(1, cfg.text_config.vocab_size, (1, PROMPT))
+                reqs.append(
+                    eng.submit(
+                        {
+                            "input_ids": ids.astype(np.int32),
+                            "attention_mask": np.ones_like(ids, np.int32),
+                        },
+                        max_tokens=NEW,
+                    )
+                )
+            return reqs
+
+        def drain(reqs):
+            tokens = 0
+            for r in reqs:
+                for ev in eng.stream(r, timeout=1800):
+                    if ev.token_id is not None:
+                        tokens += 1
+            return tokens
+
+        try:
+            drain(submit_all())  # compile
+            t0 = time.perf_counter()
+            tokens_e = drain(submit_all())
+            rates[spec] = tokens_e / (time.perf_counter() - t0)
+            if spec:
+                acc_e = eng.spec_accepted_sum / max(eng.spec_rows, 1)
+        finally:
+            eng.stop()
+    return {
+        "serving_tok_s_echo_base": round(rates[None], 1),
+        "serving_tok_s_echo_spec": round(rates["ngram"], 1),
+        "spec_echo_speedup_x": round(rates["ngram"] / rates[None], 2),
+        "spec_echo_accept_per_slot": round(acc_e, 2),
+    }
 
 
 def _train_metrics():

@@ -79,12 +79,14 @@ def test_long_audio_is_chunked(processor):
 
 def test_placeholder_count_errors(processor):
     audio = np.zeros(8000, dtype=np.float32)
-    # Reference semantics (ultravox_processing.py:340-360): a missing
-    # placeholder trips the final "too many" check; "too few" fires when the
-    # audio count exceeds the available text parts mid-loop.
-    with pytest.raises(ValueError, match="too many"):
+    # Reference semantics (ultravox_processing.py:340-360): any
+    # placeholder/clip count mismatch raises — missing and extra
+    # placeholders both trip the final count check ("0 ... but 1" /
+    # "2 ... but 1"); "too few" fires when the audio count exceeds the
+    # available text parts mid-loop.
+    with pytest.raises(ValueError, match="0 audio placeholder"):
         processor(text="no placeholder here", audio=audio)
-    with pytest.raises(ValueError, match="too many"):
+    with pytest.raises(ValueError, match="2 audio placeholder"):
         processor(text="<|audio|> and <|audio|>", audio=audio)
     with pytest.raises(ValueError, match="too few"):
         processor(text="x <|audio|> y", audios=[audio, audio, audio])

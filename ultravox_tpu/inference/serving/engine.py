@@ -841,10 +841,48 @@ class ServingEngine:
         self._wake.set()
         return req
 
-    def stream(self, req: Request):
-        """Yield StreamEvents until the request finishes."""
+    def stream(self, req: Request, timeout: Optional[float] = None):
+        """Yield StreamEvents until the request finishes.
+
+        Hang-proof: if the serving loop is no longer able to finish this
+        request (thread dead, engine stopped, or the request vanished from
+        the scheduler without a terminal event — all "can't happen" states
+        that an earlier bug DID reach via an uncaught scheduler exception),
+        a terminal error event is synthesized instead of blocking forever
+        on ``out_queue.get()``.
+
+        ``timeout`` (seconds, per EVENT — not per request) additionally
+        bounds the wait when the loop thread looks healthy but a device
+        call inside it never returns (observed once: remote TPU worker
+        wedged after HBM exhaustion — the dispatch blocked forever with no
+        exception anywhere). None = wait as long as the loop is alive.
+        First-token waits legitimately span multi-minute XLA/Pallas
+        compiles, so pick generous values (the bench uses 1800 s)."""
+        waited = 0.0
         while True:
-            event: StreamEvent = req.out_queue.get()
+            try:
+                event: StreamEvent = req.out_queue.get(timeout=1.0)
+                waited = 0.0
+            except queue.Empty:
+                waited += 1.0
+                thread = self._thread
+                loop_dead = not self._running or thread is None or (
+                    not thread.is_alive()
+                )
+                timed_out = timeout is not None and waited >= timeout
+                if loop_dead or timed_out or (
+                    req.request_id not in self._requests
+                ):
+                    # drain anything that raced in between the timeout and
+                    # the liveness check before giving up
+                    try:
+                        event = req.out_queue.get_nowait()
+                        waited = 0.0
+                    except queue.Empty:
+                        yield StreamEvent(token_id=None, finish_reason="error")
+                        return
+                else:
+                    continue
             yield event
             if event.token_id is None:
                 return
@@ -870,6 +908,67 @@ class ServingEngine:
 
     def _loop(self):
         while self._running:
+            try:
+                self._loop_tick()
+            except Exception:  # noqa: BLE001 — the scheduler itself raised
+                # (outside the per-phase handlers below — e.g. a device OOM
+                # surfacing on a result fetch in _drain_decodes, or a
+                # bookkeeping bug). A dead loop thread would leave every
+                # stream() consumer blocked forever; instead fail every
+                # known request with a terminal error event and reset the
+                # scheduler to empty, then keep serving.
+                logger.exception(
+                    "serving loop tick failed; failing all requests"
+                )
+                try:
+                    self._fail_all_requests()
+                except Exception:  # noqa: BLE001 — last resort below
+                    logger.exception("scheduler reset failed; stopping loop")
+                    self._running = False
+                    for req in list(self._requests.values()):
+                        req.out_queue.put(
+                            StreamEvent(token_id=None, finish_reason="error")
+                        )
+                    self._requests.clear()
+        # loop exit (stop()): deliver whatever was already computed
+        try:
+            self._drain_decodes()
+        except Exception:  # noqa: BLE001 — shutdown must not raise
+            self._inflight.clear()
+
+    def _fail_all_requests(self):
+        """Terminal-error every tracked request and reset scheduling state
+        (slots, pages, pins, retained prefixes, in-flight dispatches)."""
+        self._inflight.clear()
+        self._mask_cache = None
+        self._spec_cache = None
+        self._spec_key = None
+        while not self._pending.empty():
+            try:
+                self._pending.get_nowait()
+            except queue.Empty:
+                break
+        while not self._cancels.empty():
+            try:
+                self._cancels.get_nowait()
+            except queue.Empty:
+                break
+        self._prefilling.clear()
+        self._active.clear()
+        for req in list(self._requests.values()):
+            req.out_queue.put(
+                StreamEvent(token_id=None, finish_reason="error")
+            )
+        self._requests.clear()
+        self._retained.clear()
+        self._pinned.clear()
+        if self.paged:
+            for slot in range(self.num_slots):
+                self._release_slot_pages(slot)
+        self._free_slots = list(range(self.num_slots))
+        self.cache_lens = jnp.zeros((self.num_slots,), jnp.int32)
+
+    def _loop_tick(self):
             did_work = False
             # admissions/cancellations mutate slot/page ownership: retire
             # any in-flight decode work first so lagged finishes free their
@@ -968,14 +1067,9 @@ class ServingEngine:
                 # rather than sleeping on them
                 if self._inflight:
                     self._drain_decodes()
-                    continue
+                    return
                 self._wake.wait(timeout=0.01)
                 self._wake.clear()
-        # loop exit (stop()): deliver whatever was already computed
-        try:
-            self._drain_decodes()
-        except Exception:  # noqa: BLE001 — shutdown must not raise
-            self._inflight.clear()
 
     def _pad_request(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         batch = dict(batch)
@@ -1780,11 +1874,14 @@ class ServingEngine:
         self._finish_cancelled(req)
 
     def _finish_cancelled(self, req: Request):
-        if self._requests.pop(req.request_id, None) is None:
+        if req.request_id not in self._requests:
             return  # already acknowledged — idempotent
+        # event BEFORE untracking: stream()'s liveness check treats an
+        # untracked request with an empty queue as lost and errors it
         req.out_queue.put(
             StreamEvent(token_id=None, finish_reason="cancelled")
         )
+        self._requests.pop(req.request_id, None)
 
     def _emit(self, req: Request, token_id: int, lp=None):
         finish = None

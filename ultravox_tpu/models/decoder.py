@@ -1109,12 +1109,32 @@ def embed_lookup(params: Params, ids: jax.Array) -> jax.Array:
     return jnp.take(params["embed_tokens"], ids, axis=0)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1,))
 def _quantize_kernel(kernel: jax.Array, axis: int = -2):
-    """Per-output-channel symmetric int8: scale over the contraction axis."""
+    """Per-output-channel symmetric int8: scale over the contraction axis.
+
+    Jitted so the fp32 upcasts fuse into the reduction / int8-cast loops —
+    eager, each `.astype(jnp.float32)` materializes a full fp32 copy, which
+    at 70B layer dims (a (3, 8192, 57344) gateup slice = 5.6 GB fp32,
+    twice) RESOURCE_EXHAUSTs a 16 GB chip that holds the bf16 source +
+    int8 output comfortably."""
     amax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=axis, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(kernel.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _quantize_embedding(emb: jax.Array):
+    """Per-ROW symmetric int8 for the token embedding (fused, see above)."""
+    emb32 = emb.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(emb32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(emb32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.bfloat16)
 
 
 def quantize_decoder_int8(params: Params) -> Params:
@@ -1141,13 +1161,9 @@ def quantize_decoder_int8(params: Params) -> Params:
         else:
             layers[name] = leaf
     out["layers"] = layers
-    emb = params["embed_tokens"].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    out["embed_tokens_q"] = jnp.clip(
-        jnp.round(emb / scale), -127, 127
-    ).astype(jnp.int8)
-    out["embed_scale"] = scale[..., 0].astype(jnp.bfloat16)
+    out["embed_tokens_q"], out["embed_scale"] = _quantize_embedding(
+        params["embed_tokens"]
+    )
     del out["embed_tokens"]
     if "lm_head" in params:
         q, scale = _quantize_kernel(params["lm_head"]["kernel"])

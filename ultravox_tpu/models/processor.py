@@ -281,9 +281,11 @@ class UltravoxProcessor:
 
             placeholder_index += 1
             if placeholder_index != len(parts) - 1:
+                found = len(parts) - 1
                 raise ValueError(
-                    "Text contains too many audio placeholders. "
-                    f"(Expected {len(audios)} placeholders)"
+                    f"Text contains {found} audio placeholder(s) but "
+                    f"{len(audios)} audio clip(s) were provided. "
+                    "(One <|audio|> per clip.)"
                 )
             input_ids.extend(parts[placeholder_index])
 
