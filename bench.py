@@ -680,12 +680,17 @@ def _train_metrics():
     }
     state, metrics = step_fn(state, batch)  # compile
     float(metrics["loss"])
+    # best-of-3 rounds of 5 steps: a single remote-tunnel sample carries
+    # tens-of-ms jitter (same discipline as the prefill timing — the r3->r4
+    # "samples/s regression" was a 1% noise artifact of single-round timing)
     iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, batch)
-    float(metrics["loss"])  # fence
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, batch)
+        float(metrics["loss"])  # fence
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     flops = _train_step_flops(cfg, B, T, T2, mel_frames)
     return {
         "train_samples_s_1b_kl_10s_audio_batch8": round(B / dt, 1),
