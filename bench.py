@@ -216,7 +216,10 @@ def _flagship_metrics():
             out = f(eng.params, cache, first, seq_lens, rng, n_steps=steps)
         fence(out)
         dt = time.perf_counter() - t0
-        return bat["input_ids"].shape[0] * (steps + 1) * iters / dt
+        # the timed program performs exactly `steps` decode steps — the
+        # first token came from the (untimed) prefill sampling, so counting
+        # steps+1 would inflate the roofline ~1.6% (ADVICE r4 #2)
+        return bat["input_ids"].shape[0] * steps * iters / dt
 
     decode_tps = fused_decode_rate(engine, batch)
 
@@ -282,6 +285,7 @@ def _layer_sliced_metrics(
     n_chips: int = 8,
     extra_chips: tuple = (),
     quantize=None,
+    target_chips: int = None,
 ):
     """Layer-sliced measurement at exact big-model layer dims: per-layer
     cost = slope between the two slice sizes, fixed cost (embed + LM head +
@@ -309,15 +313,25 @@ def _layer_sliced_metrics(
         )
         from ultravox_tpu.models import decoder as decoder_lib
 
-        params = {
-            "language_model": decoder_lib.init_params(
-                cfg.text_config, jax.random.key(0), jnp.bfloat16
+        if quantize == "int8":
+            # generate int8 weights DIRECTLY in the fused layout: init-bf16
+            # -> engine-quantize keeps the bf16 slice and the int8 copy
+            # co-resident, which at 70B slice dims exceeds the 16 GB chip
+            # (BENCH_r04's RESOURCE_EXHAUSTED — VERDICT r4 #1)
+            params = _init_int8_fused(cfg)
+            engine = GenerationEngine(
+                params, cfg, max_cache_len=512, prefill_attn_impl="fused",
             )
-        }
-        engine = GenerationEngine(
-            params, cfg, max_cache_len=512, prefill_attn_impl="fused",
-            quantize=quantize,
-        )
+        else:
+            params = {
+                "language_model": decoder_lib.init_params(
+                    cfg.text_config, jax.random.key(0), jnp.bfloat16
+                )
+            }
+            engine = GenerationEngine(
+                params, cfg, max_cache_len=512, prefill_attn_impl="fused",
+                quantize=quantize,
+            )
         # free the unfused source layer kernels (the engine holds fused
         # copies): the 70B 3-layer slice + embeddings only fits one 16 GB
         # chip once, not twice
@@ -368,15 +382,20 @@ def _layer_sliced_metrics(
         f"{prefix}_decode_tok_s_batch8_1chip_equiv": round(B / decode_full, 1),
         f"{prefix}_prefill_192tok_ms_1chip_equiv": round(prefill_full * 1e3, 1),
     }
+    # the <200 ms north-star ratio quotes the chip count this configuration
+    # actually DEPLOYS on (docs/70b.md): quoting whichever slice happens to
+    # pass would let the headline field quietly switch configurations
+    # (VERDICT r4 weak #8)
+    if target_chips is None:
+        target_chips = n_chips
     for chips in (n_chips,) + tuple(extra_chips):
         sharded = fixed_prefill + full_layers * per_layer_prefill / chips
         ttft_est = (enc_ttft_s + sharded) * 1000
         out[f"{prefix}_ttft_ms_est_10s_audio_{chips}chip"] = round(ttft_est, 1)
-        # the <200 ms north-star ratio quotes the LARGEST (deepest-sharded)
-        # slice — the slice size a model this large actually serves on
-        out[f"{prefix}_ttft_vs_200ms_target"] = round(
-            200.0 / max(ttft_est, 1e-9), 2
-        )
+        if chips == target_chips:
+            out[f"{prefix}_ttft_vs_200ms_target"] = round(
+                200.0 / max(ttft_est, 1e-9), 2
+            )
     return out
 
 
@@ -417,9 +436,10 @@ def _70b_dims_metrics():
         full_layers=80,
         prefix="70b_dims",
         # 140 GB of bf16 weights serve on a v5e-16 (8.75 GB/chip + caches)
-        # — quote the 8-chip estimate for comparability and the 16-chip
-        # one as the realistic deployment slice
+        # — quote the 8-chip estimate for comparability; the 200 ms target
+        # ratio quotes 16 chips, the chip count bf16 70B actually deploys on
         extra_chips=(16,),
+        target_chips=16,
     )
 
 
@@ -433,8 +453,12 @@ def _70b_dims_int8_metrics():
         layer_counts=(2, 3),
         full_layers=80,
         prefix="70b_dims_int8",
+        # 70 GB of int8 weights fit a v5e-8 (8.75 GB/chip) — the flagship
+        # deploy config docs/70b.md recommends; its 200 ms target ratio
+        # quotes THOSE 8 chips (VERDICT r4 weak #8)
         extra_chips=(16,),
         quantize="int8",
+        target_chips=8,
     )
 
 
@@ -799,12 +823,15 @@ def _encoder_10s_once() -> float:
 
 
 
-def _init_8b_int8_fused(cfg, seed: int = 0):
+def _init_int8_fused(cfg, seed: int = 0):
     """Random int8 weights in the fused inference layout, created inside ONE
     jitted program: eager per-tensor creation fragments the 16 GB HBM (the
     later multi-GB cache allocations then fail), and JAX PRNGs materialize
     32-bit words per element, so layer-stacked tensors generate via lax.scan
-    (one layer's temporaries at a time)."""
+    (one layer's temporaries at a time). Used by every int8 big-dims bench
+    section: generating int8 directly means the bf16 source tree and its
+    quantized copy are never co-resident (the r4 70B int8 section OOMed
+    exactly that way — VERDICT r4 #1)."""
     tc = cfg.text_config
     L, D, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
     Hq, Hkv, Dh = tc.num_heads, tc.num_kv_heads, tc.head_dim
@@ -913,7 +940,7 @@ def _8b_int8_measured():
         ),
         llm_only_training=True,
     )
-    params = _init_8b_int8_fused(cfg)
+    params = _init_int8_fused(cfg)
     engine = GenerationEngine(
         params, cfg, max_cache_len=1024, prefill_attn_impl="fused"
     )

@@ -276,7 +276,17 @@ def response_language(text: str, kw) -> bool:
 
 def key_sentences(text: str, kw) -> bool:
     """reference: ifeval KeySentenceChecker — exactly ``num_sentences`` of
-    the given sentences must appear in the response."""
+    the given sentences must appear in the response.
+
+    DELIBERATE divergence from the reference semantics (ADVICE r4 #4): the
+    reference counts exact string membership of each key sentence in its
+    ``split_into_sentences`` output, which makes the check fail on trailing
+    punctuation or whitespace differences introduced by its own splitter.
+    This checker normalizes whitespace/case and strips terminal punctuation
+    on BOTH sides before membership, so scores on this (dormant — the
+    IFEval dataset never emits it) instruction are slightly more lenient
+    than the reference's and not comparable to reference-published numbers.
+    """
 
     def norm(s: str) -> str:
         return re.sub(r"\s+", " ", s).strip().rstrip(".!?").lower()

@@ -357,6 +357,14 @@ class ServingEngine:
                     )
                 lms[name] = tree.get("language_model", tree)
             self._lora_banks, self._lora_index = build_lora_banks(lms)
+        if mesh is not None and quantize:
+            # explicit flag, explicit failure: int8 fusion produces layouts
+            # the TP sharding rules don't cover, so quantize= would be
+            # silently ignored on the sharded path (ADVICE r4 #1)
+            raise ValueError(
+                "quantize= is not supported together with mesh=; "
+                "quantize the params before sharding or serve unquantized"
+            )
         if mesh is None:
             # fused matmuls don't compose with TP sharding
             self.params["language_model"] = decoder_lib.fuse_inference_params(
@@ -836,8 +844,13 @@ class ServingEngine:
             )
         if audio_spans is not None:
             req.audio_spans = tuple(audio_spans)
-        self._requests[req.request_id] = req
-        self._pending.put(req)
+        # registration + enqueue are atomic w.r.t. _fail_all_requests'
+        # drain/clear (ADVICE r4 #3): a request is either fully visible to
+        # the reset (drained + error event) or fully after it (stays queued
+        # AND tracked, so the recovered scheduler admits it normally)
+        with self._lock:
+            self._requests[req.request_id] = req
+            self._pending.put(req)
         self._wake.set()
         return req
 
@@ -943,23 +956,28 @@ class ServingEngine:
         self._mask_cache = None
         self._spec_cache = None
         self._spec_key = None
-        while not self._pending.empty():
-            try:
-                self._pending.get_nowait()
-            except queue.Empty:
-                break
-        while not self._cancels.empty():
-            try:
-                self._cancels.get_nowait()
-            except queue.Empty:
-                break
-        self._prefilling.clear()
-        self._active.clear()
-        for req in list(self._requests.values()):
-            req.out_queue.put(
-                StreamEvent(token_id=None, finish_reason="error")
-            )
-        self._requests.clear()
+        # atomic w.r.t. submit()'s register+enqueue (ADVICE r4 #3): without
+        # the lock a request registered between the drain and the clear
+        # stays queued yet untracked — its consumer gets a synthesized
+        # error while the recovered scheduler still decodes it
+        with self._lock:
+            while not self._pending.empty():
+                try:
+                    self._pending.get_nowait()
+                except queue.Empty:
+                    break
+            while not self._cancels.empty():
+                try:
+                    self._cancels.get_nowait()
+                except queue.Empty:
+                    break
+            self._prefilling.clear()
+            self._active.clear()
+            for req in list(self._requests.values()):
+                req.out_queue.put(
+                    StreamEvent(token_id=None, finish_reason="error")
+                )
+            self._requests.clear()
         self._retained.clear()
         self._pinned.clear()
         if self.paged:
