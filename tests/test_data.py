@@ -168,6 +168,80 @@ def test_augmentation_probability_zero_is_noop():
     np.testing.assert_array_equal(aug.apply_audio(audio), audio)
 
 
+def _fake_ffmpeg(tmp_path, scale: float = 0.5):
+    """A fake ffmpeg: 'encode' copies stdin f32le bytes into the output
+    file; 'decode' (output '-') reads the file, scales the samples, and
+    writes f32le to stdout — proving the audio really flowed through the
+    subprocess round-trip."""
+    import os
+    import sys
+    import textwrap
+
+    path = tmp_path / "fake-ffmpeg"
+    path.write_text(textwrap.dedent(f"""\
+        #!{sys.executable}
+        import sys
+        import numpy as np
+        args = sys.argv[1:]
+        inp = args[args.index("-i") + 1]
+        out = args[-1]
+        if out == "-":
+            x = np.frombuffer(open(inp, "rb").read(), np.float32)
+            sys.stdout.buffer.write(({scale} * x).astype(np.float32).tobytes())
+        else:
+            open(out, "wb").write(sys.stdin.buffer.read())
+    """))
+    os.chmod(path, 0o755)
+    return str(path)
+
+
+def test_ffmpeg_codec_roundtrip_with_fake_binary(tmp_path):
+    aug = create_augmentation(
+        {"name": "amr", "type": "ffmpeg_compression",
+         "args": {"codec": "amr", "bitrate": 4750,
+                  "ffmpeg_bin": _fake_ffmpeg(tmp_path)}}
+    )
+    audio = (np.sin(np.linspace(0, 50, 1600)) * 0.3).astype(np.float32)
+    out = aug.apply_audio(audio.copy())
+    np.testing.assert_allclose(out, audio * 0.5, atol=1e-6)
+    assert out.dtype == np.float32 and len(out) == len(audio)
+
+
+def test_ffmpeg_codec_random_amr_with_fake_binary(tmp_path):
+    aug = create_augmentation(
+        {"name": "r", "type": "ffmpeg_compression",
+         "args": {"codec": "random_amr",
+                  "ffmpeg_bin": _fake_ffmpeg(tmp_path)}}
+    )
+    audio = np.ones(400, np.float32) * 0.2
+    np.testing.assert_allclose(aug.apply_audio(audio), audio * 0.5, atol=1e-6)
+
+
+def test_ffmpeg_codec_skips_cleanly_when_binary_absent():
+    aug = create_augmentation(
+        {"name": "amr", "type": "ffmpeg_compression",
+         "args": {"codec": "amr", "bitrate": 12200,
+                  "ffmpeg_bin": "definitely-not-ffmpeg-xyz"}}
+    )
+    audio = np.ones(100, np.float32) * 0.1
+    np.testing.assert_array_equal(aug.apply_audio(audio.copy()), audio)
+
+
+def test_ffmpeg_codec_rejects_bad_config():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        create_augmentation(
+            {"name": "x", "type": "ffmpeg_compression",
+             "args": {"codec": "mp9"}}
+        )
+    with _pytest.raises(ValueError):
+        create_augmentation(
+            {"name": "x", "type": "ffmpeg_compression",
+             "args": {"codec": "amr"}}  # bitrate required
+        )
+
+
 # -- dataproc ---------------------------------------------------------------
 
 

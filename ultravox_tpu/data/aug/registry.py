@@ -78,6 +78,9 @@ AugRegistry.register_type("noise", transforms.ColoredNoiseAugmentation)
 AugRegistry.register_type("resampling", transforms.ResamplingAugmentation)
 AugRegistry.register_type("filter", transforms.ButterworthFilterAugmentation)
 AugRegistry.register_type("compression", transforms.CompressionAugmentation)
+AugRegistry.register_type(
+    "ffmpeg_compression", transforms.FfmpegCodecAugmentation
+)
 
 # Built-in configs (reference: aug/registry.py default configs)
 AugRegistry.register_config(AugmentationConfig(name="null", type="noop"))
@@ -107,6 +110,33 @@ AugRegistry.register_config(
 )
 AugRegistry.register_config(
     AugmentationConfig(name="mulaw", type="compression", p=0.3)
+)
+# ffmpeg codec round-trips — config names match the reference registry
+# (aug/compression.py:240-274) so its recipes port verbatim; each degrades
+# to a warned no-op where ffmpeg isn't installed
+AugRegistry.register_config(
+    AugmentationConfig(
+        name="amr_4_75kbps", type="ffmpeg_compression",
+        args={"codec": "amr", "bitrate": 4750},
+    )
+)
+AugRegistry.register_config(
+    AugmentationConfig(
+        name="amr_12kbps", type="ffmpeg_compression",
+        args={"codec": "amr", "bitrate": 12200},
+    )
+)
+AugRegistry.register_config(
+    AugmentationConfig(
+        name="amr_wb", type="ffmpeg_compression",
+        args={"codec": "amrwb", "bitrate": 23850},
+    )
+)
+AugRegistry.register_config(
+    AugmentationConfig(
+        name="random_amr_compression", type="ffmpeg_compression",
+        args={"codec": "random_amr"},
+    )
 )
 AugRegistry.register_config(
     AugmentationConfig(

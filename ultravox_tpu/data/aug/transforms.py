@@ -8,6 +8,8 @@ CPU; none of this sits on the TPU critical path).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from ultravox_tpu.data.aug.base import Augmentation
@@ -133,9 +135,8 @@ def _alaw(audio: np.ndarray, A: float = 87.6) -> np.ndarray:
 
 class CompressionAugmentation(Augmentation):
     """Telephony codec round-trip: μ-law or a-law 8-bit companding
-    (reference: aug/compression.py:16-57 — the audioop path, re-implemented
-    since ``audioop`` is removed in Python 3.13; the ffmpeg-subprocess codecs
-    are out of scope for the TPU build's data path)."""
+    (reference: aug/compression.py:186-199 — the audioop path, re-implemented
+    since ``audioop`` is removed in Python 3.13)."""
 
     def __init__(self, *args, codec: str = "mulaw", **kw):
         super().__init__(*args, **kw)
@@ -144,3 +145,130 @@ class CompressionAugmentation(Augmentation):
 
     def _apply(self, audio: np.ndarray) -> np.ndarray:
         return _mulaw(audio) if self.codec == "mulaw" else _alaw(audio)
+
+
+# intermediate sample rate + extra encode flags per codec: AMR-NB is an
+# 8 kHz codec, AMR-WB a 16 kHz one (both land back at args.sample_rate)
+_FFMPEG_CODECS = {
+    "amr": {"rate": 8000, "ext": "amr"},
+    "amrwb": {"rate": 16000, "ext": "amr", "flags": ["-acodec", "amr_wb"]},
+}
+# the reference's random AMR sweep (aug/compression.py:202-218): every
+# standard AMR-NB + AMR-WB bitrate
+AMR_NB_BITRATES = (4750, 5150, 5900, 6700, 7400, 7950, 10200, 12200)
+AMR_WB_BITRATES = (
+    6600, 8850, 12650, 14250, 15850, 18250, 19850, 23050, 23850,
+)
+
+
+class FfmpegCodecAugmentation(Augmentation):
+    """Real lossy-codec round-trip via an ffmpeg subprocess (reference:
+    aug/compression.py:16-41,60-183 — FfmpegCompression): encode to AMR-NB /
+    AMR-WB at a given bitrate, decode back to the pipeline sample rate, so
+    training sees genuine codec artifacts (band-limiting, quantization,
+    frame effects) rather than companding alone.
+
+    Differences from the reference (deliberate): audio rides raw f32le pipes
+    (stdin -> encoder; decoder -> stdout) with one temp file for the
+    compressed container instead of three temp WAVs; and when ffmpeg is
+    ABSENT the augmentation degrades to a one-time-warned no-op instead of
+    raising, so recipes listing it still run in environments without codecs
+    installed (this build's zero-egress CI included). ``ffmpeg_bin`` is
+    injectable for tests.
+
+    ``codec="random_amr"`` draws a random (codec, bitrate) from the standard
+    AMR-NB/WB tables per call — the reference's AmrCompression sweep."""
+
+    def __init__(
+        self, *args,
+        codec: str = "amr",
+        bitrate: Optional[int] = None,
+        ffmpeg_bin: str = "ffmpeg",
+        **kw,
+    ):
+        super().__init__(*args, **kw)
+        if codec != "random_amr" and codec not in _FFMPEG_CODECS:
+            raise ValueError(
+                f"unsupported ffmpeg codec {codec!r}; "
+                f"known: {sorted(_FFMPEG_CODECS)} + ['random_amr']"
+            )
+        if codec in _FFMPEG_CODECS and bitrate is None:
+            raise ValueError(f"codec {codec!r} requires a bitrate")
+        self.codec = codec
+        self.bitrate = bitrate
+        self.ffmpeg_bin = ffmpeg_bin
+        self._available: Optional[bool] = None  # probed lazily, once
+        self._warned = False
+
+    def _probe(self) -> bool:
+        if self._available is None:
+            import shutil
+
+            self._available = shutil.which(self.ffmpeg_bin) is not None
+        return self._available
+
+    def _skip(self, audio: np.ndarray, why: str) -> np.ndarray:
+        if not self._warned:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: %s — codec round-trip skipped (audio passes through)",
+                self.name, why,
+            )
+            self._warned = True
+        return audio
+
+    def _apply(self, audio: np.ndarray) -> np.ndarray:
+        if not self._probe():
+            return self._skip(audio, f"{self.ffmpeg_bin!r} not on PATH")
+        codec, bitrate = self.codec, self.bitrate
+        if codec == "random_amr":
+            table = [("amr", b) for b in AMR_NB_BITRATES] + [
+                ("amrwb", b) for b in AMR_WB_BITRATES
+            ]
+            codec, bitrate = table[self._rng.randrange(len(table))]
+        spec = _FFMPEG_CODECS[codec]
+        sr = self.args.sample_rate
+        import os
+        import subprocess
+        import tempfile
+
+        fd, comp_path = tempfile.mkstemp(suffix=f".{spec['ext']}")
+        os.close(fd)
+        try:
+            quiet = ["-hide_banner", "-loglevel", "error", "-y"]
+            enc = subprocess.run(
+                [self.ffmpeg_bin, *quiet,
+                 "-f", "f32le", "-ar", str(sr), "-ac", "1", "-i", "-",
+                 "-ar", str(spec["rate"]), "-ac", "1",
+                 "-ab", str(int(bitrate)), *spec.get("flags", []),
+                 comp_path],
+                input=np.ascontiguousarray(audio, np.float32).tobytes(),
+                capture_output=True, timeout=60,
+            )
+            if enc.returncode != 0:
+                return self._skip(
+                    audio, f"encode failed: {enc.stderr[-200:]!r}"
+                )
+            dec = subprocess.run(
+                [self.ffmpeg_bin, *quiet, "-i", comp_path,
+                 "-f", "f32le", "-ar", str(sr), "-ac", "1", "-"],
+                capture_output=True, timeout=60,
+            )
+            if dec.returncode != 0 or not dec.stdout:
+                return self._skip(
+                    audio, f"decode failed: {dec.stderr[-200:]!r}"
+                )
+        except (subprocess.SubprocessError, OSError) as e:
+            return self._skip(audio, f"ffmpeg subprocess error: {e}")
+        finally:
+            try:
+                os.unlink(comp_path)
+            except OSError:
+                pass
+        out = np.frombuffer(dec.stdout, np.float32)
+        # codecs add algorithmic delay: keep the caller's length contract
+        # (pad/trim to the input length, like the resampling aug)
+        if len(out) < len(audio):
+            out = np.pad(out, (0, len(audio) - len(out)))
+        return out[: len(audio)].astype(np.float32)

@@ -4,6 +4,19 @@ Re-design of the reference's ``tools/push_to_hub.py``: writes a checkpoint
 directory (config.json + model.safetensors + tokenizer files) in the fixie
 naming scheme so both this framework (``UltravoxInference``) and the
 reference implementation can load it.
+
+Verification caveat (honest scope): published directories are crosschecked
+against the reference's own mounted model code — our checkpoints load in the
+reference ``UltravoxModel`` with matching fp32 logits
+(tests/test_reference_crosscheck.py) and, with ``include_code=True``, via
+``trust_remote_code`` through the shipped standalone torch modules
+(ultravox_tpu/hub/). What is NOT verified here is vLLM servability (the
+reference ecosystem's other consumer, reference
+``tools/update_vllm_impl.py``): vLLM's ultravox plugin cannot be exercised
+in this zero-egress build environment. The exported layout matches what the
+reference publishes (same tensor names, config keys, and processor/tokenizer
+files), so vLLM is *expected* to load it, but that edge is untested — if you
+serve published checkpoints with vLLM, smoke-test one generation first.
 """
 
 from __future__ import annotations
