@@ -534,7 +534,12 @@ def test_spec_autopause_and_reprobe(setup):
     assert serving.spec_autopauses >= 1
     # re-probe happened: speculative dispatches continued after the pause
     if serving.spec_autopauses >= 2:
-        assert serving.spec_rows > 24 * 1  # window refilled at least once
+        # re-probes run in PROBE MODE: single-round dispatches with a small
+        # evidence window (r5 — the full-block probe was the r4 probe tax),
+        # and each failed probe backs off the next probe exponentially
+        assert serving.spec_probe_dispatches >= 1
+        assert serving._spec_fail_streak >= 1
+        assert serving.spec_rows >= 24 + serving.spec_probe_dispatches
 
 
 def test_spec_health_reports_per_slot_acceptance(setup):
