@@ -62,8 +62,8 @@ def setup():
     return cfg, params, processor, collator, adapters
 
 
-def _mini_batch(processor, collator, text):
-    return collator([processor(text=text)])
+def _mini_batch(processor, collator, text, audio=None):
+    return collator([processor(text=text, audio=audio)])
 
 
 def _drain(engine, req):
@@ -236,19 +236,171 @@ def test_prefix_reuse_gated_by_adapter(setup):
         serving.stop()
 
 
-def test_lora_composability_guards(setup):
-    cfg, params, _, _, adapters = setup
-    # encoder-LoRA adapters are rejected loudly (banks are decoder-only)
-    enc = lora_lib.apply_lora_to_model(
-        params, LoraConfig(r=0), LoraConfig(r=2), jax.random.key(5)
+def _enc_adapters(params, with_text_lora_on="accent"):
+    """Two encoder-LoRA adapters (v0.6-style audio LoRA, reference
+    v0.6_config_llama3_8b.yaml:1-9); ``with_text_lora_on`` also carries a
+    decoder adapter, exercising mixed-tower banking."""
+    lcfg_enc = LoraConfig(r=2, target_modules=("q_proj", "v_proj", "fc1"))
+    lcfg_txt = LoraConfig(r=4, target_modules=("q_proj", "v_proj"))
+    adapters = {}
+    for i, name in enumerate(("whisper_ft", "accent")):
+        tower = lora_lib.add_lora(
+            params["audio_tower"], lcfg_enc, jax.random.key(30 + i),
+            lora_lib.ENCODER_TARGETS,
+        )
+        for tgt in ("q_proj", "v_proj", "fc1"):
+            shp = tower["layers"][tgt]["lora_b"].shape
+            tower["layers"][tgt]["lora_b"] = (
+                jax.random.normal(jax.random.key(200 + i), shp) * 0.5
+            )
+        tree = {"audio_tower": tower}
+        if name == with_text_lora_on:
+            lm = lora_lib.add_lora(
+                params["language_model"], lcfg_txt, jax.random.key(40 + i),
+                lora_lib.DECODER_TARGETS,
+            )
+            for tgt in ("q_proj", "v_proj"):
+                shp = lm["layers"][tgt]["lora_b"].shape
+                lm["layers"][tgt]["lora_b"] = (
+                    jax.random.normal(jax.random.key(300 + i), shp) * 0.5
+                )
+            tree["language_model"] = lm
+        adapters[name] = tree
+    return adapters
+
+
+def test_encoder_lora_banked_serving_matches_offline(setup):
+    """Encoder (audio-tower) adapters served as a bank: each audio request
+    gathers its adapter at admission (the tower runs once per request) and
+    the outputs exactly match per-adapter offline generation — including a
+    mixed adapter that banks BOTH towers."""
+    cfg, params, processor, collator, _ = setup
+    adapters = _enc_adapters(params)
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    batch = _mini_batch(
+        processor, collator, "transcribe <|audio|> now", audio=audio
     )
-    bad = {"a": {"language_model": adapters["helpful"]["language_model"],
-                 "audio_tower": enc["audio_tower"]}}
-    with pytest.raises(NotImplementedError, match="encoder LoRA"):
-        ServingEngine(
-            params, cfg, num_slots=1, max_seq_len=64,
-            prefill_len_buckets=(64,), mel_len_buckets=(400,),
-            lora_adapters=bad,
+    names = [None, "whisper_ft", "accent"]
+    expected = []
+    for name in names:
+        p = dict(params)
+        if name is not None:
+            p.update(adapters[name])
+        eng = GenerationEngine(
+            p, cfg, max_cache_len=128, cache_dtype=jnp.float32
+        )
+        expected.append(eng.generate(batch, max_new_tokens=8).token_ids[0])
+    # the adapters must actually change the output for the test to mean
+    # anything (encoder LoRA reaches logits only through the audio tokens)
+    assert len({tuple(e) for e in expected}) == 3
+
+    serving = ServingEngine(
+        params, cfg, num_slots=4, max_seq_len=128,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64, 128),
+        mel_len_buckets=(400,), lora_adapters=adapters,
+    )
+    serving.start()
+    try:
+        reqs = [serving.submit(batch, max_tokens=8, lora=n) for n in names]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+
+
+def test_encoder_lora_paged_spec_stress(setup):
+    """Encoder adapters under the paged + speculative + block machinery:
+    outputs stay exactly the per-adapter offline greedy streams."""
+    cfg, params, processor, collator, _ = setup
+    adapters = _enc_adapters(params)
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    batch = _mini_batch(
+        processor, collator, "say <|audio|> again", audio=audio
+    )
+    names = ["whisper_ft", "accent"]
+    expected = []
+    for name in names:
+        p = dict(params)
+        p.update(adapters[name])
+        eng = GenerationEngine(
+            p, cfg, max_cache_len=128, cache_dtype=jnp.float32
+        )
+        expected.append(eng.generate(batch, max_new_tokens=24).token_ids[0])
+
+    serving = ServingEngine(
+        params, cfg, num_slots=2, max_seq_len=128,
+        cache_dtype=jnp.float32, prefill_len_buckets=(64, 128),
+        mel_len_buckets=(400,), lora_adapters=adapters,
+        cache_mode="paged", page_size=16, decode_block_steps=4,
+        spec_decode="ngram", spec_k=4, spec_min_accept=0,
+    )
+    serving.start()
+    try:
+        reqs = [
+            serving.submit(batch, max_tokens=24, lora=n) for n in names
+        ]
+        results = [_drain(serving, r) for r in reqs]
+    finally:
+        serving.stop()
+    for (ids, finish), exp in zip(results, expected):
+        assert ids == exp
+        assert finish == "length"
+
+
+def test_encoder_fused_banks_match_canonical(setup):
+    """fuse_lora_banks over the encoder's fused qkv_proj (q/v targeted, k
+    not — partial members) reproduces the canonical per-target bank math
+    through encoder_forward."""
+    from ultravox_tpu.models import whisper_encoder as we
+
+    cfg, params, _, _, _ = setup
+    ac = cfg.audio_config
+    trees = {}
+    for i, name in enumerate(("a", "b")):
+        tower = lora_lib.add_lora(
+            params["audio_tower"],
+            LoraConfig(r=2, target_modules=("q_proj", "v_proj")),
+            jax.random.key(50 + i), lora_lib.ENCODER_TARGETS,
+        )
+        for tgt in ("q_proj", "v_proj"):
+            shp = tower["layers"][tgt]["lora_b"].shape
+            tower["layers"][tgt]["lora_b"] = (
+                jax.random.normal(jax.random.key(60 + i), shp) * 0.3
+            )
+        trees[name] = tower
+    banks, index = lora_lib.build_lora_banks(trees)
+    fused_tower = we.fuse_encoder_inference_params(params["audio_tower"])
+    assert "qkv_proj" in fused_tower["layers"]
+    D = ac.d_model
+    fused_banks = lora_lib.fuse_lora_banks(
+        banks, qkv_dims=(D, D, D), gateup_dims=()
+    )
+    mel = (
+        jnp.asarray(
+            np.random.default_rng(2).standard_normal(
+                (1, ac.num_mel_bins, 200)
+            ),
+            jnp.float32,
+        )
+        * 0.1
+    )
+    lens = jnp.asarray([100], jnp.int32)
+    for name in ("a", "b"):
+        idx = jnp.asarray(index[name], jnp.int32)
+        ref = we.encoder_forward(
+            lora_lib.apply_lora_banks(params["audio_tower"], banks, idx),
+            ac, mel, lens,
+        )
+        got = we.encoder_forward(
+            lora_lib.apply_lora_banks(fused_tower, fused_banks, idx),
+            ac, mel, lens,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
 

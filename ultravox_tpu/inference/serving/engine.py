@@ -340,23 +340,43 @@ class ServingEngine:
         # per-dispatch bank gather + the low-rank branch, and with mesh=
         # the canonical banks ride the sharded (unfused) projections.
         self._lora_banks = None
+        self._enc_lora_banks = None  # encoder (audio-tower) adapter banks
         self._lora_index: Dict[str, int] = {}
         if lora_adapters:
             from ultravox_tpu.models.lora import build_lora_banks
 
-            lms = {}
-            for name, tree in lora_adapters.items():
-                tower = tree.get("audio_tower")
-                if tower is not None and any(
+            def has_lora(tower) -> bool:
+                return tower is not None and any(
                     "lora_a" in jax.tree_util.keystr(path)
                     for path, _ in jax.tree_util.tree_leaves_with_path(tower)
-                ):
-                    raise NotImplementedError(
-                        f"adapter {name!r} has encoder LoRA — multi-LoRA "
-                        "serving currently banks decoder adapters only"
-                    )
-                lms[name] = tree.get("language_model", tree)
-            self._lora_banks, self._lora_index = build_lora_banks(lms)
+                )
+
+            # v0.6-style adapters train audio LoRA alongside (or instead
+            # of) text LoRA (reference v0.6_config_llama3_8b.yaml:1-9):
+            # bank each tower separately over the SAME sorted-name index.
+            # The encoder runs once per request at admission, so its
+            # adapter costs one per-request bank gather — no per-step cost.
+            lms, encs = {}, {}
+            n_lm = n_enc = 0
+            for name, tree in lora_adapters.items():
+                lm = tree.get("language_model")
+                if lm is None and "audio_tower" not in tree:
+                    lm = tree  # bare LM adapter tree (back-compat)
+                lms[name] = lm if has_lora(lm) else {"layers": {}}
+                n_lm += int(has_lora(lm))
+                tower = tree.get("audio_tower")
+                encs[name] = tower if has_lora(tower) else {"layers": {}}
+                n_enc += int(has_lora(tower))
+            if not (n_lm or n_enc):
+                raise ValueError(
+                    "no lora_a leaves found in any adapter (neither "
+                    "language_model nor audio_tower)"
+                )
+            if n_lm:
+                self._lora_banks, self._lora_index = build_lora_banks(lms)
+            if n_enc:
+                self._enc_lora_banks, enc_index = build_lora_banks(encs)
+                self._lora_index = enc_index  # same names, same mapping
         if mesh is not None and quantize:
             # explicit flag, explicit failure: int8 fusion produces layouts
             # the TP sharding rules don't cover, so quantize= would be
@@ -403,6 +423,18 @@ class ServingEngine:
                     self.params["audio_tower"] = (
                         fuse_encoder_inference_params(tower)
                     )
+            if self._enc_lora_banks is not None and "qkv_proj" in (
+                self.params.get("audio_tower", {}).get("layers", {})
+            ):
+                # the base tower's q/k/v got fused — re-express the encoder
+                # adapter banks over the fused projection (same block
+                # algebra as the decoder banks)
+                from ultravox_tpu.models.lora import fuse_lora_banks
+
+                D = cfg.audio_config.d_model
+                self._enc_lora_banks = fuse_lora_banks(
+                    self._enc_lora_banks, qkv_dims=(D, D, D), gateup_dims=()
+                )
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
@@ -1280,13 +1312,24 @@ class ServingEngine:
             self.reused_prefix_tokens += start
             padded = self._pad_request(req.batch)
             if req.audio_embeds is not None:
+                # precomputed (streaming) embeds bypass the audio tower, so
+                # an encoder adapter cannot apply here — the streaming
+                # encoder must have been fed adapted params by its owner
                 embeds = self._embed_with_precomputed(padded, req.audio_embeds)
             else:
                 jbatch = {k: jnp.asarray(v) for k, v in padded.items()}
                 # ONE device call embeds the whole prompt (audio tower +
                 # projector + splice); the LLM prefill then proceeds in
                 # chunks
-                embeds = self._embed(self.params, jbatch)
+                if self._enc_lora_banks is not None:
+                    embeds = self._embed(
+                        self.params, jbatch, self._enc_lora_banks,
+                        jnp.asarray(
+                            self._lora_index.get(req.lora, 0), jnp.int32
+                        ),
+                    )
+                else:
+                    embeds = self._embed(self.params, jbatch)
             T_padded = embeds.shape[1]
             # short suffixes take a single chunk; longer ones chunk at
             # prefill_chunk_tokens
@@ -2024,9 +2067,25 @@ class ServingEngine:
             self._requests.pop(req.request_id, None)
 
 
-def _embed_prompt(params, batch, *, cfg: UltravoxConfig, encoder_attn_impl="xla"):
+def _embed_prompt(
+    params, batch, enc_banks=None, enc_idx=None, *,
+    cfg: UltravoxConfig, encoder_attn_impl="xla",
+):
     """Prompt embeddings (1, T, D) with audio embeds spliced in — the audio
-    tower runs exactly once per request; the LLM prefill is chunked."""
+    tower runs exactly once per request; the LLM prefill is chunked.
+
+    ``enc_banks``/``enc_idx``: multi-LoRA serving with ENCODER adapters —
+    the request's audio-tower adapter is gathered from the banks (scalar
+    index: one adapter per request, broadcast over its audio chunks) and
+    injected before the tower runs. Admission-time only; decode never pays.
+    """
+    if enc_banks is not None:
+        from ultravox_tpu.models.lora import apply_lora_banks
+
+        params = dict(params)
+        params["audio_tower"] = apply_lora_banks(
+            params["audio_tower"], enc_banks, enc_idx
+        )
     return uv.ultravox_embed(
         params, cfg, batch["input_ids"], batch,
         encoder_attn_impl=encoder_attn_impl,
