@@ -119,10 +119,14 @@ def main():
     serving = _serving_metrics(flag["decode_tok_s_batch8_1b_2k_ctx"])
     _progress("train section")
     train = _train_metrics()
+    _progress("8B-dims train subprocess")
+    train.update(_subprocess_metrics("_8b_dims_train_metrics"))
     _progress("8B layer-slice section")
     m8 = _8b_metrics()
     _progress("8B int8 measured subprocess")
     m8.update(_subprocess_metrics("_8b_int8_measured"))
+    _progress("8B int8 serving (auto vs block-xla) subprocess")
+    m8.update(_subprocess_metrics("_8b_serving_metrics"))
     # 70B runs in fresh processes (bf16 and int8 separately): each 3-layer
     # slice + fused copies peaks near the whole 16 GB chip, which an HBM
     # fragmented by earlier sections cannot serve (observed
@@ -399,22 +403,138 @@ def _layer_sliced_metrics(
     return out
 
 
+_8B_DIMS = dict(
+    arch="llama", vocab_size=128256, hidden_size=4096,
+    intermediate_size=14336, num_heads=32, num_kv_heads=8,
+    head_dim=128, rope_theta=500000.0,
+    max_position_embeddings=8192,
+)
+
+
 def _8b_metrics():
     """Llama-3.1-8B-dims perf story (BASELINE north star: TTFT <200 ms for
     Ultravox-8B on v5p-8). 16 GB of bf16 weights don't fit one 16 GB v5e
     chip — measure layer slices at the exact 8B layer dims (4096 hidden /
     14336 ffn / 32q+8kv heads / 128 head_dim / 128256 vocab)."""
     return _layer_sliced_metrics(
-        dict(
-            arch="llama", vocab_size=128256, hidden_size=4096,
-            intermediate_size=14336, num_heads=32, num_kv_heads=8,
-            head_dim=128, rope_theta=500000.0,
-            max_position_embeddings=8192,
-        ),
+        _8B_DIMS,
         layer_counts=(4, 8),
         full_layers=32,
         prefix="8b_dims",
     )
+
+
+def _8b_dims_train_metrics():
+    """MEASURED train-step cost at exact 8B layer dims (VERDICT r4 #7: the
+    1B flagship was the only model with a train perf story). Layer-sliced
+    like the serving numbers: LoRA fine-tuning (r=8 on every projection,
+    frozen base — the v0.6-recipe trainable set restricted to the decoder,
+    since an 8B tower+decoder doesn't fit one chip), CE loss with chunked
+    vocab projection, bf16 + remat, batch 8 x 512 tokens.
+
+    MFU accounting (model FLOPs, remat recompute excluded): frozen base
+    layers and the lm_head run forward + activation-grad (2x fwd); LoRA
+    wgrads are negligible at r=8.
+
+    GPipe at 2 stages CANNOT be bubble-measured here — the pipe axis needs
+    >= 2 real chips and this environment has one (the CPU virtual-mesh
+    dryrun validates correctness, not time). The schedule bound is emitted
+    instead: bubble = (S-1)/(M+S-1) with the v0.6-70b recipe's
+    pipe_microbatches (docs/70b.md carries the full argument)."""
+    import time
+
+    from ultravox_tpu.models import (
+        DecoderConfig, LoraConfig, LossConfig, LossFunction, UltravoxConfig,
+    )
+    from ultravox_tpu.models import decoder as decoder_lib
+    from ultravox_tpu.models import lora as lora_lib
+    from ultravox_tpu.training import train_step as ts
+
+    B, T = 8, 512
+    V = _8B_DIMS["vocab_size"]
+    lo, hi = 4, 8
+    times = {}
+    for n_layers in (lo, hi):
+        cfg = UltravoxConfig(
+            text_config=DecoderConfig(num_layers=n_layers, **_8B_DIMS),
+            llm_only_training=True,
+        )
+        lm = decoder_lib.init_params(
+            cfg.text_config, jax.random.key(0), jnp.bfloat16
+        )
+        lm = lora_lib.add_lora(
+            lm, LoraConfig(r=8), jax.random.key(1),
+            lora_lib.DECODER_TARGETS, dtype=jnp.bfloat16,
+        )
+        params = {"language_model": lm}
+        del lm
+        opt = ts.make_optimizer(1e-3, warmup_steps=0, total_steps=100)
+        state, template = ts.init_train_state(
+            params, opt, trainable_patterns=[r".*lora_[ab]$"]
+        )
+        del params
+        step_fn = jax.jit(
+            ts.make_train_step(
+                cfg,
+                LossConfig(loss_function=LossFunction.CROSS_ENTROPY),
+                opt, template, remat=True, vocab_chunk=256,
+            ),
+            donate_argnums=(0,),
+        )
+        rng = np.random.default_rng(0)
+        labels = np.full((B, T), -100, np.int32)
+        labels[:, -128:] = rng.integers(1, V, (B, 128))
+        batch = {
+            "input_ids": jnp.asarray(
+                rng.integers(1, V, (B, T)), jnp.int32
+            ),
+            "attention_mask": jnp.ones((B, T), jnp.int32),
+            "labels": jnp.asarray(labels),
+        }
+        state, metrics = step_fn(state, batch)  # compile
+        float(metrics["loss"])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                state, metrics = step_fn(state, batch)
+            float(metrics["loss"])
+            best = min(best, (time.perf_counter() - t0) / 2)
+        times[n_layers] = best
+        del state, step_fn, batch
+
+    per_layer = (times[hi] - times[lo]) / (hi - lo)
+    fixed = times[lo] - lo * per_layer
+    full_layers = 32
+    t_full = fixed + full_layers * per_layer
+
+    # model FLOPs at full depth (fwd + dgrad = 2x forward on base layers
+    # and the chunked-loss lm_head; attention at quadratic cost)
+    D, I = _8B_DIMS["hidden_size"], _8B_DIMS["intermediate_size"]
+    Hq, Hkv, Dh = (
+        _8B_DIMS["num_heads"], _8B_DIMS["num_kv_heads"],
+        _8B_DIMS["head_dim"],
+    )
+    p_layer = D * Hq * Dh + D * Hkv * Dh * 2 + Hq * Dh * D + 3 * D * I
+    fwd_layers = 2 * full_layers * p_layer * B * T + (
+        full_layers * 4 * T * T * Hq * Dh * B
+    )
+    fwd_head = 2 * D * V * B * T
+    flops = 2 * (fwd_layers + fwd_head)
+    mfu = flops / t_full / PEAK_BF16_FLOPS * 100
+
+    # GPipe schedule bound at the 70B recipe's settings (2 stages is the
+    # smallest pipe; the recipe runs pipe_microbatches=8)
+    S, M = 2, 8
+    bubble_pct = (S - 1) / (M + S - 1) * 100
+    return {
+        "8b_dims_train_ms_per_step_batch8_512tok_1chip_equiv": round(
+            t_full * 1e3, 1
+        ),
+        "8b_dims_train_samples_s_1chip_equiv": round(B / t_full, 2),
+        "8b_dims_train_mfu_pct": round(mfu, 1),
+        "pipe2_bubble_bound_pct_micro8": round(bubble_pct, 1),
+    }
 
 
 _70B_DIMS = dict(
@@ -983,6 +1103,74 @@ def _init_int8_fused(cfg, seed: int = 0):
     lm = make(jax.random.key(seed))
     jax.tree.map(lambda x: x.block_until_ready(), lm)
     return {"language_model": lm}
+
+
+def _8b_serving_metrics():
+    """MEASURED 8B-dims serving row (VERDICT r4 #4): the full int8 8B-dims
+    decoder through the ServingEngine at a 4K context on DEFAULT (auto)
+    flags, plus the same workload with the block attention forced to XLA —
+    showing the dims-aware auto resolution picks the measured winner (the
+    1B serving row's auto choice is block=xla, the 1B winner; here auto
+    picks block=kernel per the seg_kernel_sweep 4K crossover)."""
+    import time
+
+    from ultravox_tpu.inference.serving.engine import ServingEngine
+    from ultravox_tpu.models import DecoderConfig, UltravoxConfig
+
+    cfg = UltravoxConfig(
+        text_config=DecoderConfig(num_layers=32, **_8B_DIMS),
+        llm_only_training=True,
+    )
+    params = _init_int8_fused(cfg)
+    B, PROMPT, NEW = 8, 2500, 300
+    rng = np.random.default_rng(0)
+
+    out = {}
+    for tag, kw in (
+        ("auto", {}),
+        ("block_xla", {"block_attn_impl": "xla"}),
+    ):
+        engine = ServingEngine(
+            params, cfg, num_slots=8, max_seq_len=4096,
+            mel_len_buckets=(400,), **kw,
+        )
+        engine.start()
+
+        def submit_all():
+            reqs = []
+            for _ in range(B):
+                ids = rng.integers(
+                    1, cfg.text_config.vocab_size, (1, PROMPT)
+                )
+                reqs.append(
+                    engine.submit(
+                        {
+                            "input_ids": ids.astype(np.int32),
+                            "attention_mask": np.ones_like(ids, np.int32),
+                        },
+                        max_tokens=NEW,
+                    )
+                )
+            return reqs
+
+        try:
+            for r in submit_all():  # compile
+                for _ in engine.stream(r, timeout=1800):
+                    pass
+            times, t0, t_end, ramp_end = _drain_timed(engine, submit_all())
+            out[f"8b_int8_serving_tok_s_4k_{tag}"] = round(
+                len(times) / (t_end - t0), 1
+            )
+            out[f"8b_int8_serving_decode_only_tok_s_4k_{tag}"] = round(
+                _steady_rate(times, t_end, ramp_end), 1
+            )
+            if tag == "auto":
+                out["8b_serving_auto_block_attn"] = (
+                    engine.resolved_flags["block_attn_impl"]
+                )
+        finally:
+            engine.stop()
+    return out
 
 
 def _subprocess_metrics(func_name: str):

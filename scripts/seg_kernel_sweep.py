@@ -32,17 +32,52 @@ def timeit(fn, steps=20):
 
 
 def main():
+    import argparse
+
     import __graft_entry__ as graft
     from ultravox_tpu.models import decoder as dl
     from ultravox_tpu.ops.pallas import segment_attention as seg
 
-    cfg = graft._flagship_config()
-    tc = cfg.text_config
-    from ultravox_tpu.models import ultravox as uv_model
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--dims", choices=("1b", "8b"), default="1b",
+        help="1b = flagship config (r4 sweep); 8b = Llama-3.1-8B layer "
+        "dims on a layer slice (--layers deep) — decides the dims-aware "
+        "auto gate for block_attn_impl (VERDICT r4 #4)",
+    )
+    ap.add_argument("--layers", type=int, default=4)
+    args = ap.parse_args()
 
-    params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
-    lm = dl.fuse_inference_params(params["language_model"], tc)
-    params = {"language_model": lm}
+    if args.dims == "8b":
+        from ultravox_tpu.models import DecoderConfig, UltravoxConfig
+
+        cfg = UltravoxConfig(
+            text_config=DecoderConfig(
+                arch="llama", vocab_size=128256, hidden_size=4096,
+                intermediate_size=14336, num_layers=args.layers,
+                num_heads=32, num_kv_heads=8, head_dim=128,
+                rope_theta=500000.0, max_position_embeddings=8192,
+            ),
+            llm_only_training=True,
+        )
+        tc = cfg.text_config
+        lm = dl.fuse_inference_params(
+            {
+                "language_model": dl.init_params(
+                    tc, jax.random.key(0), jnp.bfloat16
+                )
+            }["language_model"],
+            tc,
+        )
+        params = {"language_model": lm}
+    else:
+        cfg = graft._flagship_config()
+        tc = cfg.text_config
+        from ultravox_tpu.models import ultravox as uv_model
+
+        params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
+        lm = dl.fuse_inference_params(params["language_model"], tc)
+        params = {"language_model": lm}
     B = 8
     key = jax.random.key(1)
     rng_np = np.random.default_rng(0)
@@ -50,7 +85,12 @@ def main():
 
     orig = seg.segment_tail_attention
 
-    for live, S in ((192, 1024), (768, 1024), (1500, 2048), (2000, 2048)):
+    points = [(192, 1024), (768, 1024), (1500, 2048), (2000, 2048)]
+    if args.dims == "8b":
+        # long-context points: the kernel's valid-prefix-only read can only
+        # matter once the KV slab dwarfs the per-layer weight read
+        points += [(1024, 4096), (3500, 4096)]
+    for live, S in points:
         cache = dl.KVCache.zeros(tc, B, S, jnp.bfloat16)
         lens = jnp.full((B,), live, jnp.int32)
         last = jnp.asarray(rng_np.integers(1, V, (B,)), jnp.int32)

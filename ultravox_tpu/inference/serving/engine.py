@@ -247,21 +247,34 @@ def _bucket(n: int, buckets) -> int:
 
 def _resolve_auto(
     cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl,
-    decode_block_steps, max_seq_len,
+    block_attn_impl, decode_block_steps, max_seq_len, text_config,
 ):
     """Per-workload defaults from the measured crossovers (docs/serving.md):
     the operator no longer has to know which mode wins where. Pallas kernels
-    only resolve on TPU backends; CPU/GPU fall back to the XLA paths."""
+    only resolve on TPU backends; CPU/GPU fall back to the XLA paths.
+
+    DIMS-AWARE (VERDICT r4 #4): the crossovers were measured at 1B dims in
+    r2-r4 and do not transfer to 8B/70B-class layers unchanged — the
+    block/spec scans' segmented attention kernel is launch-bound at small
+    per-layer work but wins once a layer's KV traffic dwarfs the ~16
+    launches/step (CLAUDE.md r4; scripts/seg_kernel_sweep.py --dims 8b).
+    The gate is per-layer decode KV bytes = kv_heads x head_dim x
+    max_seq_len, the quantity both context length and model width scale."""
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    tc = text_config
+    # per-layer, per-sequence KV-slab bytes a decode step streams (bf16)
+    kv_layer_bytes = 2 * tc.num_kv_heads * tc.head_dim * max_seq_len * 2
     if cache_mode == "auto":
         # paged wins from ~1K-token prompts/contexts up (and always on HBM
         # footprint); short-context bursts slightly favor plain slot rows
         cache_mode = "paged" if max_seq_len >= 1024 else "slots"
     if decode_attn_impl == "auto":
-        # flash-decode kernel wins at >=2K live contexts; below that the
-        # XLA gather path's lower fixed cost wins
+        # flash-decode kernel wins at >=2K live contexts AT 1B DIMS; wider
+        # KV layers (8B+: kv 8 x head_dim 128) move the crossover earlier,
+        # so gate on the actual per-layer slab bytes (1B @ 2K = 4.2 MB)
         decode_attn_impl = (
-            "kernel" if (on_tpu and max_seq_len >= 2048) else "xla"
+            "kernel" if (on_tpu and kv_layer_bytes >= 4 * 1024 * 1024)
+            else "xla"
         )
     if prefill_attn_impl == "auto":
         # fused prefill avoids the (B,H,T,S) fp32 logits tensor — it wins
@@ -271,13 +284,25 @@ def _resolve_auto(
         )
     if encoder_attn_impl == "auto":
         encoder_attn_impl = "fused" if on_tpu else "xla"
+    if block_attn_impl == "auto":
+        # measured crossover (scripts/seg_kernel_sweep.py, v5e): at 1B dims
+        # @ 2K slab (4.2 MB KV/layer) the segmented kernel LOSES inside
+        # block/spec scans (launch-bound — r4, 4.7 vs 6.4 ms/step); at 8B
+        # dims @ 2K (8.4 MB) it's a tie within noise (r5: 4.54 vs 4.56);
+        # at 8B dims @ 4K (16.8 MB) it WINS — 4.56 vs 5.09 ms/step at 1K
+        # live, 5.01 vs 5.05 at 3.5K live (valid-prefix-only reads beat
+        # XLA's full-slab read once the slab dwarfs the launch tax)
+        block_attn_impl = (
+            "kernel" if (on_tpu and kv_layer_bytes >= 16 * 1024 * 1024)
+            else "xla"
+        )
     if decode_block_steps is None:
         # blocks engage only in pure steady-state decode (the loop always
         # prefers admission/prefill work), so a block size is safe to default
         decode_block_steps = 8
     return (
         cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl,
-        decode_block_steps,
+        block_attn_impl, decode_block_steps,
     )
 
 
@@ -324,11 +349,12 @@ class ServingEngine:
         ``"auto"`` selections resolve from the measured crossovers in
         docs/serving.md (cache mode by advertised context length, attention
         impls by context length and backend); explicit values override."""
-        cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl, \
-            decode_block_steps = _resolve_auto(
-                cache_mode, decode_attn_impl, prefill_attn_impl,
-                encoder_attn_impl, decode_block_steps, max_seq_len,
-            )
+        (cache_mode, decode_attn_impl, prefill_attn_impl, encoder_attn_impl,
+         block_attn_impl, decode_block_steps) = _resolve_auto(
+            cache_mode, decode_attn_impl, prefill_attn_impl,
+            encoder_attn_impl, block_attn_impl, decode_block_steps,
+            max_seq_len, cfg.text_config,
+        )
         self.params = dict(params)
         # multi-LoRA serving: one base model + N adapters, each request
         # picks one (or none) — per-slot adapters are gathered from banks
@@ -608,6 +634,16 @@ class ServingEngine:
                 "softcap"
             )
         self._seg_attn_impl = seg_impl
+        # resolved flags, for observability (/health) and the bench's
+        # auto-picks-the-winner assertions
+        self.resolved_flags = {
+            "cache_mode": cache_mode,
+            "decode_attn_impl": decode_attn_impl,
+            "prefill_attn_impl": prefill_attn_impl,
+            "encoder_attn_impl": encoder_attn_impl,
+            "block_attn_impl": seg_impl,
+            "decode_block_steps": decode_block_steps,
+        }
         # paged block dispatches assemble the contiguous view with the
         # Pallas DMA copy kernel on TPU backends (the XLA gather runs at
         # ~1/8 of copy bandwidth); mesh-sharded pools keep the XLA gather
