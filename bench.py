@@ -1122,7 +1122,10 @@ def _8b_serving_metrics():
         llm_only_training=True,
     )
     params = _init_int8_fused(cfg)
-    B, PROMPT, NEW = 8, 2500, 300
+    # 4 slots, not 8: the int8 weights (~9.1 GB) + the 4K paged pool + the
+    # block path's contiguous slot view (each 32L x 2 x 8h x 128 x 4K x
+    # slots x 2B ≈ 0.54 GB/slot) must co-fit a 16 GB chip
+    B, PROMPT, NEW = 4, 2500, 300
     rng = np.random.default_rng(0)
 
     out = {}
@@ -1131,7 +1134,7 @@ def _8b_serving_metrics():
         ("block_xla", {"block_attn_impl": "xla"}),
     ):
         engine = ServingEngine(
-            params, cfg, num_slots=8, max_seq_len=4096,
+            params, cfg, num_slots=4, max_seq_len=4096,
             mel_len_buckets=(400,), **kw,
         )
         engine.start()
