@@ -415,6 +415,8 @@ def encoder_forward(
     latency_block_size: Optional[int] = None,
     remat: bool = False,
     attn_impl: str = "xla",
+    fused_block_q: int = 1536,
+    fused_n_chunks: int = 8,
 ) -> jax.Array:
     """Encode mel features -> (B, T_out, d_model) hidden states.
 
@@ -474,10 +476,14 @@ def encoder_forward(
             q, k, v, feat_lens,
             scale=cfg.head_dim**-0.5,
             latency_block=latency_block_size or 0,
-            # one query block per (batch, head) at the encoder's native
-            # 1500-position window: the (1500, 1500) fp32 logits block is
-            # 9 MB of VMEM and measures ~3% faster than block_q=768 on v5e
-            block_q=1500,
+            # one query block per (batch, head), software-pipelined in
+            # 8 sublane-aligned chunks (1536 = 1500 padded up): chunk j's
+            # VPU softmax overlaps chunk j+1's MXU QK^T, hiding most of
+            # the exp2 pass that made the monolithic block_q=1500 kernel
+            # run at ~54 TF/s vs the 98 TF/s head_dim-64 ceiling (r5
+            # measurement in scripts/profile_encoder_attn.py)
+            block_q=fused_block_q,
+            n_chunks=fused_n_chunks,
         )
         # the forward-only fast path also takes the fused LayerNorm (XLA's
         # LN measures ~4.6x its traffic bound at these shapes; two LNs per

@@ -50,72 +50,102 @@ def _attn_kernel(
     latency_block: int,
     block_q: int,
     seq_len: int,
+    n_chunks: int = 1,
 ):
     b = pl.program_id(0)
     iq = pl.program_id(2)
 
-    # keep the QK^T operands in their native (bf16) dtype — the MXU runs
-    # bf16 x bf16 -> fp32 at full rate; upcasting first quarters throughput.
-    # log2(e) is folded into the scale so the softmax can use exp2 (cheaper
-    # on the VPU than exp).
-    q = q_ref[0, 0]
     k = k_ref[0, 0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (
-        scale * 1.4426950408889634
-    )  # (bq, S)
+    v = v_ref[0, 0]
 
-    if causal or latency_block > 0:
-        rows = (
-            offsets_ref[b]
-            + iq * block_q
-            + jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 0)
-        )
-        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, seq_len), 1)
-        mask = jnp.ones((block_q, seq_len), dtype=jnp.bool_)
-        if use_lengths:
-            mask &= cols < lengths_ref[b]
-        if causal:
-            mask &= cols <= rows
-        if latency_block > 0:
-            mask &= (cols // latency_block) <= (rows // latency_block)
-        s = jnp.where(mask, s, NEG_INF)
-    elif use_lengths:
+    col_bias = None
+    if use_lengths and not (causal or latency_block > 0):
         # column-only mask (encoder length masking): build a (1, S) additive
         # bias and broadcast-add it — one pass over the logits instead of
         # five (two iotas, compare, and, where), which is a measurable slice
         # of the encoder's VPU time at S=1500
         col = jax.lax.broadcasted_iota(jnp.int32, (8, seq_len), 1)
-        bias = jnp.where(col < lengths_ref[b], 0.0, NEG_INF)[:1]
-        s = s + bias
+        col_bias = jnp.where(col < lengths_ref[b], 0.0, NEG_INF)[:1]
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp2(s - m)
-    z = jnp.sum(e, axis=-1, keepdims=True)
-    # deferred normalisation: divide the (bq, D) output, not the (bq, S)
-    # probabilities — saves a full pass over the logits block
-    o = jnp.dot(
-        e.astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = (o / z).astype(o_ref.dtype)
+    chunk = block_q // n_chunks
+
+    def qk(j):
+        # keep the QK^T operands in their native (bf16) dtype — the MXU runs
+        # bf16 x bf16 -> fp32 at full rate; upcasting first quarters
+        # throughput. log2(e) is folded into the scale so the softmax can
+        # use exp2 (cheaper on the VPU than exp).
+        q = q_ref[0, 0, j * chunk:(j + 1) * chunk]
+        return jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (
+            scale * 1.4426950408889634
+        )  # (chunk, S)
+
+    # Software pipeline over query chunks: chunk j's VPU softmax is
+    # independent of chunk j+1's MXU QK^T dot, so issuing the next dot
+    # before the current softmax lets Mosaic overlap MXU and VPU — with
+    # one monolithic block the three phases serialize and the MXU idles
+    # for the entire exp2/max/sum pass (the dominant slice of the 54-vs-98
+    # TF/s encoder-attention gap measured in r3/r4).
+    s_next = qk(0)
+    for j in range(n_chunks):
+        s = s_next
+        if j + 1 < n_chunks:
+            s_next = qk(j + 1)
+
+        if causal or latency_block > 0:
+            rows = (
+                offsets_ref[b]
+                + iq * block_q
+                + j * chunk
+                + jax.lax.broadcasted_iota(jnp.int32, (chunk, seq_len), 0)
+            )
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, seq_len), 1)
+            mask = jnp.ones((chunk, seq_len), dtype=jnp.bool_)
+            if use_lengths:
+                mask &= cols < lengths_ref[b]
+            if causal:
+                mask &= cols <= rows
+            if latency_block > 0:
+                mask &= (cols // latency_block) <= (rows // latency_block)
+            s = jnp.where(mask, s, NEG_INF)
+        elif col_bias is not None:
+            s = s + col_bias
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m)
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        # deferred normalisation: divide the (chunk, D) output, not the
+        # (chunk, S) probabilities — saves a full pass over the logits
+        o = jnp.dot(
+            e.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, 0, j * chunk:(j + 1) * chunk] = (o / z).astype(o_ref.dtype)
 
 
 def fused_attention(
     q, k, v, lengths=None, row_offsets=None, *, scale=None, causal=False,
-    latency_block=0, block_q=256, interpret=None,
+    latency_block=0, block_q=256, n_chunks=1, interpret=None,
 ):
     """Fused attention; ``interpret=None`` auto-selects interpret mode on the
-    CPU backend so the kernel path stays CPU-testable."""
+    CPU backend so the kernel path stays CPU-testable.
+
+    ``n_chunks`` > 1 software-pipelines the query block inside the kernel
+    (see _attn_kernel): chunk j's softmax overlaps chunk j+1's QK^T on the
+    MXU. ``block_q`` may exceed T in that case (T is padded up); the chunk
+    size block_q/n_chunks must be a multiple of 8 (Mosaic sublane)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _fused_attention(
         q, k, v, lengths, row_offsets, scale=scale, causal=causal,
-        latency_block=latency_block, block_q=block_q, interpret=interpret,
+        latency_block=latency_block, block_q=block_q, n_chunks=n_chunks,
+        interpret=interpret,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "latency_block", "block_q", "interpret"),
+    static_argnames=(
+        "scale", "causal", "latency_block", "block_q", "n_chunks", "interpret"
+    ),
 )
 def _fused_attention(
     q: jax.Array,  # (B, T, H, D)
@@ -128,6 +158,7 @@ def _fused_attention(
     causal: bool = False,
     latency_block: int = 0,
     block_q: int = 256,
+    n_chunks: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     # (see fused_attention wrapper) returns (B, T, H, D) in q.dtype
@@ -139,8 +170,15 @@ def _fused_attention(
     if scale is None:
         scale = D**-0.5
 
-    block_q = min(block_q, T)
-    # pad T to a multiple of block_q
+    if n_chunks == 1:
+        block_q = min(block_q, T)
+    elif block_q % n_chunks or (block_q // n_chunks) % 8:
+        raise ValueError(
+            f"block_q {block_q} must split into n_chunks={n_chunks} "
+            "sublane-aligned (multiple-of-8) chunks"
+        )
+    # pad T to a multiple of block_q (for n_chunks > 1 the padded query
+    # rows are self-contained garbage: per-row softmax, output sliced off)
     T_pad = -(-T // block_q) * block_q
     if T_pad != T:
         q = jnp.pad(q, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
@@ -164,6 +202,7 @@ def _fused_attention(
         latency_block=latency_block,
         block_q=block_q,
         seq_len=S,
+        n_chunks=n_chunks,
     )
     out = pl.pallas_call(
         kernel,
