@@ -147,7 +147,7 @@ def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
 
 def _encoder_layer(
     cfg: WhisperEncoderConfig, x, bias, p, *,
-    attn_fn=None, ln_fn=None, approx_gelu=False,
+    attn_fn=None, attn_qkv_fn=None, ln_fn=None, approx_gelu=False,
 ):
     """One pre-norm transformer encoder layer. x: (B, T, D).
     ``ln_fn``: LayerNorm implementation (defaults to the XLA path; the
@@ -167,30 +167,57 @@ def _encoder_layer(
     ln = ln_fn or layer_norm
     h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     shape = (B, T, cfg.num_heads, cfg.head_dim)
-    if "qkv_proj" in p:
+    if "qkv_proj" in p and attn_qkv_fn is not None:
+        # head-major fast path (see ops/pallas/fused_attention.py): the
+        # fused qkv matmul output goes through a Pallas lane-slice relayout
+        # + the attention kernel, and the out-proj consumes the attention
+        # output in its native (B, H, T, Dh) layout with the residual add
+        # folded in — no XLA (B,T,H,64)<->(B,H,T,64) transposes anywhere
+        attn_t = attn_qkv_fn(proj_apply(h, p["qkv_proj"]))  # (B, H, T, Dh)
+        op = p["out_proj"]
+        if "kernel" in op and "lora_a" not in op:
+            from ultravox_tpu.ops.pallas.fused_attention import (
+                attn_out_proj_residual,
+            )
+
+            w = op["kernel"].reshape(cfg.num_heads, cfg.head_dim, D)
+            return _encoder_ffn(
+                cfg,
+                attn_out_proj_residual(attn_t, w, op["bias"], x),
+                p, ln, approx_gelu,
+            )
+        # int8 / adapter out-proj: transpose back and take the generic path
+        attn = jnp.transpose(attn_t, (0, 2, 1, 3))
+    elif "qkv_proj" in p:
         qkv = proj_apply(h, p["qkv_proj"]).reshape(B, T, 3, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = _attn_dispatch(cfg, q, k, v, shape, bias, attn_fn)
     else:
         q = proj_apply(h, p["q_proj"])
         k = proj_apply(h, p["k_proj"])
         v = proj_apply(h, p["v_proj"])
-    if attn_fn is not None:
-        attn = attn_fn(q.reshape(shape), k.reshape(shape), v.reshape(shape))
-    else:
-        attn = mha(
-            q.reshape(shape),
-            k.reshape(shape),
-            v.reshape(shape),
-            bias=bias,
-            scale=cfg.head_dim**-0.5,
-        )
+        attn = _attn_dispatch(cfg, q, k, v, shape, bias, attn_fn)
     attn = attn.reshape(B, T, D)
     x = x + proj_apply(attn, p["out_proj"])
+    return _encoder_ffn(cfg, x, p, ln, approx_gelu)
 
+
+def _encoder_ffn(cfg, x, p, ln, approx_gelu):
     h = ln(x, p["final_ln"]["scale"], p["final_ln"]["bias"])
     h = jax.nn.gelu(proj_apply(h, p["fc1"]), approximate=approx_gelu)
-    x = x + proj_apply(h, p["fc2"])
-    return x
+    return x + proj_apply(h, p["fc2"])
+
+
+def _attn_dispatch(cfg, q, k, v, shape, bias, attn_fn):
+    if attn_fn is not None:
+        return attn_fn(q.reshape(shape), k.reshape(shape), v.reshape(shape))
+    return mha(
+        q.reshape(shape),
+        k.reshape(shape),
+        v.reshape(shape),
+        bias=bias,
+        scale=cfg.head_dim**-0.5,
+    )
 
 
 def fuse_encoder_inference_params(params: Params) -> Params:
@@ -452,9 +479,11 @@ def encoder_forward(
 
     bias = None
     attn_fn = None
+    attn_qkv_fn = None
     ln_fn = None
     layers = params["layers"]
     approx_gelu = False
+    T_real = T
     if attn_impl == "flash":
         from ultravox_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -467,24 +496,54 @@ def encoder_forward(
             latency_block=latency_block_size or 0,
         )
     elif attn_impl == "fused":
-        from ultravox_tpu.ops.pallas.fused_attention import fused_attention
+        from ultravox_tpu.ops.pallas.fused_attention import (
+            attention_headmajor,
+            fused_attention,
+            qkv_head_transpose,
+        )
 
         feat_lens = (
             feat_extract_output_length(mel_lens) if mel_lens is not None else None
         )
-        attn_fn = lambda q, k, v: fused_attention(
-            q, k, v, feat_lens,
-            scale=cfg.head_dim**-0.5,
-            latency_block=latency_block_size or 0,
-            # one query block per (batch, head), software-pipelined in
-            # 8 sublane-aligned chunks (1536 = 1500 padded up): chunk j's
-            # VPU softmax overlaps chunk j+1's MXU QK^T, hiding most of
-            # the exp2 pass that made the monolithic block_q=1500 kernel
-            # run at ~54 TF/s vs the 98 TF/s head_dim-64 ceiling (r5
-            # measurement in scripts/profile_encoder_attn.py)
-            block_q=fused_block_q,
-            n_chunks=fused_n_chunks,
-        )
+        if "qkv_proj" in layers:
+            # head-major fast path (fuse_encoder_inference_params trees):
+            # the hidden states are padded ONCE here to a kernel-friendly
+            # length (1500 -> 1536 at the 30 s window) and every layer's
+            # attention runs qkv-matmul -> Pallas lane-slice relayout ->
+            # head-major attention -> fused out-proj+residual, with zero
+            # XLA transposes. The r5 ablation
+            # (scripts/profile_encoder_plumbing.py) put the generic
+            # kernel's per-layer q/k/v transposes + pad + output transpose
+            # at 40.6 ms of the 154.8 ms batch-8 30 s encode — 2.5x the
+            # attention dots themselves (16.0 ms; softmax 5.6 ms). Pad
+            # rows ride the residual stream as finite garbage: masked as
+            # keys via feat_lens, sliced off after the layer stack. Costs
+            # +2.4% matmul FLOPs on every layer; wins ~25% wall time.
+            T_real = T
+            T = -(-T // 128) * 128
+            if T != T_real:
+                x = jnp.pad(x, ((0, 0), (0, T - T_real), (0, 0)))
+            if feat_lens is None:
+                feat_lens = jnp.full((x.shape[0],), T_real, jnp.int32)
+            n_chunks = fused_n_chunks if T % (8 * fused_n_chunks) == 0 else 1
+            attn_qkv_fn = lambda qkv3: attention_headmajor(
+                qkv_head_transpose(qkv3, cfg.head_dim),
+                feat_lens,
+                n_heads=cfg.num_heads,
+                scale=cfg.head_dim**-0.5,
+                latency_block=latency_block_size or 0,
+                n_chunks=n_chunks,
+            )
+        else:
+            # unfused q/k/v trees (e.g. encoder-LoRA adapters on q/k/v):
+            # the generic transpose-layout kernel
+            attn_fn = lambda q, k, v: fused_attention(
+                q, k, v, feat_lens,
+                scale=cfg.head_dim**-0.5,
+                latency_block=latency_block_size or 0,
+                block_q=fused_block_q,
+                n_chunks=fused_n_chunks,
+            )
         # the forward-only fast path also takes the fused LayerNorm (XLA's
         # LN measures ~4.6x its traffic bound at these shapes; two LNs per
         # layer made it the largest non-matmul cost in the encode)
@@ -515,13 +574,16 @@ def encoder_forward(
     layer_fn = lambda h, p: (
         _encoder_layer(
             cfg, h, bias, p,
-            attn_fn=attn_fn, ln_fn=ln_fn, approx_gelu=approx_gelu,
+            attn_fn=attn_fn, attn_qkv_fn=attn_qkv_fn,
+            ln_fn=ln_fn, approx_gelu=approx_gelu,
         ),
         None,
     )
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
     x, _ = jax.lax.scan(layer_fn, x, layers)
+    if x.shape[1] != T_real:
+        x = x[:, :T_real]
     return layer_norm(
         x, params["layer_norm"]["scale"], params["layer_norm"]["bias"]
     )

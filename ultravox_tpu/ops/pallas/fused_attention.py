@@ -230,6 +230,151 @@ def _fused_attention(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Head-major encoder attention (round 5).
+#
+# The generic `fused_attention` needs q/k/v in (B, H, T, D) — XLA's
+# (B, T, H, 64)->(B, H, T, 64) transposes tile terribly (minor dim 64) and
+# cost 40.6 ms of the 154.8 ms 30 s batch-8 whisper encode, 2.5x the
+# attention dots themselves (16.0 ms; softmax 5.6 ms) — measured in
+# scripts/profile_encoder_plumbing.py. Mosaic's block constraint (last two
+# block dims 8/128-divisible or array-equal) rules out reading the
+# (B, T, H, D) layout per-head directly, but 64-offset LANE slices inside a
+# kernel DO lower (scripts in /tmp verified on v5e), so the fix is a
+# three-kernel pipeline that never materialises a bad layout:
+#
+#   1. qkv_head_transpose: (B, T, 3·H·D) matmul output -> (B, 3H, T, D)
+#      via 3H lane slices per T-block — a near-bandwidth HBM relayout
+#      (~2.4 ms total where XLA's transposes cost 40.6).
+#   2. attention_headmajor: the unchanged _attn_kernel gridded over the
+#      (B, 3H, T, D) array — q/k/v are the same array with index maps
+#      offset by 0/H/2H. Output (B, H, T, D).
+#   3. attn_out_proj_residual: consumes (B, H, T, D) directly —
+#      out = x + attn @ W_o + b as 20 half-rate (K=64) MXU dots per
+#      T-block, folding the output transpose AND the residual add away.
+# ---------------------------------------------------------------------------
+
+
+def qkv_head_transpose(qkv, head_dim: int, interpret=None):
+    """(B, T, G·D) -> (B, G, T, D) head-major relayout (G = 3·num_heads for
+    a fused qkv projection output). T must be a multiple of 128."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, C = qkv.shape
+    G = C // head_dim
+    if T % 128:
+        raise ValueError(f"T={T} must be a multiple of 128")
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[0]
+        for g in range(G):
+            o_ref[0, g] = x[:, g * head_dim:(g + 1) * head_dim]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, T // 128),
+        in_specs=[pl.BlockSpec((1, 128, C), lambda b, i: (b, i, 0))],
+        out_specs=pl.BlockSpec(
+            (1, G, 128, head_dim), lambda b, i: (b, 0, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, T, head_dim), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+
+
+def attention_headmajor(
+    qkv_t, lengths, *, n_heads: int, scale=None, latency_block=0,
+    n_chunks=8, interpret=None,
+):
+    """Encoder self-attention over a head-major packed (B, 3H, T, D) array
+    (from qkv_head_transpose). Returns (B, H, T, D). ``lengths`` is
+    mandatory: the encoder pads its hidden states to a 128-multiple T and
+    the pad columns must be masked out as keys (pad query rows produce
+    finite garbage that the caller slices off after the layer stack)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, G, T, D = qkv_t.shape
+    H = n_heads
+    assert G == 3 * H
+    if T % (8 * n_chunks):
+        raise ValueError(f"T={T} must be a multiple of 8*n_chunks")
+    if scale is None:
+        scale = D**-0.5
+
+    kernel = functools.partial(
+        _attn_kernel,
+        scale=scale,
+        causal=False,
+        use_lengths=True,
+        latency_block=latency_block,
+        block_q=T,
+        seq_len=T,
+        n_chunks=n_chunks,
+    )
+    zeros = jnp.zeros((B,), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, 1),
+            in_specs=[
+                pl.BlockSpec((1, 1, T, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, T, D), lambda b, h, i, *_: (b, H + h, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, T, D), lambda b, h, i, *_: (b, 2 * H + h, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, T, D), lambda b, h, i, *_: (b, h, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), qkv_t.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), zeros, qkv_t, qkv_t, qkv_t)
+
+
+def attn_out_proj_residual(attn_t, kernel_w, bias, x_res, interpret=None):
+    """x_res + (heads-concat of attn_t) @ W_o + b, reading the attention
+    output in its native (B, H, T, D) layout.
+
+    ``kernel_w``: (H, D, M) — a free reshape of the (H·D, M) out-proj
+    kernel. Numerics mirror proj_apply's float path: fp32-accumulated dot,
+    cast to the stream dtype, bias added in that dtype, then the residual.
+    T must be a multiple of 128."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, H, T, D = attn_t.shape
+    M = kernel_w.shape[-1]
+    if T % 128:
+        raise ValueError(f"T={T} must be a multiple of 128")
+
+    def kernel(a_ref, w_ref, b_ref, x_ref, o_ref):
+        acc = jnp.dot(
+            a_ref[0, 0], w_ref[0], preferred_element_type=jnp.float32
+        )
+        for h in range(1, H):
+            acc += jnp.dot(
+                a_ref[0, h], w_ref[h], preferred_element_type=jnp.float32
+            )
+        o_ref[0] = x_ref[0] + (acc.astype(o_ref.dtype) + b_ref[0])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B, T // 128),
+        in_specs=[
+            pl.BlockSpec((1, H, 128, D), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((H, D, M), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, M), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, 128, M), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 128, M), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, M), x_res.dtype),
+        interpret=interpret,
+    )(attn_t, kernel_w, bias.reshape(1, M), x_res)
+
+
 def supports_shape(seq_len: int, head_dim: int, dtype=jnp.bfloat16) -> bool:
     """Whether full K/V per (b, h) fits comfortably in VMEM."""
     bytes_per = jnp.dtype(dtype).itemsize
