@@ -246,3 +246,52 @@ def test_decode_matmul_parity():
             np.asarray(ref_q).astype(np.float32),
             atol=2e-2, rtol=2e-2,
         )
+
+
+def test_headmajor_pipeline_parity(qkv):
+    """qkv_head_transpose + attention_headmajor (the r5 encoder fast path)
+    against mha on the same tensors, incl. the latency-block mask."""
+    from ultravox_tpu.ops.pallas.fused_attention import (
+        attention_headmajor,
+        qkv_head_transpose,
+    )
+
+    q, k, v = qkv
+    B, T, H, D = q.shape
+    qkv3 = jnp.concatenate(
+        [q.reshape(B, T, H * D), k.reshape(B, T, H * D),
+         v.reshape(B, T, H * D)], axis=-1,
+    )
+    qkv_t = qkv_head_transpose(qkv3, D, interpret=True)
+    assert qkv_t.shape == (B, 3 * H, T, D)
+    np.testing.assert_array_equal(
+        np.asarray(qkv_t[:, :H]), np.asarray(jnp.transpose(q, (0, 2, 1, 3)))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(qkv_t[:, 2 * H:]),
+        np.asarray(jnp.transpose(v, (0, 2, 1, 3))),
+    )
+
+    lens = jnp.asarray([256, 100], jnp.int32)
+    ref = mha(q, k, v, bias=length_mask_bias(lens, T))
+    out = attention_headmajor(
+        qkv_t, lens, n_heads=H, n_chunks=4, interpret=True
+    )
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    # pad/masked-out query rows produce garbage by design; compare valid rows
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1, :100]), np.asarray(ref[1, :100]), atol=2e-5
+    )
+
+    lat = jnp.minimum(length_mask_bias(lens, T), block_causal_bias(T, 64))
+    ref2 = mha(q, k, v, bias=lat)
+    out2 = attention_headmajor(
+        qkv_t, lens, n_heads=H, latency_block=64, n_chunks=4, interpret=True
+    )
+    out2 = jnp.transpose(out2, (0, 2, 1, 3))
+    np.testing.assert_allclose(
+        np.asarray(out2[0]), np.asarray(ref2[0]), atol=2e-5
+    )

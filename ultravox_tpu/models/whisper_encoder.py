@@ -174,19 +174,11 @@ def _encoder_layer(
         # output in its native (B, H, T, Dh) layout with the residual add
         # folded in — no XLA (B,T,H,64)<->(B,H,T,64) transposes anywhere
         attn_t = attn_qkv_fn(proj_apply(h, p["qkv_proj"]))  # (B, H, T, Dh)
-        op = p["out_proj"]
-        if "kernel" in op and "lora_a" not in op:
-            from ultravox_tpu.ops.pallas.fused_attention import (
-                attn_out_proj_residual,
-            )
-
-            w = op["kernel"].reshape(cfg.num_heads, cfg.head_dim, D)
-            return _encoder_ffn(
-                cfg,
-                attn_out_proj_residual(attn_t, w, op["bias"], x),
-                p, ln, approx_gelu,
-            )
-        # int8 / adapter out-proj: transpose back and take the generic path
+        # the transpose back to (B, T, H, Dh) is ABSORBED by XLA into the
+        # out-proj dot's lhs (measured: transpose+matmul ≈ plain matmul,
+        # and 5.9 ms/encode FASTER than a Pallas out-proj kernel doing 20
+        # K=64 dots per T-block — attn_out_proj_residual in
+        # ops/pallas/fused_attention.py records that negative result)
         attn = jnp.transpose(attn_t, (0, 2, 1, 3))
     elif "qkv_proj" in p:
         qkv = proj_apply(h, p["qkv_proj"]).reshape(B, T, 3, D)
