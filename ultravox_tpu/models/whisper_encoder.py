@@ -107,7 +107,10 @@ def quantize_encoder_int8(params: Params) -> Params:
     return out
 
 
-def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
+def _conv1d(
+    x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int,
+    transpose_out: bool = False,
+):
     """x: (B, C_in, T); kernel: (K, C_in, C_out); SAME-1 padding like torch
     Conv1d(padding=1), fp32 accumulation.
 
@@ -133,16 +136,21 @@ def _conv1d(x: jax.Array, kernel: jax.Array, bias: jax.Array, stride: int):
         axis=1,
     )  # (B, K*C_in, T_out), k-major to match kernel.reshape below
     w = kernel.reshape(K * C_in, C_out)
+    # transpose_out folds the (B, C, T) -> (B, T, C) layout change into the
+    # einsum's output order (free for XLA dots) — the layer stack wants
+    # T-major and a separate 30 MB transpose is a measurable stem cost
+    spec = "bct,cd->btd" if transpose_out else "bct,cd->bdt"
     if jax.default_backend() == "cpu" and patches.dtype != jnp.float32:
         # the CPU gemm thunk rejects BF16xBF16=F32; the MXU path needs it
         out = jnp.einsum(
-            "bct,cd->bdt", patches.astype(jnp.float32), w.astype(jnp.float32)
+            spec, patches.astype(jnp.float32), w.astype(jnp.float32)
         )
     else:
         out = jnp.einsum(
-            "bct,cd->bdt", patches, w, preferred_element_type=jnp.float32
+            spec, patches, w, preferred_element_type=jnp.float32
         )
-    return (out + bias[None, :, None]).astype(x.dtype)
+    b = bias[None, None, :] if transpose_out else bias[None, :, None]
+    return (out + b).astype(x.dtype)
 
 
 def _encoder_layer(
@@ -168,17 +176,33 @@ def _encoder_layer(
     h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     shape = (B, T, cfg.num_heads, cfg.head_dim)
     if "qkv_proj" in p and attn_qkv_fn is not None:
-        # head-major fast path (see ops/pallas/fused_attention.py): the
-        # fused qkv matmul output goes through a Pallas lane-slice relayout
-        # + the attention kernel, and the out-proj consumes the attention
-        # output in its native (B, H, T, Dh) layout with the residual add
-        # folded in — no XLA (B,T,H,64)<->(B,H,T,64) transposes anywhere
-        attn_t = attn_qkv_fn(proj_apply(h, p["qkv_proj"]))  # (B, H, T, Dh)
-        # the transpose back to (B, T, H, Dh) is ABSORBED by XLA into the
-        # out-proj dot's lhs (measured: transpose+matmul ≈ plain matmul,
-        # and 5.9 ms/encode FASTER than a Pallas out-proj kernel doing 20
-        # K=64 dots per T-block — attn_out_proj_residual in
-        # ops/pallas/fused_attention.py records that negative result)
+        # head-major fast path: XLA emits the fused qkv matmul DIRECTLY in
+        # the attention kernel's (B, 3H, T, Dh) layout — the r5 probe
+        # measured einsum 'btd,dgh->bgth' at the same speed as the plain
+        # matmul (678.8 vs 672.5 us at whisper-large dims), so the layout
+        # change is free. Likewise the out-proj consumes the attention
+        # output natively via 'bhtd,hdm->btm' (268.0 vs 355.5 us for the
+        # transpose+matmul form, and 5.9 ms/encode faster than a Pallas
+        # out-proj kernel issuing 20 K=64 dots per T-block —
+        # attn_out_proj_residual records that negative result). int8 /
+        # adapter projections take proj_apply + the Pallas lane-slice
+        # relayout instead (qkv_head_transpose).
+        H, Dh = cfg.num_heads, cfg.head_dim
+        from ultravox_tpu.ops.pallas.fused_attention import (
+            qkv_head_transpose,
+        )
+
+        qkv_t = qkv_head_transpose(proj_apply(h, p["qkv_proj"]), Dh)
+        attn_t = attn_qkv_fn(qkv_t)  # (B, H, T, Dh)
+        op = p["out_proj"]
+        if "kernel" in op and "lora_a" not in op:
+            x = x + (
+                jnp.einsum(
+                    "bhtd,hdm->btm", attn_t, op["kernel"].reshape(H, Dh, D)
+                )
+                + op["bias"]
+            )
+            return _encoder_ffn(cfg, x, p, ln, approx_gelu)
         attn = jnp.transpose(attn_t, (0, 2, 1, 3))
     elif "qkv_proj" in p:
         qkv = proj_apply(h, p["qkv_proj"]).reshape(B, T, 3, D)
@@ -462,10 +486,12 @@ def encoder_forward(
         approximate=stem_approx,
     )
     x = jax.nn.gelu(
-        _conv1d(x, params["conv2"]["kernel"], params["conv2"]["bias"], cfg.conv2_stride),
+        _conv1d(
+            x, params["conv2"]["kernel"], params["conv2"]["bias"],
+            cfg.conv2_stride, transpose_out=True,
+        ),
         approximate=stem_approx,
-    )
-    x = jnp.transpose(x, (0, 2, 1))  # (B, T, D)
+    )  # (B, T, D)
     T = x.shape[1]
     x = x + params["embed_positions"][:T][None].astype(x.dtype)
 
@@ -491,7 +517,6 @@ def encoder_forward(
         from ultravox_tpu.ops.pallas.fused_attention import (
             attention_headmajor,
             fused_attention,
-            qkv_head_transpose,
         )
 
         feat_lens = (
@@ -518,8 +543,8 @@ def encoder_forward(
             if feat_lens is None:
                 feat_lens = jnp.full((x.shape[0],), T_real, jnp.int32)
             n_chunks = fused_n_chunks if T % (8 * fused_n_chunks) == 0 else 1
-            attn_qkv_fn = lambda qkv3: attention_headmajor(
-                qkv_head_transpose(qkv3, cfg.head_dim),
+            attn_qkv_fn = lambda qkv_t: attention_headmajor(
+                qkv_t,
                 feat_lens,
                 n_heads=cfg.num_heads,
                 scale=cfg.head_dim**-0.5,

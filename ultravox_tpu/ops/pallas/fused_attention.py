@@ -280,6 +280,9 @@ def qkv_head_transpose(qkv, head_dim: int, interpret=None):
             (1, G, bt, head_dim), lambda b, i: (b, 0, i, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, T, head_dim), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(qkv)
 
@@ -349,7 +352,7 @@ def _headmajor_kernel(
 
 def attention_headmajor(
     qkv_t, lengths, *, n_heads: int, scale=None, latency_block=0,
-    n_chunks=8, interpret=None,
+    n_chunks=8, heads_per_step=None, interpret=None,
 ):
     """Encoder self-attention over a head-major packed (B, 3H, T, D) array
     (from qkv_head_transpose). Returns (B, H, T, D). ``lengths`` is
@@ -374,7 +377,7 @@ def attention_headmajor(
         raise ValueError(f"T={T} must be a multiple of 8*n_chunks")
     if scale is None:
         scale = D**-0.5
-    hb = next(h for h in (4, 2, 1) if H % h == 0)
+    hb = heads_per_step or next(h for h in (4, 2, 1) if H % h == 0)
 
     kernel = functools.partial(
         _headmajor_kernel,
