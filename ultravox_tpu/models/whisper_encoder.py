@@ -176,17 +176,18 @@ def _encoder_layer(
     h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     shape = (B, T, cfg.num_heads, cfg.head_dim)
     if "qkv_proj" in p and attn_qkv_fn is not None:
-        # head-major fast path: XLA emits the fused qkv matmul DIRECTLY in
-        # the attention kernel's (B, 3H, T, Dh) layout — the r5 probe
-        # measured einsum 'btd,dgh->bgth' at the same speed as the plain
-        # matmul (678.8 vs 672.5 us at whisper-large dims), so the layout
-        # change is free. Likewise the out-proj consumes the attention
-        # output natively via 'bhtd,hdm->btm' (268.0 vs 355.5 us for the
+        # head-major fast path: qkv matmul -> Pallas lane-slice relayout
+        # to the attention kernel's (B, 3H, T, Dh) layout -> head-major
+        # attention -> einsum out-proj reading the (B, H, T, Dh) output
+        # natively ('bhtd,hdm->btm': 268.0 vs 355.5 us/layer for the
         # transpose+matmul form, and 5.9 ms/encode faster than a Pallas
         # out-proj kernel issuing 20 K=64 dots per T-block —
-        # attn_out_proj_residual records that negative result). int8 /
-        # adapter projections take proj_apply + the Pallas lane-slice
-        # relayout instead (qkv_head_transpose).
+        # attn_out_proj_residual records that negative result). NOTE: an
+        # einsum-shaped qkv ('btd,dgh->bgth') probes at plain-matmul speed
+        # standalone but LOSES ~5 ms/encode in-context — its output layout
+        # forces a relayout copy at the pallas boundary; the explicit
+        # relayout kernel is the fast form. int8 qkv trees work here too
+        # (proj_apply dequantizes into bf16 before the relayout).
         H, Dh = cfg.num_heads, cfg.head_dim
         from ultravox_tpu.ops.pallas.fused_attention import (
             qkv_head_transpose,
