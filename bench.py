@@ -182,7 +182,12 @@ def _flagship_metrics():
 
     cfg = graft._flagship_config()
     params = uv_model.init_params(cfg, jax.random.key(0), jnp.bfloat16)
-    engine = GenerationEngine(params, cfg, max_cache_len=1024, prefill_attn_impl="fused")
+    # fused encoder = the serving-engine auto default on TPU; the TTFT
+    # metric should measure the configuration the product actually runs
+    engine = GenerationEngine(
+        params, cfg, max_cache_len=1024, prefill_attn_impl="fused",
+        encoder_attn_impl="fused",
+    )
 
     B = 8
     prompt = np.full((B, 128), 7, np.int32)
