@@ -94,6 +94,36 @@ def test_encoder_fused_matches_xla(qkv):
     )
 
 
+def test_encoder_headmajor_fused_frontend_matches_xla():
+    """The d_model%128==0 head-major fast path (fuse_encoder_inference_params
+    trees) routes attention through ln_qkv_head_fused — whole-encoder parity
+    against the XLA path."""
+    from ultravox_tpu.models import WhisperEncoderConfig, whisper_encoder
+
+    cfg = WhisperEncoderConfig(
+        d_model=128, num_layers=2, num_heads=2, ffn_dim=256,
+        max_source_positions=128,
+    )
+    params = whisper_encoder.init_params(cfg, jax.random.key(5))
+    mel = jax.random.normal(jax.random.key(6), (2, 80, 256), jnp.float32)
+    lens = jnp.asarray([256, 120], jnp.int32)
+    ref = whisper_encoder.encoder_forward(params, cfg, mel, lens)
+    fused_params = whisper_encoder.fuse_encoder_inference_params(params)
+    assert "qkv_proj" in fused_params["layers"]
+    out = whisper_encoder.encoder_forward(
+        fused_params, cfg, mel, lens, attn_impl="fused"
+    )
+    n0 = whisper_encoder.feat_extract_output_length(256)
+    n1 = whisper_encoder.feat_extract_output_length(120)
+    # tanh-GELU approximation bound as in test_encoder_fused_matches_xla
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :n0], np.asarray(ref)[0, :n0], atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[1, :n1], np.asarray(ref)[1, :n1], atol=3e-3
+    )
+
+
 def test_supports_shape():
     assert supports_shape(3000, 64)
     assert not supports_shape(200_000, 128)
@@ -294,4 +324,40 @@ def test_headmajor_pipeline_parity(qkv):
     out2 = jnp.transpose(out2, (0, 2, 1, 3))
     np.testing.assert_allclose(
         np.asarray(out2[0]), np.asarray(ref2[0]), atol=2e-5
+    )
+
+
+def test_ln_qkv_head_fused_parity():
+    """ln_qkv_head_fused == layer_norm -> matmul+bias -> qkv_head_transpose
+    (the r5 single-kernel encoder attention front-end)."""
+    from ultravox_tpu.ops.norms import layer_norm
+    from ultravox_tpu.ops.pallas.fused_attention import (
+        ln_qkv_head_fused,
+        qkv_head_transpose,
+    )
+
+    B, T, D, Dh = 2, 256, 128, 64
+    C = 3 * D
+    key = jax.random.key(7)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (B, T, D), jnp.float32).astype(jnp.bfloat16)
+    w = (jax.random.normal(ks[1], (D, C), jnp.float32) * 0.05).astype(
+        jnp.bfloat16
+    )
+    b = (jax.random.normal(ks[2], (C,), jnp.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    scale = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+
+    h = layer_norm(x, scale, bias)
+    ref = qkv_head_transpose((h @ w) + b, Dh, interpret=True)
+    out = ln_qkv_head_fused(
+        x, scale, bias, w, b, Dh, block_t=128, interpret=True
+    )
+    assert out.shape == (B, C // Dh, T, Dh)
+    np.testing.assert_allclose(
+        np.asarray(out).astype(np.float32),
+        np.asarray(ref).astype(np.float32),
+        atol=3e-2, rtol=3e-2,
     )

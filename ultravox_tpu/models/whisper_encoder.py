@@ -173,7 +173,6 @@ def _encoder_layer(
     wide — worth ~0.4 ms/layer net of the slice round-trips."""
     B, T, D = x.shape
     ln = ln_fn or layer_norm
-    h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     shape = (B, T, cfg.num_heads, cfg.head_dim)
     if "qkv_proj" in p and attn_qkv_fn is not None:
         # head-major fast path: qkv matmul -> Pallas lane-slice relayout
@@ -190,10 +189,27 @@ def _encoder_layer(
         # (proj_apply dequantizes into bf16 before the relayout).
         H, Dh = cfg.num_heads, cfg.head_dim
         from ultravox_tpu.ops.pallas.fused_attention import (
+            ln_qkv_head_fused,
             qkv_head_transpose,
         )
 
-        qkv_t = qkv_head_transpose(proj_apply(h, p["qkv_proj"]), Dh)
+        qp = p["qkv_proj"]
+        if (
+            "kernel" in qp and "lora_a" not in qp and "bias" in qp
+            and D % 128 == 0 and (3 * D) % 128 == 0 and T % 128 == 0
+        ):
+            # single-kernel LN + qkv matmul + head relayout: skips the LN
+            # write/read and the (B, T, 3D) intermediate's HBM round trip
+            # (~215 MB/layer; LN 114 us + qkv 672 us + relayout 448 us
+            # separate vs one matmul-bound kernel)
+            qkv_t = ln_qkv_head_fused(
+                x, p["attn_ln"]["scale"], p["attn_ln"]["bias"],
+                qp["kernel"], qp["bias"], Dh,
+            )
+        else:
+            # int8 / LoRA qkv trees: proj_apply handles dequant + adapters
+            h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
+            qkv_t = qkv_head_transpose(proj_apply(h, qp), Dh)
         attn_t = attn_qkv_fn(qkv_t)  # (B, H, T, Dh)
         op = p["out_proj"]
         if "kernel" in op and "lora_a" not in op:
@@ -206,10 +222,12 @@ def _encoder_layer(
             return _encoder_ffn(cfg, x, p, ln, approx_gelu)
         attn = jnp.transpose(attn_t, (0, 2, 1, 3))
     elif "qkv_proj" in p:
+        h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
         qkv = proj_apply(h, p["qkv_proj"]).reshape(B, T, 3, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = _attn_dispatch(cfg, q, k, v, shape, bias, attn_fn)
     else:
+        h = ln(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
         q = proj_apply(h, p["q_proj"])
         k = proj_apply(h, p["k_proj"])
         v = proj_apply(h, p["v_proj"])

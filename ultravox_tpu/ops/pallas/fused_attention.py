@@ -287,6 +287,79 @@ def qkv_head_transpose(qkv, head_dim: int, interpret=None):
     )(qkv)
 
 
+def ln_qkv_head_fused(
+    x, ln_scale, ln_bias, kernel, bias, head_dim: int, *,
+    eps: float = 1e-5, block_t: int = 256, interpret=None,
+):
+    """LayerNorm -> qkv matmul -> head-major relayout in ONE kernel:
+    (B, T, D) x (D, G*Dh) -> (B, G, T, Dh), G = 3*num_heads.
+
+    Fuses the attn_ln + proj_apply(qkv_proj) + qkv_head_transpose pipeline
+    of the encoder fast path. The separate form pays two full HBM round
+    trips it doesn't need: the LN write+read (61 MB/layer at the 30 s
+    batch-8 window) and the (B, T, 3D) qkv intermediate (184 MB/layer —
+    the relayout kernel alone measured 448 us/layer, 2x its own traffic
+    floor, because it re-reads what the matmul just wrote). Here the LN
+    runs in fp32 registers on each (block_t, D) row block, the dot hits
+    the MXU with the (D, G*Dh) weights VMEM-resident across grid steps
+    (constant index map), and the output is stored as G lane slices
+    directly in the attention kernel's head-major layout.
+
+    Numerics match ops/norms.layer_norm (fp32 internals) followed by
+    proj_apply's float path (bf16 dot with fp32 accumulation, bias added
+    in the output dtype). Weights-only float path: int8 ({kernel_q}) and
+    LoRA trees fall back to the separate pipeline in _encoder_layer.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, D = x.shape
+    C = kernel.shape[-1]
+    G = C // head_dim
+    bt = block_t if T % block_t == 0 else 128
+    if T % bt or D % 128 or C % 128:
+        raise ValueError(f"bad shape for ln_qkv_head_fused: {x.shape}x{kernel.shape}")
+
+    def kern(x_ref, s_ref, b2_ref, w_ref, pb_ref, o_ref):
+        xf = x_ref[0].astype(jnp.float32)  # (bt, D)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        h = (
+            xc * jax.lax.rsqrt(var + eps) * s_ref[...].astype(jnp.float32)
+            + b2_ref[...].astype(jnp.float32)
+        ).astype(x_ref.dtype)
+        acc = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
+        qkv = acc.astype(o_ref.dtype) + pb_ref[...]
+        for g in range(G):
+            o_ref[0, g] = qkv[:, g * head_dim:(g + 1) * head_dim]
+
+    return pl.pallas_call(
+        kern,
+        grid=(B, T // bt),
+        in_specs=[
+            pl.BlockSpec((1, bt, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((D, C), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, bt, head_dim), lambda b, i: (b, 0, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, G, T, head_dim), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, D),
+        ln_bias.reshape(1, D),
+        kernel,
+        bias.reshape(1, C).astype(x.dtype),
+    )
+
+
 def _headmajor_kernel(
     lengths_ref,  # SMEM (B,)
     q_ref,  # (1, Hb, T, D)
