@@ -738,7 +738,9 @@ def _serving_metrics(fused_2k_tps: float):
             engine.spec_autopauses = engine.spec_probe_dispatches = 0
             engine._spec_window.clear()
             engine._spec_paused_flag = False
-            engine._spec_probe_mode = False
+            # fresh-engine cold start: single-round probe until 4 rounds of
+            # acceptance evidence (engine.__init__'s initial state)
+            engine._spec_probe_mode = True
             engine._spec_fail_streak = 0
             t0 = time.perf_counter()
             tokens_s = drain(submit_all())
@@ -830,18 +832,31 @@ def _echo_metrics():
             if spec:
                 eng.spec_emitted_tokens = eng.spec_syncs = 0
                 eng.spec_sync_s = 0.0
+                eng.spec_dispatches = eng.spec_single_dispatches = 0
+                eng.spec_rows = eng.spec_accepted_sum = 0
             times, t0, t_end, ramp_end = _drain_timed(eng, submit_all())
             rates[spec] = len(times) / (t_end - t0)
             steady[spec] = _steady_rate(times, t_end, ramp_end)
             if spec:
                 acc_e = eng.spec_accepted_sum / max(eng.spec_rows, 1)
                 # the r4 echo mystery (VERDICT r4 weak #3): accept 2.0 at
-                # 1.22x verify cost predicts ~1.64x but total-wall speedup
-                # read 1.31x — these fields account for the gap: the
-                # prefill ramp is identical in both runs (pure dilution),
-                # ramp-phase decode runs unspeculated (churn gate), and
-                # history syncs stall the loop
+                # 1.22x verify cost predicted ~1.64x but measured ~1.31x.
+                # The right cost denominator is the BLOCK-form ratio — a
+                # spec-block round costs 1.30x a block decode step
+                # (measured: 7.12 vs 5.49 ms/round at the bench shape,
+                # scripts/profile_spec_parts.py), not the single-dispatch
+                # 1.22x — so the cost-model prediction is accept/1.30
+                # (emitted below). Residual gap drivers are emitted too:
+                # single-round dispatches cost ~2.6x a block round (the r5
+                # halving buckets bound their share), syncs stall the
+                # loop, and the prefill ramp dilutes the total-wall number
+                # (identical in both runs).
+                rounds_total = max(eng.spec_dispatches, 1)
                 extras = {
+                    "spec_echo_pred_decode_speedup_x": round(acc_e / 1.30, 2),
+                    "spec_echo_single_round_share": round(
+                        eng.spec_single_dispatches / rounds_total, 3
+                    ),
                     "spec_echo_token_share": round(
                         eng.spec_emitted_tokens / max(len(times), 1), 3
                     ),

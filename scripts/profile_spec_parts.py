@@ -103,12 +103,22 @@ def main():
         state["cache"], state["hist"] = cache, h
         return acc
 
+    import functools
+
+    spec_block_prog = jax.jit(
+        functools.partial(
+            eng._spec_block_fn, n_rounds=eng.spec_rounds,
+            **eng._spec_block_kw,
+        ),
+        donate_argnums=(1, 2),
+    )
+
     def spec_block():
         bargs = (eng.params, state["cache"], state["hist"], state["last"],
                  cache_lens, mask, samp, key)
         if pt is not None:
             bargs += (pt,)
-        out, acc, cache, lens, lt, h = eng._spec_block(*bargs)
+        out, acc, cache, lens, lt, h = spec_block_prog(*bargs)
         state["cache"], state["hist"] = cache, h
         return acc
 

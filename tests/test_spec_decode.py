@@ -285,7 +285,8 @@ def test_spec_block_multi_round_matches_offline(setup, cache_mode):
         mel_len_buckets=(400,), cache_mode=cache_mode,
         spec_decode="ngram", spec_k=4, decode_block_steps=4, **kw,
     )
-    assert serving.spec_rounds == 4 and hasattr(serving, "_spec_block")
+    assert serving.spec_rounds == 4
+    assert serving._spec_round_buckets == [4, 2]
     serving.start()
     try:
         reqs = [serving.submit(b, max_tokens=48) for b in batches]
@@ -532,14 +533,13 @@ def test_spec_autopause_and_reprobe(setup):
     assert ids == expected
     assert finish == "length"
     assert serving.spec_autopauses >= 1
-    # re-probe happened: speculative dispatches continued after the pause
+    # cold start IS a probe (r5): the engine opens in single-round probe
+    # mode, so an undraftable workload pays ~4 cheap rounds before the
+    # first pause instead of 24 full-block rounds
+    assert serving.spec_probe_dispatches >= 1
     if serving.spec_autopauses >= 2:
-        # re-probes run in PROBE MODE: single-round dispatches with a small
-        # evidence window (r5 — the full-block probe was the r4 probe tax),
-        # and each failed probe backs off the next probe exponentially
-        assert serving.spec_probe_dispatches >= 1
+        # failed probes back off the next probe period exponentially
         assert serving._spec_fail_streak >= 1
-        assert serving.spec_rows >= 24 + serving.spec_probe_dispatches
 
 
 def test_spec_health_reports_per_slot_acceptance(setup):

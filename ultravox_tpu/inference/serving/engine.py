@@ -708,7 +708,14 @@ class ServingEngine:
         # (x2 per failure, capped), shrinking the steady-state tax below
         # measurement noise; one healthy probe resets the backoff and
         # re-engages multi-round speculation.
-        self._spec_probe_mode = False
+        # COLD START IS A PROBE: a fresh engine has no evidence speculation
+        # wins, and full multi-round blocks need 24 rounds of evidence
+        # before the guard can pause (~5 step-equivalents lost on an
+        # undraftable workload — measured 4-5% of a short serving run).
+        # Starting in single-round probe mode bounds the cold-start tax to
+        # the same ~4 cheap rounds as any re-probe; a healthy workload
+        # upgrades to multi-round blocks after those 4 rounds.
+        self._spec_probe_mode = spec_min_accept > 0
         self._spec_probe_evidence_rounds = 4  # probe-mode evidence window
         self._spec_fail_streak = 0  # consecutive failed probes
         self._spec_backoff_cap = 8  # max probe-period multiplier
@@ -731,17 +738,26 @@ class ServingEngine:
             # dispatch — between n_rounds and n_rounds*(K+1) tokens for
             # n_rounds weight reads and ONE host dispatch
             self.spec_rounds = max(1, self.decode_block_steps)
-            if self.spec_rounds > 1:
-                self._spec_block = jax.jit(
-                    functools.partial(
-                        _spec_decode_block_paged if self.paged
-                        else _spec_decode_block,
-                        cfg=cfg, K=self.spec_k, ngram=self.spec_ngram,
-                        n_rounds=self.spec_rounds, attn_impl=seg_impl,
-                        **block_kw,
-                    ),
-                    donate_argnums=(1, 2),
-                )
+            # BUCKETED block depths (r5): a single-round dispatch costs
+            # ~2.6x a block-amortized round (measured 18.8 vs 7.1 ms at 1B
+            # dims, scripts/profile_spec_parts.py), so the all-or-nothing
+            # full-block-else-single gate made the low-headroom TAIL of a
+            # generation (cache nearly full) dominate the spec cost mix.
+            # Halving buckets (8 -> 4 -> 2 rounds) degrade gracefully;
+            # each bucket's program compiles lazily on first use.
+            self._spec_round_buckets = []
+            nr = self.spec_rounds
+            while nr > 1:
+                self._spec_round_buckets.append(nr)
+                nr //= 2
+            self._spec_block_progs: dict = {}
+            self._spec_block_fn = (
+                _spec_decode_block_paged if self.paged else _spec_decode_block
+            )
+            self._spec_block_kw = dict(
+                cfg=cfg, K=self.spec_k, ngram=self.spec_ngram,
+                attn_impl=seg_impl, **block_kw,
+            )
         self._hist_dirty = True
         self._spec_key = None  # (slot, request_id) set the history matches
         self._spec_cache = None  # (key, mask_dev, samp_dev, lora_kw)
@@ -1748,9 +1764,14 @@ class ServingEngine:
             # probing after a pause: one cheap round per dispatch until the
             # small evidence window decides (re-pause or re-engage)
             self.spec_probe_dispatches += 1
-        elif self.spec_rounds > 1 and headroom >= self.spec_rounds * worst:
-            n_rounds = self.spec_rounds
-            worst = self.spec_rounds * worst
+        elif self.spec_rounds > 1:
+            for nr in self._spec_round_buckets:
+                if headroom >= nr * worst:
+                    n_rounds = nr
+                    worst = nr * worst
+                    break
+            else:
+                self.spec_single_dispatches += 1
         else:
             self.spec_single_dispatches += 1
         slots = sorted(self._active)
@@ -1781,6 +1802,16 @@ class ServingEngine:
         _, mask_dev, samp_dev, lora_kw = self._spec_cache
         self._rng, rng = jax.random.split(self._rng)
         if n_rounds > 1:
+            prog = self._spec_block_progs.get(n_rounds)
+            if prog is None:
+                prog = jax.jit(
+                    functools.partial(
+                        self._spec_block_fn, n_rounds=n_rounds,
+                        **self._spec_block_kw,
+                    ),
+                    donate_argnums=(1, 2),
+                )
+                self._spec_block_progs[n_rounds] = prog
             args = (
                 self.params, self.cache, self.token_hist, self.last_tokens,
                 self.cache_lens, mask_dev, samp_dev, rng,
@@ -1788,7 +1819,7 @@ class ServingEngine:
             if self.paged:
                 args += (self.page_table,)
             out, accepted, self.cache, self.cache_lens, self.last_tokens, \
-                self.token_hist = self._spec_block(*args, **lora_kw)
+                self.token_hist = prog(*args, **lora_kw)
         else:
             out, accepted, self.cache, self.cache_lens, self.last_tokens, \
                 self.token_hist = self._spec(
