@@ -94,6 +94,34 @@ def test_encoder_fused_matches_xla(qkv):
     )
 
 
+def test_ln_matmul_gelu_parity():
+    """ln_matmul_gelu == layer_norm -> matmul+bias -> tanh GELU (the r5
+    fused encoder FFN front)."""
+    from ultravox_tpu.ops.norms import layer_norm
+    from ultravox_tpu.ops.pallas.fused_attention import ln_matmul_gelu
+
+    B, T, D, F = 2, 256, 128, 256
+    ks = jax.random.split(jax.random.key(11), 5)
+    x = jax.random.normal(ks[0], (B, T, D), jnp.float32).astype(jnp.bfloat16)
+    w = (jax.random.normal(ks[1], (D, F), jnp.float32) * 0.05).astype(
+        jnp.bfloat16
+    )
+    b = (jax.random.normal(ks[2], (F,), jnp.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    scale = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    bias = 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+
+    h = layer_norm(x, scale, bias)
+    ref = jax.nn.gelu((h @ w) + b, approximate=True)
+    out = ln_matmul_gelu(x, scale, bias, w, b, block_t=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out).astype(np.float32),
+        np.asarray(ref).astype(np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
 def test_encoder_headmajor_fused_frontend_matches_xla():
     """The d_model%128==0 head-major fast path (fuse_encoder_inference_params
     trees) routes attention through ln_qkv_head_fused — whole-encoder parity

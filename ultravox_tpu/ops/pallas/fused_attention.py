@@ -360,6 +360,73 @@ def ln_qkv_head_fused(
     )
 
 
+def ln_matmul_gelu(
+    x, ln_scale, ln_bias, kernel, bias, *,
+    eps: float = 1e-5, block_t: int = 256, interpret=None,
+):
+    """LayerNorm -> matmul+bias -> tanh-GELU in one kernel:
+    (B, T, D) x (D, F) -> (B, T, F).
+
+    NEGATIVE RESULT (r5, kept unwired): targeted the encoder FFN front
+    (final_ln -> fc1 -> gelu) with the same fusion argument as
+    ln_qkv_head_fused, but measured 1.8 ms SLOWER per 30 s batch-8 encode
+    (127.9 vs 126.2 ms) — XLA's fc1+gelu already runs at ~89% of peak and
+    the Pallas (T,1280)x(1280,5120) dot gives back more than the LN round
+    trip (~114 us/layer) saves. ln_qkv_head_fused wins because it ALSO
+    removes the relayout's full HBM round trip, which has no FFN analog.
+    Don't re-wire this without beating that number at the bench shape."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, T, D = x.shape
+    F = kernel.shape[-1]
+    bt = block_t if T % block_t == 0 else 128
+    if T % bt or D % 128 or F % 128:
+        raise ValueError(f"bad shape for ln_matmul_gelu: {x.shape}x{kernel.shape}")
+
+    def kern(x_ref, s_ref, b2_ref, w_ref, pb_ref, o_ref):
+        xf = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        h = (
+            xc * jax.lax.rsqrt(var + eps) * s_ref[...].astype(jnp.float32)
+            + b2_ref[...].astype(jnp.float32)
+        ).astype(x_ref.dtype)
+        acc = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
+        # match proj_apply + jax.nn.gelu(approximate=True) numerics: cast
+        # to the stream dtype, add bias in that dtype, gelu on that value
+        # (upcast to fp32 for the tanh polynomial, cast back)
+        y = (acc.astype(o_ref.dtype) + pb_ref[...]).astype(jnp.float32)
+        g = 0.5 * y * (
+            1.0 + jnp.tanh(0.7978845608028654 * (y + 0.044715 * y * y * y))
+        )
+        o_ref[0] = g.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(B, T // bt),
+        in_specs=[
+            pl.BlockSpec((1, bt, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, i: (0, 0)),
+            pl.BlockSpec((D, F), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, F), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, D),
+        ln_bias.reshape(1, D),
+        kernel,
+        bias.reshape(1, F).astype(x.dtype),
+    )
+
+
 def _headmajor_kernel(
     lengths_ref,  # SMEM (B,)
     q_ref,  # (1, Hb, T, D)
