@@ -574,3 +574,46 @@ def test_multi_lora_composes_with_mesh(setup):
     for (ids, finish), exp in zip(results, expected):
         assert ids == exp
         assert finish == "length"
+
+
+def test_enc_adapters_validated_at_construction(setup):
+    """Encoder-adapter banks that cannot apply to the served model fail at
+    ServingEngine construction (r5 review finding: the KeyError used to
+    surface at the first admission's trace inside the scheduler tick,
+    erroring every queued request via _fail_all_requests)."""
+    cfg, params, processor, collator, _ = setup
+    adapters = _enc_adapters(params)
+    kw = dict(
+        num_slots=1, max_seq_len=64, cache_dtype=jnp.float32,
+        prefill_len_buckets=(64,), mel_len_buckets=(400,),
+        lora_adapters=adapters,
+    )
+    # (a) served params have no audio tower at all
+    llm_only = {k: v for k, v in params.items() if k != "audio_tower"}
+    with pytest.raises(ValueError, match="no audio tower"):
+        ServingEngine(llm_only, cfg, **kw)
+    # (b) tower exists but lacks a banked target (fc1)
+    tower = dict(params["audio_tower"])
+    layers = dict(tower["layers"])
+    layers.pop("fc1")
+    tower["layers"] = layers
+    broken = dict(params)
+    broken["audio_tower"] = tower
+    with pytest.raises(ValueError, match="fc1"):
+        ServingEngine(broken, cfg, **kw)
+    # (c) dims mismatch (a wav2vec-shaped tower vs a whisper-trained bank)
+    wide = dict(params["audio_tower"])
+    wlayers = dict(wide["layers"])
+    fc1 = dict(wlayers["fc1"])
+    fc1["kernel"] = jnp.zeros(
+        (fc1["kernel"].shape[0], 64, fc1["kernel"].shape[2]),
+        fc1["kernel"].dtype,
+    )
+    wlayers["fc1"] = fc1
+    wide["layers"] = wlayers
+    mismatched = dict(params)
+    mismatched["audio_tower"] = wide
+    with pytest.raises(ValueError, match="fc1"):
+        ServingEngine(mismatched, cfg, **kw)
+    # the matching tower still constructs fine
+    ServingEngine(params, cfg, **kw)

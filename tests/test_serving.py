@@ -1319,7 +1319,7 @@ def test_resolve_auto_is_dims_aware(monkeypatch):
     """'auto' flags resolve from BOTH workload (max_seq_len) and model dims
     (per-layer KV slab bytes) — an 8B deployment on defaults must not get
     the 1B-tuned choices (VERDICT r4 weak #4). The measured crossovers:
-    decode kernel from 4 MB KV/layer, segmented block kernel from 8 MB."""
+    decode kernel from 4 MB KV/layer, segmented block kernel from 16 MB."""
     from ultravox_tpu.inference.serving import engine as eng
     from ultravox_tpu.models import DecoderConfig
 
@@ -1358,3 +1358,10 @@ def test_resolve_auto_is_dims_aware(monkeypatch):
     # (the r4 length-only gate would have said xla here)
     r = resolve(tc_8b, 1024)
     assert r["decode"] == "kernel" and r["block"] == "xla"
+    # softcapped configs (Gemma-2-class) never auto-pick the segmented
+    # block kernel (it doesn't softcap): auto resolves to xla silently
+    # instead of tripping the explicit-flag fallback warning downstream
+    import dataclasses
+
+    tc_cap = dataclasses.replace(tc_8b, attn_logit_softcapping=50.0)
+    assert resolve(tc_cap, 4096)["block"] == "xla"

@@ -291,9 +291,17 @@ def _resolve_auto(
         # dims @ 2K (8.4 MB) it's a tie within noise (r5: 4.54 vs 4.56);
         # at 8B dims @ 4K (16.8 MB) it WINS — 4.56 vs 5.09 ms/step at 1K
         # live, 5.01 vs 5.05 at 3.5K live (valid-prefix-only reads beat
-        # XLA's full-slab read once the slab dwarfs the launch tax)
+        # XLA's full-slab read once the slab dwarfs the launch tax).
+        # Softcapped configs (Gemma-2-class) stay on XLA — the segmented
+        # kernel doesn't softcap, and auto resolving to "kernel" would only
+        # trip the downstream explicit-flag fallback warning.
         block_attn_impl = (
-            "kernel" if (on_tpu and kv_layer_bytes >= 16 * 1024 * 1024)
+            "kernel"
+            if (
+                on_tpu
+                and kv_layer_bytes >= 16 * 1024 * 1024
+                and tc.attn_logit_softcapping is None
+            )
             else "xla"
         )
     if decode_block_steps is None:
@@ -368,6 +376,8 @@ class ServingEngine:
         self._lora_banks = None
         self._enc_lora_banks = None  # encoder (audio-tower) adapter banks
         self._lora_index: Dict[str, int] = {}
+        self._enc_adapter_names: set = set()  # adapters with an encoder half
+        self._enc_bypass_warned: set = set()
         if lora_adapters:
             from ultravox_tpu.models.lora import build_lora_banks
 
@@ -391,8 +401,11 @@ class ServingEngine:
                 lms[name] = lm if has_lora(lm) else {"layers": {}}
                 n_lm += int(has_lora(lm))
                 tower = tree.get("audio_tower")
-                encs[name] = tower if has_lora(tower) else {"layers": {}}
-                n_enc += int(has_lora(tower))
+                enc_has = has_lora(tower)
+                encs[name] = tower if enc_has else {"layers": {}}
+                n_enc += int(enc_has)
+                if enc_has:
+                    self._enc_adapter_names.add(name)
             if not (n_lm or n_enc):
                 raise ValueError(
                     "no lora_a leaves found in any adapter (neither "
@@ -461,6 +474,13 @@ class ServingEngine:
                 self._enc_lora_banks = fuse_lora_banks(
                     self._enc_lora_banks, qkv_dims=(D, D, D), gateup_dims=()
                 )
+        if self._enc_lora_banks is not None:
+            # fail at construction, not at first admission (where
+            # apply_lora_banks' KeyError inside the scheduler tick would
+            # error every queued request via _fail_all_requests)
+            _validate_enc_lora_banks(
+                self.params.get("audio_tower"), self._enc_lora_banks
+            )
         self.cfg = cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
@@ -1225,6 +1245,24 @@ class ServingEngine:
             )
             self._requests.pop(req.request_id, None)
             return
+        if (
+            req.audio_embeds is not None
+            and req.lora in self._enc_adapter_names
+            and req.lora not in self._enc_bypass_warned
+        ):
+            # precomputed embeds bypass the audio tower, so the adapter's
+            # ENCODER half cannot apply here; decode still uses its LM half.
+            # Warn (once per adapter name) instead of failing: the streaming
+            # voice path is expected to feed its StreamingAudioEncoder
+            # adapted params when the encoder half matters.
+            self._enc_bypass_warned.add(req.lora)
+            logger.warning(
+                "request with precomputed audio_embeds selected lora=%r, "
+                "which carries an encoder (audio-tower) adapter; the "
+                "encoder half is bypassed for such requests — build the "
+                "streaming encoder from adapted params if it should apply",
+                req.lora,
+            )
         prompt_len = int(np.asarray(req.batch["attention_mask"]).sum())
         # a prompt of max_seq_len - 1 is servable (one token, then
         # cache_full); anything beyond that — or beyond the largest prefill
@@ -2132,6 +2170,48 @@ class ServingEngine:
                 elif self.paged:
                     self._release_slot_pages(req.slot)
             self._requests.pop(req.request_id, None)
+
+
+def _validate_enc_lora_banks(tower, banks) -> None:
+    """Construction-time check that encoder adapter banks actually apply to
+    the served model's audio tower: every banked target must exist in the
+    (possibly fused/quantized) tower layers with matching dims. Without
+    this, a mismatched bank KeyErrors inside ``apply_lora_banks`` at the
+    first admission's trace — deep in the scheduler tick, failing every
+    queued request — instead of at ``ServingEngine(...)``."""
+    layers = tower.get("layers") if isinstance(tower, dict) else None
+    if not isinstance(layers, dict):
+        raise ValueError(
+            "lora_adapters carry audio_tower (encoder) adapters but the "
+            "served params have no audio tower"
+        )
+    for tgt, bank in banks.items():
+        proj = layers.get(tgt)
+        kern = None
+        if isinstance(proj, dict):
+            kern = proj.get("kernel", proj.get("kernel_q"))
+        if kern is None:
+            have = sorted(
+                k for k, v in layers.items()
+                if isinstance(v, dict) and ("kernel" in v or "kernel_q" in v)
+            )
+            raise ValueError(
+                f"encoder LoRA adapters target {tgt!r}, which the served "
+                f"audio tower does not have (tower projections: {have})"
+            )
+        L = bank["a"].shape[0]
+        d_in = bank["a"].shape[-2]
+        d_out = bank["b"].shape[-1]
+        if (
+            kern.shape[0] != L
+            or kern.shape[-2] != d_in
+            or kern.shape[-1] != d_out
+        ):
+            raise ValueError(
+                f"encoder LoRA bank for {tgt!r} is shaped for (layers={L}, "
+                f"d_in={d_in}, d_out={d_out}) but the served tower's "
+                f"projection is {tuple(kern.shape)}"
+            )
 
 
 def _embed_prompt(
