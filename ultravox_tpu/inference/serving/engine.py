@@ -91,6 +91,7 @@ class Request:
     prompt_len: int = 0
     generated: int = 0
     first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None  # when the terminal event was emitted
     emitted_ids: List[int] = dataclasses.field(default_factory=list)
     reused_prefix: int = 0  # tokens served from a retained slot cache
     token_ids: Any = None  # (prompt_len,) np.int32 — filled at admit
@@ -791,6 +792,12 @@ class ServingEngine:
         self.stat_prefill_chunks = 0  # prompt chunks dispatched
         self.stat_fetch_wait_s = 0.0  # host time blocked fetching results
         self.stat_dispatch_s = 0.0  # host time issuing decode dispatches
+        # optional measurement hook: set to a list and _emit appends one
+        # monotonic timestamp per emitted token, loop-thread-side. Lets a
+        # harness get per-token times WITHOUT one consumer thread per
+        # stream (8 waking consumers cost the loop thread a measurable
+        # slice of throughput in GIL contention)
+        self.token_time_log: Optional[list] = None
 
         self._pending: "queue.Queue[Request]" = queue.Queue()
         self._cancels: "queue.Queue[int]" = queue.Queue()
@@ -1840,22 +1847,45 @@ class ServingEngine:
         _, mask_dev, samp_dev, lora_kw = self._spec_cache
         self._rng, rng = jax.random.split(self._rng)
         if n_rounds > 1:
-            prog = self._spec_block_progs.get(n_rounds)
-            if prog is None:
-                prog = jax.jit(
-                    functools.partial(
-                        self._spec_block_fn, n_rounds=n_rounds,
-                        **self._spec_block_kw,
-                    ),
-                    donate_argnums=(1, 2),
-                )
-                self._spec_block_progs[n_rounds] = prog
             args = (
                 self.params, self.cache, self.token_hist, self.last_tokens,
                 self.cache_lens, mask_dev, samp_dev, rng,
             )
             if self.paged:
                 args += (self.page_table,)
+            if n_rounds not in self._spec_block_progs:
+                # compile EVERY bucket depth now (once per engine), not
+                # just the one this dispatch picked: per-bucket lazy
+                # compilation stalled a mid-generation dispatch 20 s when
+                # the cache-headroom tail reached a depth no earlier
+                # dispatch had used (r5 bench: spec_echo 0.11x, one
+                # 20.19 s dispatch_spec at headroom 28 — the 2-round
+                # bucket compiling inside the timed run). Compiling the
+                # whole family at the first block dispatch makes the cost
+                # deterministic: a warmup drain absorbs it, and steady
+                # state never compiles again. The warmup EXECUTES each
+                # unused bucket once on throwaway copies of the donated
+                # state (outputs discarded — a few junk rounds of device
+                # work); AOT ``lower().compile()`` was tried instead and
+                # bypassed the backend compile cache on the remote-attached
+                # backend (27 min of cold recompiles vs ~20 s per bucket).
+                for nr in self._spec_round_buckets:
+                    if nr in self._spec_block_progs:
+                        continue
+                    jf = jax.jit(
+                        functools.partial(
+                            self._spec_block_fn, n_rounds=nr,
+                            **self._spec_block_kw,
+                        ),
+                        donate_argnums=(1, 2),
+                    )
+                    if nr != n_rounds:
+                        wargs = list(args)
+                        wargs[1] = jax.tree.map(jnp.copy, args[1])
+                        wargs[2] = jnp.copy(args[2])
+                        jf(*wargs, **lora_kw)
+                    self._spec_block_progs[nr] = jf
+            prog = self._spec_block_progs[n_rounds]
             out, accepted, self.cache, self.cache_lens, self.last_tokens, \
                 self.token_hist = prog(*args, **lora_kw)
         else:
@@ -2117,6 +2147,8 @@ class ServingEngine:
         else:
             req.generated += 1
             req.emitted_ids.append(token_id)
+            if self.token_time_log is not None:
+                self.token_time_log.append(time.monotonic())
             ev = StreamEvent(token_id=token_id)
             if lp is not None:
                 ev.logprob = lp[0]
@@ -2130,6 +2162,7 @@ class ServingEngine:
             if finish is None and total >= self.max_seq_len - 1:
                 finish = "cache_full"
         if finish is not None:
+            req.finish_time = time.monotonic()
             ttft = (
                 req.first_token_time - req.submit_time
                 if req.first_token_time
