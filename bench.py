@@ -354,18 +354,29 @@ def _layer_sliced_metrics(
         cache = dl.KVCache.zeros(cfg.text_config, B, 256, jnp.bfloat16)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
-        def pf():
-            out, _, _ = engine._prefill(
-                engine.params, jb, cache, jnp.asarray(0, jnp.int32)
-            )
-            return float(jnp.sum(out))
+        # prefill: repeated dispatches, ONE fence (same rationale as the
+        # decode timing below — single host-fetch-fenced samples carry the
+        # tunnel's jitter into a slope the 80-layer extrapolation amplifies;
+        # measured 982 vs 1368 ms full-prefill across two best-of-3 runs).
+        # _prefill donates its cache arg, so each call consumes the previous
+        # call's output cache (same shape/dtype — a fresh zeros() per iter
+        # would put allocation inside the timed region).
+        cache_holder = [cache]
 
-        pf()  # compile
+        def pf_burst(iters=4):
+            out = None
+            for _ in range(iters):
+                out, cache_holder[0], _ = engine._prefill(
+                    engine.params, jb, cache_holder[0], jnp.asarray(0, jnp.int32)
+                )
+            return float(jnp.sum(out))  # host fetch = execution fence
+
+        pf_burst(1)  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            pf()
-            best = min(best, time.perf_counter() - t0)
+            pf_burst()
+            best = min(best, (time.perf_counter() - t0) / 4)
         times_prefill[n_layers] = best
         # decode: time repeated decode-scan dispatches with ONE fence (the
         # fused_decode_rate pattern — dispatches pipeline, so per-call
@@ -375,7 +386,7 @@ def _layer_sliced_metrics(
         # extrapolation amplifies ~80x — the r5 preview's 70B int8
         # per-step decode came out NEGATIVE from exactly that.
         logits, dcache, seq_lens = engine._prefill(
-            engine.params, jb, cache, jnp.asarray(0, jnp.int32)
+            engine.params, jb, cache_holder.pop(), jnp.asarray(0, jnp.int32)
         )
         first = jnp.argmax(logits, -1).astype(jnp.int32)
         rng_d = jax.random.key(0)
@@ -394,7 +405,7 @@ def _layer_sliced_metrics(
         del dcache, out, logits, first
         # drop this slice's weights/cache before the next slice initialises
         # (two 70B slices co-resident exceed the 16 GB chip)
-        del engine, cache, jb
+        del engine, cache, cache_holder, jb
 
     span = hi - lo
     per_layer_decode = (times_decode[hi] - times_decode[lo]) / span
